@@ -1,0 +1,137 @@
+"""Codec configuration.
+
+Replaces the reference's constructor-kwarg soup and the hardcoded constants in
+main.main() (main.py:19-43) with a validated dataclass.  Field names map 1:1
+onto the reference's Y_Video_codec.__init__ parameters (Encoder.py:24).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+
+def parse_bitrate(target_br: str | int | None) -> int | None:
+    """'<num> bps|kbps|mbps' -> bits/s (Encoder.py:78-88); ints pass through."""
+    if target_br is None:
+        return None
+    if isinstance(target_br, (int, float)):
+        return int(target_br)
+    tokens = target_br.split(" ")
+    num = int(tokens[0])
+    unit = tokens[1]
+    if unit == "kbps":
+        return num * 1024
+    if unit == "mbps":
+        return num * 1048576
+    return num
+
+
+@dataclasses.dataclass
+class CodecConfig:
+    height: int
+    width: int
+    frames: int
+    block_size: int = 16
+    search_range: int = 16
+    qp: int = 4
+    intra_dur: int = 21
+    intra_mode: int = 0
+    lam: float | None = None
+    vbs_enable: bool = False
+    n_ref_frames: int = 1
+    fast_me: bool = False
+    fme_enable: bool = False
+    rc_flag: int | None = None
+    target_br: str | int | None = None
+    frame_rate: int = 30
+    qp_rate_tables: Sequence[Sequence[float]] | None = None
+    intra_thresh: int | None = None
+    parallel_mode: int = 0
+
+    # --- TPU-native extensions -------------------------------------------
+    # "jax": native engine (exact int DCT, jitted TPU pipeline)
+    # "compat": host engine, bit-exact with the NumPy reference
+    engine: str = "jax"
+    # compat text formatting: coefficient values serialized as np.int64(v)
+    # (what the reference emits under numpy>=2).  None => True iff compat.
+    numpy_repr_bitstream: bool | None = None
+    # per-block QP offset map (ROI coding; README.md:17 promises ROI but the
+    # reference contains no implementation - designed fresh here)
+    roi_qp_map: Any = None
+    # two-pass rate control (README.md:13; reference computes first-pass row
+    # stats then discards them, Encoder.py:1627-1639)
+    two_pass: bool = False
+    # devices for multi-chip sharding (parallel/ modes); None => single chip
+    mesh_devices: Any = None
+
+    def __post_init__(self) -> None:
+        if self.height % self.block_size or self.width % self.block_size:
+            raise ValueError(
+                "height/width must be multiples of block_size (the reference "
+                "crashes on non-multiples; pad input frames first)"
+            )
+        if self.intra_mode not in (0, 1):
+            raise ValueError("intra_mode must be 0 (horizontal) or 1 (vertical)")
+        if self.engine not in ("jax", "compat"):
+            raise ValueError("engine must be 'jax' or 'compat'")
+
+    # ------------------------------------------------------------------ API
+    @property
+    def compat(self) -> bool:
+        return self.engine == "compat"
+
+    @property
+    def sub_block_size(self) -> int:
+        return self.block_size // 2
+
+    @property
+    def blocks_per_row(self) -> int:
+        return self.width // self.block_size
+
+    @property
+    def block_rows(self) -> int:
+        return self.height // self.block_size
+
+    @property
+    def n_blocks(self) -> int:
+        return self.blocks_per_row * self.block_rows
+
+    @property
+    def target_bitrate(self) -> int | None:
+        return parse_bitrate(self.target_br)
+
+    @property
+    def bitrate_per_row(self) -> float | None:
+        """(bitrate // frame_rate) / (h / bs)  (Encoder.py:88)."""
+        tb = self.target_bitrate
+        if tb is None:
+            return None
+        return (tb // self.frame_rate) / (self.height / self.block_size)
+
+    @property
+    def rc_active(self) -> bool:
+        return self.rc_flag is not None and self.rc_flag > 0
+
+    @property
+    def bitstream_numpy_repr(self) -> bool:
+        if self.numpy_repr_bitstream is None:
+            return self.compat
+        return self.numpy_repr_bitstream
+
+    @property
+    def intra_canvas(self) -> tuple[int, int]:
+        """Intra search canvas. The reference hardcodes a 288x352 all-128
+        canvas (Encoder.py:1248, :1165) - frames smaller than CIF search into
+        the 128 padding beyond the frame edge, and frames larger than CIF
+        cannot be intra-coded at all by the reference.  Compat replicates the
+        CIF canvas; the native engine uses the frame dims."""
+        if self.compat:
+            if self.height > 288 or self.width > 352:
+                raise ValueError(
+                    "compat engine replicates the reference's hardcoded "
+                    "288x352 intra canvas (Encoder.py:1248) and cannot intra-"
+                    "code larger frames; use engine='jax'"
+                )
+            return (288, 352)
+        return (self.height, self.width)
