@@ -1,0 +1,272 @@
+"""Intra prediction: parallel masked search + sequential reconstruction scans.
+
+Key structural insight (proved against Encoder.py:1238-1347): during intra
+*search* the reference reconstructs each block from the UNQUANTIZED residual,
+so the partially-reconstructed search frame equals the original frame under a
+causal mask (already-coded pixels) and 128 elsewhere.  For mode 0 the search
+window spans only the current 16-row band, where "already coded" reduces to
+``col < x_parent`` - so the whole search is embarrassingly parallel:
+
+  SAD(block, dx) = sum_{j < t} |cur[:, x_sub+j] - orig[:, x_sub+dx+j]|
+                 + sum_{j >= t} |cur[:, x_sub+j] - 128|,
+  t = clip(-delta - dx, 0, n),  delta = x_sub - x_parent (0 full; {0,s} quads)
+
+Both terms come from per-dx column-SAD prefix sums shared across blocks.
+
+A consequence the decoder relies on: windows with dx >= -delta are all-128 and
+tie with dx=0, so the chosen mv is always <= 0 (reads never cross the write
+frontier).
+
+Tie-break (Encoder.py:1034-1043): strictly-better MAE wins; equal MAE wins
+when |dx| <= |best| (so: minimal |dx|, then the later-scanned positive dx).
+Validity: x+dx >= 0 and x+dx+n <= canvas_w (inclusive bound; Encoder.py:1029)
+with canvas_w = 352 in compat mode (hardcoded canvas, Encoder.py:1248).
+Border blocks (x==0, mode 0): forced mv=-1 vs an all-128 block
+(Encoder.py:1020-1024).
+
+Reconstruction with quantized residuals (reconstruct_frame_intra,
+Encoder.py:1350-1417 / decode_frame_intra, decoder.py:330-432) IS sequential,
+but only along each block row in mode 0: scan over block columns, vectorized
+over block rows.
+
+Mode 1 (vertical) is the transpose of mode 0; the reference implementation of
+mode-1 reconstruction is unrunnable (decoder.py:404 inverts the split test and
+then indexes a scalar/list inconsistently -> TypeError on any input), so only
+the native engine supports mode 1, via transposition.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_INF32 = np.int32(2**31 - 1)
+
+_QUAD_OFFS = ((0, 0), (0, 1), (1, 0), (1, 1))  # Z order: TL, TR, BL, BR
+
+
+def intra_search_mode0(cur, bs: int, sr: int, canvas_w: int, vbs: bool, xp):
+    """Mode-0 (horizontal) intra search for all blocks (and VBS quads).
+
+    cur: (h, w) int frame.  Returns dict with:
+      mv:   (nbr, nbc) int32 chosen dx per full block (border col 0: -1)
+      sad:  (nbr, nbc) int32 (border col: SAD vs 128)
+      sub_mv / sub_sad: (nbr, nbc, 4) int32 for VBS quads when ``vbs``.
+    SADs are integer; the reference's float MAEs are SAD / n^2 (exact).
+    """
+    h, w = cur.shape
+    s = bs // 2
+    nbr, nbc = h // bs, w // bs
+    nbr2 = h // s
+    ndx = 2 * sr + 1
+    c32 = cur.astype(xp.int32)
+    # pad so shifted windows exist for all dx and canvas columns
+    pad_ref = xp.pad(c32, ((0, 0), (sr, canvas_w - w + sr)), constant_values=128)
+
+    # per-dx column-SAD prefix sums at sub-row-band granularity:
+    # prefix[dxi, rb, c] = sum_{c' < c} sum_{rows in band rb} |orig[r, c'+dx] - cur[r, c']|
+    prefs = []
+    for dxi in range(ndx):
+        shifted = pad_ref[:, dxi : dxi + w]  # shifted[c] = orig[c + dx] (128 outside)
+        d = abs(shifted - c32)
+        colsum = d.reshape(nbr2, s, w).sum(axis=1)
+        zero = xp.zeros((nbr2, 1), dtype=colsum.dtype)
+        prefs.append(xp.concatenate([zero, xp.cumsum(colsum, axis=1)], axis=1))
+    prefix = xp.stack(prefs)  # (ndx, nbr2, w+1)
+
+    d128 = abs(c32 - 128)
+    col128 = d128.reshape(nbr2, s, w).sum(axis=1)
+    zero = xp.zeros((nbr2, 1), dtype=col128.dtype)
+    prefix128 = xp.concatenate([zero, xp.cumsum(col128, axis=1)], axis=1)  # (nbr2, w+1)
+
+    dx = xp.arange(-sr, sr + 1)
+
+    def search(prefix_bands, prefix128_bands, x_sub, delta: int, n: int):
+        """prefix_bands: (ndx, R, w+1); prefix128_bands: (R, w+1);
+        x_sub: (C,) block col coords.  Returns mv, sad each (R, C)."""
+        t = xp.clip(-delta - dx, 0, n)  # (ndx,)
+        idx_hi = x_sub[None, :] + t[:, None]  # (ndx, C)
+        idx_lo = xp.broadcast_to(x_sub[None, :], idx_hi.shape)
+        a = _take_cols(prefix_bands, idx_hi, xp) - _take_cols(prefix_bands, idx_lo, xp)  # (ndx, R, C)
+        p128_hi = prefix_gather = prefix128_bands[:, idx_hi]  # (R, ndx, C)
+        b = prefix128_bands[:, x_sub + n][None, :, :] - xp.transpose(p128_hi, (1, 0, 2))
+        sad = a + b  # (ndx, R, C)
+        valid = (x_sub[None, :] + dx[:, None] >= 0) & (x_sub[None, :] + dx[:, None] + n <= canvas_w)
+        sad_m = xp.where(valid[:, None, :], sad, _INF32)
+        best = sad_m.min(axis=0)  # (R, C)
+        sec = ((xp.abs(dx).astype(xp.int32) << 8) | (sr - dx))[:, None, None]
+        sec_m = xp.where(sad_m == best[None], sec, _INF32)
+        mv = sr - (sec_m.min(axis=0) & 0xFF)
+        return mv.astype(xp.int32), best.astype(xp.int32)
+
+    x_full = xp.arange(nbc) * bs
+    pfull = prefix.reshape(ndx, nbr, 2, w + 1).sum(axis=2)
+    p128full = prefix128.reshape(nbr, 2, w + 1).sum(axis=1)
+    mv, sad = search(pfull, p128full, x_full, 0, bs)
+
+    # border col x==0: forced mv=-1, sad vs 128 (Encoder.py:1020-1024)
+    b128 = d128.reshape(nbr, bs, nbc, bs).sum(axis=(1, 3))
+    mv = _set_col(mv, 0, xp.full((nbr,), -1, dtype=xp.int32), xp)
+    sad = _set_col(sad, 0, b128[:, 0], xp)
+
+    out = {"mv": mv, "sad": sad}
+    if vbs:
+        qmv = []
+        qsad = []
+        for dr, dc in _QUAD_OFFS:
+            x_sub = x_full + dc * s
+            pb = prefix[:, dr::2, :]  # (ndx, nbr, w+1) rows of this quad
+            p128b = prefix128[dr::2, :]
+            mv_q, sad_q = search(pb, p128b, x_sub, dc * s, s)
+            qmv.append(mv_q)
+            qsad.append(sad_q)
+        out["sub_mv"] = xp.stack(qmv, axis=-1)
+        out["sub_sad"] = xp.stack(qsad, axis=-1)
+    return out
+
+
+def _take_cols(arr, idx, xp):
+    """arr: (ndx, R, L); idx: (ndx, C) -> (ndx, R, C) gather along last axis."""
+    ndx, r, _ = arr.shape
+    ib = xp.broadcast_to(idx[:, None, :], (ndx, r, idx.shape[-1]))
+    return xp.take_along_axis(arr, ib, axis=2)
+
+
+def _set_col(arr, c, vals, xp):
+    if xp is np:
+        arr = arr.copy()
+        arr[:, c] = vals
+        return arr
+    return arr.at[:, c].set(vals)
+
+
+def intra_residuals_mode0(cur, mv, sub_mv, bs: int, xp):
+    """Residuals for chosen intra MVs (unquantized: cur - masked window).
+
+    mv: (nbr, nbc); sub_mv: (nbr, nbc, 4) or None.
+    Returns full (nb, bs, bs) int32 and quads (nb, 4, s, s) int32 or None.
+    Chosen mvs never read cols >= x_parent from the original (those windows
+    are all-128 by the causal mask), so gathers stay in-frame.
+    """
+    h, w = cur.shape
+    s = bs // 2
+    nbr, nbc = h // bs, w // bs
+    c32 = cur.astype(xp.int32)
+
+    ys, xs = xp.meshgrid(xp.arange(nbr) * bs, xp.arange(nbc) * bs, indexing="ij")
+    xs = xs.reshape(-1)
+    ys = ys.reshape(-1)
+    cur_blocks = c32.reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(-1, bs, bs)
+
+    def window(x_sub, y_sub, d, delta: int, n: int):
+        j = xp.arange(n)
+        from_orig = (d[:, None] + j[None, :]) < -delta  # (nb, n)
+        cols = xp.clip(x_sub[:, None] + d[:, None] + j[None, :], 0, w - 1)
+        rows = y_sub[:, None] + j[None, :]
+        vals = c32[rows[:, :, None], cols[:, None, :]]
+        return xp.where(from_orig[:, None, :], vals, 128)
+
+    mvf = mv.reshape(-1)
+    win = window(xs, ys, mvf, 0, bs)
+    border = (xs == 0)[:, None, None]
+    win = xp.where(border, 128, win)
+    full_res = cur_blocks - win
+
+    quads_res = None
+    if sub_mv is not None:
+        qmv = sub_mv.reshape(-1, 4)
+        parts = []
+        for qi, (dr, dc) in enumerate(_QUAD_OFFS):
+            wq = window(xs + dc * s, ys + dr * s, qmv[:, qi], dc * s, s)
+            curq = cur_blocks[:, dr * s : dr * s + s, dc * s : dc * s + s]
+            parts.append(curq - wq)
+        quads_res = xp.stack(parts, axis=1)
+    return full_res, quads_res
+
+
+def intra_reconstruct_mode0(residual_full, residual_quads, split, mv, sub_mv, h: int, w: int, bs: int, xp):
+    """Sequential intra reconstruction (quantized residuals), mode 0.
+
+    residual_full: (nb, bs, bs) int (dequant+IDCT values); residual_quads:
+    (nb, 4, s, s) or None; split: (nb,) bool; mv: (nb,), sub_mv: (nb, 4).
+    Twin of reconstruct_frame_intra / decode_frame_intra for mode 0,
+    vectorized over block rows, scanning block columns.  Returns (h, w) int32
+    (caller applies the uint8 cast).
+    """
+    s = bs // 2
+    nbr, nbc = h // bs, w // bs
+    rf = residual_full.reshape(nbr, nbc, bs, bs)
+    rq = None if residual_quads is None else residual_quads.reshape(nbr, nbc, 4, s, s)
+    sp = split.reshape(nbr, nbc)
+    mvr = mv.reshape(nbr, nbc)
+    smv = None if sub_mv is None else sub_mv.reshape(nbr, nbc, 4)
+
+    if xp is np:
+        band = np.full((nbr, bs, w), 128, dtype=np.int64)
+        for c in range(nbc):
+            band = _recon_step_np(band, c, bs, s, rf, rq, sp, mvr, smv, w)
+        return band.reshape(h, w)
+    return _intra_reconstruct_jax(rf, rq, sp, mvr, smv, h, w, bs)
+
+
+def _recon_step_np(band, c, bs, s, rf, rq, sp, mvr, smv, w):
+    nbr = band.shape[0]
+    x = c * bs
+    j = np.arange(bs)
+    if x == 0:
+        win = np.full((nbr, bs, bs), 128, dtype=band.dtype)
+    else:
+        cols = (x + mvr[:, c])[:, None] + j[None, :]
+        win = band[np.arange(nbr)[:, None, None], j[None, :, None], cols[:, None, :]]
+    blk = win + rf[:, c]
+    if rq is not None:
+        sel = sp[:, c]
+        if sel.any():
+            js = np.arange(s)
+            parts = []
+            for qi, (dr, dc) in enumerate(_QUAD_OFFS):
+                xq = x + dc * s
+                colsq = (xq + smv[:, c, qi])[:, None] + js[None, :]
+                rows = dr * s + js
+                winq = band[np.arange(nbr)[:, None, None], rows[None, :, None], colsq[:, None, :]]
+                parts.append(winq + rq[:, c, qi])
+            top = np.concatenate([parts[0], parts[1]], axis=2)
+            bot = np.concatenate([parts[2], parts[3]], axis=2)
+            blk_sp = np.concatenate([top, bot], axis=1)
+            blk = np.where(sel[:, None, None], blk_sp, blk)
+    band = band.copy()
+    band[:, :, x : x + bs] = blk
+    return band
+
+
+def _intra_reconstruct_jax(rf, rq, sp, mvr, smv, h, w, bs):
+    import jax
+    import jax.numpy as jnp
+
+    s = bs // 2
+    nbr, nbc = rf.shape[:2]
+    band0 = jnp.full((nbr, bs, w), 128, dtype=jnp.int32)
+    j = jnp.arange(bs)
+    js = jnp.arange(s)
+
+    def step(band, c):
+        x = c * bs
+        cols = jnp.clip(x + mvr[:, c], 0, w - bs)[:, None] + j[None, :]
+        win = band[jnp.arange(nbr)[:, None, None], j[None, :, None], cols[:, None, :]]
+        win = jnp.where(c == 0, 128, win)
+        blk = win + rf[:, c]
+        if rq is not None:
+            parts = []
+            for qi, (dr, dc) in enumerate(_QUAD_OFFS):
+                xq = x + dc * s
+                colsq = jnp.clip(xq + smv[:, c, qi], 0, w - s)[:, None] + js[None, :]
+                rows = dr * s + js
+                winq = band[jnp.arange(nbr)[:, None, None], rows[None, :, None], colsq[:, None, :]]
+                parts.append(winq + rq[:, c, qi])
+            top = jnp.concatenate([parts[0], parts[1]], axis=2)
+            bot = jnp.concatenate([parts[2], parts[3]], axis=2)
+            blk_sp = jnp.concatenate([top, bot], axis=1)
+            blk = jnp.where(sp[:, c][:, None, None], blk_sp, blk)
+        band = jax.lax.dynamic_update_slice(band, blk, (0, 0, x))
+        return band, None
+
+    band, _ = jax.lax.scan(step, band0, jnp.arange(nbc))
+    return band.reshape(h, w)

@@ -1,0 +1,174 @@
+"""Motion estimation: SAD candidate maps, exact tie-break argmin, FME upsample.
+
+Reference semantics replicated exactly (integer SAD == float MAE ordering since
+all MAEs share one power-of-two denominator):
+
+- full search (Encoder.py:678-717): candidates (dx, dy) in [-sr, sr]^2 over all
+  reference frames; winner = lexicographic argmin of
+  (SAD, |dx|+|dy|, ref_idx, dx_scan_index, dy_scan_index)
+  -- derived from the strict-improvement scan order (refs outer, dx asc, dy
+  asc) with is_better_mv tie-break (Encoder.py:771-773).
+- candidate validity: 0 <= x+dx < W - bs and 0 <= y+dy < H - bs (strict, the
+  reference's off-by-one excludes x+dx == W-bs, Encoder.py:695); under FME
+  additionally 0 <= x+dx+2bs < W - bs (Encoder.py:698).
+- no valid candidate => mv=(0,0,0), SAD=+inf (Encoder.py:684-685).
+- fractional ME upsample (Encoder.py:388-406): 2x in each dim by neighbor
+  averaging; np.ceil applied on the column pass => all half-pel values are
+  exact integers: ceil((a+b)/2) and ceil((a+b+c+d)/4).
+
+SAD maps are computed once at sub-block granularity; a full-block SAD is the
+sum of its four quadrant SADs at the same displacement, so VBS sub-block
+search (Encoder.py:517-544) shares the same tables.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_INF32 = np.int32(2**31 - 1)
+
+
+def fme_upsample(frame, xp):
+    """Exact integer twin of frac_me_reference_frame for one frame.
+
+    frame: (h, w) int array -> (2h-1, 2w-1) int32.
+    even/even = original; halves = ceil of 2- and 4-neighbor averages.
+    """
+    f = frame.astype(xp.int32)
+    h, w = f.shape
+    out = xp.zeros((2 * h - 1, 2 * w - 1), dtype=xp.int32)
+    a = f[:, :-1]
+    b = f[:, 1:]
+    row_half = (a + b + 1) >> 1  # ceil((a+b)/2)
+    c = f[:-1, :]
+    d = f[1:, :]
+    col_half = (c + d + 1) >> 1
+    quad = (f[:-1, :-1] + f[:-1, 1:] + f[1:, :-1] + f[1:, 1:] + 3) >> 2  # ceil(avg4)
+    if xp is np:
+        out[0::2, 0::2] = f
+        out[0::2, 1::2] = row_half
+        out[1::2, 0::2] = col_half
+        out[1::2, 1::2] = quad
+        return out
+    out = out.at[0::2, 0::2].set(f)
+    out = out.at[0::2, 1::2].set(row_half)
+    out = out.at[1::2, 0::2].set(col_half)
+    out = out.at[1::2, 1::2].set(quad)
+    return out
+
+
+def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp):
+    """SAD tables at sub-block granularity for every displacement.
+
+    cur: (h, w) current frame (int); ref: (H, W) reference frame (int; the FME
+    upsampled frame when stride == 2).  Displacements d in [-sr, sr] are in
+    ref-grid units (half-pel when stride == 2).  Block (bi, bj) covers cur
+    rows [bi*sub_bs, ...); its window in ref starts at
+    (stride*bi*sub_bs + dy, stride*bj*sub_bs + dx) with ``stride`` row/col
+    step.
+
+    Returns (ndy, ndx, nbr, nbc) int32 where entry [dyi, dxi, bi, bj] is the
+    SAD; out-of-frame windows contribute garbage and MUST be masked by the
+    caller via candidate_valid_mask (the reference never evaluates them).
+    """
+    h, w = cur.shape
+    nbr, nbc = h // sub_bs, w // sub_bs
+    nd = 2 * sr + 1
+    c32 = cur.astype(xp.int32)
+    # pad ref so every (possibly invalid) window read is in-range
+    pad = sr + stride * sub_bs + 2
+    if xp is np:
+        rp = np.pad(ref.astype(np.int32), pad, mode="constant")
+    else:
+        rp = xp.pad(ref.astype(xp.int32), pad, mode="constant")
+
+    if xp is np:
+
+        def one_dy(dy):
+            row_idx = stride * np.arange(h) + dy + pad
+            rows = rp[row_idx, :]  # (h, Wp)
+            col_idx = stride * np.arange(w)[None, :] + np.arange(nd)[:, None] - sr + pad  # (nd, w)
+            win = rows[:, col_idx]  # (h, nd, w)
+            diff = abs(win - c32[:, None, :])
+            d4 = diff.reshape(nbr, sub_bs, nd, nbc, sub_bs)
+            return d4.sum(axis=(1, 4)).transpose(1, 0, 2)
+
+        return np.stack([one_dy(dy) for dy in range(-sr, sr + 1)])
+
+    import jax
+    from jax import lax
+
+    def one_pair(dy, dx):
+        rows = lax.dynamic_slice_in_dim(rp, pad + dy, stride * (h - 1) + 1, axis=0)[::stride]
+        win = lax.dynamic_slice_in_dim(rows, pad + dx, stride * (w - 1) + 1, axis=1)[:, ::stride]
+        diff = abs(win - c32)
+        return diff.reshape(nbr, sub_bs, nbc, sub_bs).sum(axis=(1, 3))
+
+    dvals = xp.arange(-sr, sr + 1)
+
+    def one_dy_jax(dy):
+        return jax.lax.map(lambda dx: one_pair(dy, dx), dvals)
+
+    return jax.lax.map(one_dy_jax, dvals)  # (ndy, ndx, nbr, nbc)
+
+
+def _arange(xp, n):
+    return xp.arange(n)
+
+
+def candidate_valid_mask(bx, by, sr: int, bs: int, H: int, W: int, fme: bool, xp, extra_2bs: bool | None = None):
+    """Validity of each displacement for each block (see module docstring).
+
+    bx, by: (nb,) block top-left coords in ref-grid units (already doubled
+    under FME).  Returns (ndy, ndx, nb) bool.
+    ``extra_2bs``: apply the +2bs bound; defaults to ``fme`` (find_best_match)
+    but fast ME applies it unconditionally (Encoder.py:730).
+    """
+    if extra_2bs is None:
+        extra_2bs = fme
+    d = _arange(xp, 2 * sr + 1) - sr
+    px = bx[None, :] + d[:, None]  # (ndx, nb)
+    py = by[None, :] + d[:, None]  # (ndy, nb)
+    okx = (px >= 0) & (px < W - bs)
+    oky = (py >= 0) & (py < H - bs)
+    if extra_2bs:
+        okx = okx & (px + 2 * bs >= 0) & (px + 2 * bs < W - bs)
+        oky = oky & (py + 2 * bs >= 0) & (py + 2 * bs < H - bs)
+    return oky[:, None, :] & okx[None, :, :]  # (ndy, ndx, nb)
+
+
+def argmin_displacement(sads, valid, sr: int, ref_axis: bool, xp):
+    """Reference-exact winner selection over (nref?, ndy, ndx) per block.
+
+    sads: (nref, ndy, ndx, nb) int32; valid: same-shape bool.
+    Returns (mv (nb, 3) int32 [dx, dy, ref], sad (nb,) int32, any_valid (nb,) bool).
+    Winner minimizes (SAD, |dx|+|dy|, ref, dx_index, dy_index) among valid
+    candidates; with none valid, mv=(0,0,0) and sad=INT32_MAX (stands in for
+    the reference's float inf, Encoder.py:684).
+    """
+    if not ref_axis:
+        sads = sads[None]
+        valid = valid[None]
+    nref, ndy, ndx, nb = sads.shape
+    d = _arange(xp, 2 * sr + 1) - sr
+    l1 = abs(d)[None, :, None] + abs(d)[None, None, :]  # (1, ndy, ndx)
+    refi = _arange(xp, nref)[:, None, None]
+    dxi = _arange(xp, ndx)[None, None, :]
+    dyi = _arange(xp, ndy)[None, :, None]
+    # secondary key: (L1, ref, dx_idx, dy_idx) -- 8+3+8+8 bits (sr <= 64 grid)
+    sec = (((l1.astype(xp.int32) << 3 | refi) << 8 | dxi) << 8 | dyi)  # (nref, ndy, ndx)
+    sads_m = xp.where(valid, sads, _INF32)
+    flat = sads_m.reshape(nref * ndy * ndx, nb)
+    best_sad = flat.min(axis=0)
+    sec_b = xp.broadcast_to(sec[..., None], sads.shape).reshape(nref * ndy * ndx, nb)
+    sec_m = xp.where((flat == best_sad[None, :]) & (flat != _INF32), sec_b, _INF32)
+    win = sec_m.min(axis=0)
+    any_valid = win != _INF32
+    wdy = (win & 0xFF) - sr
+    wdx = ((win >> 8) & 0xFF) - sr
+    wref = (win >> 16) & 0x7
+    zero = xp.zeros_like(wdx)
+    mv = xp.stack(
+        [xp.where(any_valid, wdx, zero), xp.where(any_valid, wdy, zero), xp.where(any_valid, wref, zero)],
+        axis=-1,
+    ).astype(xp.int32)
+    return mv, best_sad.astype(xp.int32), any_valid
