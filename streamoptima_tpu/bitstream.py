@@ -1,0 +1,200 @@
+"""Bitstream serialization: differential MV coding + entropy text format.
+
+Byte-exact with the reference's text formats:
+- MV file line:  "<frame_type>|" + differential_encoder_frame output
+  (Encoder.py:1419-1520, :1567)
+- residual file line: entropy_encoder_frame output (Encoder.py:1522-1542).
+  NOTE the shipped transmit_bitstream writes raw array reprs instead
+  (Encoder.py:1569, bug B1 in COMPAT_NOTES.md); we write the format the
+  decoder parses (decoder.py:651-670).
+
+Parsing replaces the reference's ``eval`` (decoder.py:605-662) with a safe
+literal parser that also accepts numpy scalar reprs (``np.int64(-3)``).
+
+MV structures: per frame a list of ``(0, mv)`` or ``(1, [mv x4])`` where mv is
+an int (intra) or an (dx, dy, ref) tuple (inter).  Residual structures: per
+frame a list of ``(0, block)`` or ``(1, [blocks x4])`` of int arrays.
+"""
+from __future__ import annotations
+
+import ast
+import re
+
+import numpy as np
+
+from streamoptima_tpu.core.zigzag import rle_decode_block, rle_encode_block
+
+_NP_SCALAR = re.compile(r"np\.int(?:8|16|32|64)\((-?\d+)\)")
+
+
+def _safe_eval(text: str):
+    return ast.literal_eval(_NP_SCALAR.sub(r"\1", text))
+
+
+def encode_mv_frame(frame_type: int, mvs, qp_per_row, rc_active: bool, blocks_per_row: int) -> str:
+    """Twin of differential_encoder_frame (Encoder.py:1419-1520), including
+    quirk K11 (intra split serializes diff_mv in the QP field)."""
+    out = []
+    ref_qp = 0
+    if frame_type == 0:
+        ref_mv = 0
+        for j, (split, mv) in enumerate(mvs):
+            row_head = rc_active and j % blocks_per_row == 0
+            if row_head:
+                diff_qp = int(qp_per_row[j // blocks_per_row]) - ref_qp
+            if split == 0:
+                diff = int(mv) - ref_mv
+                if j == 0:
+                    out.append((f"{diff_qp}@" if row_head else "") + f"0'({diff})")
+                else:
+                    out.append(";" + (f"{diff_qp}@" if row_head else "") + f"0'({diff})")
+                ref_mv = int(mv)
+            else:
+                parts = []
+                first_diff = None
+                for k, sb in enumerate(mv):
+                    diff = int(sb) - ref_mv
+                    if k == 0:
+                        first_diff = diff
+                    parts.append(str(diff))
+                    ref_mv = int(sb)
+                # quirk K11: the "qp" field is the first sub-mv diff
+                head = ";" + (f"{first_diff}@" if row_head else "") + "1'("
+                out.append(head + ",".join(parts) + ")")
+            if row_head:
+                ref_qp = int(qp_per_row[j // blocks_per_row])
+    else:
+        ref_mv = (0, 0, 0)
+        for j, (split, mv) in enumerate(mvs):
+            row_head = rc_active and j % blocks_per_row == 0
+            if row_head:
+                diff_qp = int(qp_per_row[j // blocks_per_row]) - ref_qp
+            if split == 0:
+                t = tuple(int(v) for v in mv)
+                diff = (t[0] - ref_mv[0], t[1] - ref_mv[1], t[2] - ref_mv[2])
+                if j == 0:
+                    out.append((f"{diff_qp}@" if row_head else "") + f"0'{diff}")
+                else:
+                    out.append(";" + (f"{diff_qp}@" if row_head else "") + f"0'{diff}")
+                ref_mv = t
+            else:
+                parts = []
+                for k, sb in enumerate(mv):
+                    t = tuple(int(v) for v in sb)
+                    diff = (t[0] - ref_mv[0], t[1] - ref_mv[1], t[2] - ref_mv[2])
+                    parts.append(str(diff))
+                    ref_mv = t
+                head = ";" + (f"{diff_qp}@" if row_head else "") + "1'("
+                out.append(head + ",".join(parts) + ")")
+            if row_head:
+                ref_qp = int(qp_per_row[j // blocks_per_row])
+    return "".join(out)
+
+
+def decode_mv_frame(line: str, rc_active: bool, blocks_per_row: int):
+    """Twin of differential_decoder_frame (decoder.py:590-649)."""
+    raw = line.rstrip("\n").split("|")
+    frame_type = int(raw[0])
+    items = raw[1].split(";")
+    mvs = []
+    qps = []
+    if frame_type == 0:
+        ref_mv = 0
+        ref_qp = 0
+        for j, item in enumerate(items):
+            if rc_active and j % blocks_per_row == 0:
+                qp_s, item = item.split("@")
+                ref_qp = ref_qp + int(_safe_eval(qp_s))
+                qps.append(ref_qp)
+            split, body = item.split("'")
+            if split == "0":
+                ref_mv = ref_mv + int(_safe_eval(body))
+                mvs.append((0, ref_mv))
+            else:
+                subs = []
+                for d in _safe_eval(body):
+                    ref_mv = ref_mv + d
+                    subs.append(ref_mv)
+                mvs.append((1, subs))
+    else:
+        ref_mv = (0, 0, 0)
+        ref_qp = 0
+        for j, item in enumerate(items):
+            if rc_active and j % blocks_per_row == 0:
+                qp_s, item = item.split("@")
+                ref_qp = ref_qp + int(_safe_eval(qp_s))
+                qps.append(ref_qp)
+            split, body = item.split("'")
+            if split == "0":
+                d = _safe_eval(body)
+                ref_mv = (ref_mv[0] + d[0], ref_mv[1] + d[1], ref_mv[2] + d[2])
+                mvs.append((0, ref_mv))
+            else:
+                subs = []
+                for d in _safe_eval(body):
+                    ref_mv = (ref_mv[0] + d[0], ref_mv[1] + d[1], ref_mv[2] + d[2])
+                    subs.append(ref_mv)
+                mvs.append((1, subs))
+    return frame_type, mvs, qps
+
+
+def encode_residual_frame(residuals, block_size: int, numpy_repr: bool) -> str:
+    """Twin of entropy_encoder_frame (Encoder.py:1522-1542)."""
+    out = []
+    for i, (split, res) in enumerate(residuals):
+        if split == 0:
+            s = "0'(" + str(rle_encode_block(np.asarray(res), numpy_repr)) + ")"
+            out.append(s if i == 0 else ";" + s)
+        else:
+            parts = [str(rle_encode_block(np.asarray(sb), numpy_repr)) for sb in res]
+            out.append(";1'(" + ",".join(parts) + ")")
+    return "".join(out)
+
+
+def decode_residual_frame(line: str, block_size: int):
+    """Twin of entropy_decoder_frame (decoder.py:651-670)."""
+    out = []
+    for item in line.rstrip("\n").split(";"):
+        split, body = item.split("'")
+        if split == "0":
+            out.append((0, np.array(rle_decode_block(_safe_eval(body), block_size))))
+        else:
+            subs = [np.array(rle_decode_block(b, block_size // 2)) for b in _safe_eval(body)]
+            out.append((1, subs))
+    return out
+
+
+def write_bitstream(path_mv, path_res, frame_types, mvs_per_frame, qp_per_row_per_frame, residuals_per_frame, cfg, raw_mv_path=None):
+    """Twin of transmit_bitstream (Encoder.py:1544-1573) with bug B1 fixed."""
+    with open(path_mv, "w") as fm, open(path_res, "w") as fr:
+        for i in range(len(frame_types)):
+            ft = int(frame_types[i])
+            fm.write(
+                str(ft)
+                + "|"
+                + encode_mv_frame(ft, mvs_per_frame[i], qp_per_row_per_frame[i], cfg.rc_active, cfg.blocks_per_row)
+                + "\n"
+            )
+            fr.write(encode_residual_frame(residuals_per_frame[i], cfg.block_size, cfg.bitstream_numpy_repr) + "\n")
+    if raw_mv_path is not None:
+        with open(raw_mv_path, "w") as f:
+            for i in range(len(frame_types)):
+                f.write(str(int(frame_types[i])) + "|" + str(mvs_per_frame[i]) + "\n")
+
+
+def read_bitstream(path_mv, path_res, cfg):
+    """Twin of decode_differential_entropy (decoder.py:673-690)."""
+    frame_types = []
+    mvs = []
+    qps = []
+    residuals = []
+    with open(path_mv) as f:
+        for line in f:
+            ft, mv, qp = decode_mv_frame(line, cfg.rc_active, cfg.blocks_per_row)
+            frame_types.append(ft)
+            mvs.append(mv)
+            qps.append(qp)
+    with open(path_res) as f:
+        for line in f:
+            residuals.append(decode_residual_frame(line, cfg.block_size))
+    return frame_types, mvs, qps, residuals

@@ -27,22 +27,35 @@ import numpy as np
 _INF32 = np.int32(2**31 - 1)
 
 
-def fme_upsample(frame, xp):
+def fme_upsample(frame, xp, wrap_row_pass: bool | None = None):
     """Exact integer twin of frac_me_reference_frame for one frame.
 
     frame: (h, w) int array -> (2h-1, 2w-1) int32.
     even/even = original; halves = ceil of 2- and 4-neighbor averages.
+
+    Quirk K17: the reference's *row* pass sums uint8 rows before dividing
+    (``(row + np.roll(row,-1))/2.0``, Encoder.py:397) so horizontal averages
+    wrap modulo 256 when the ref frame is a uint8 reconstruction; the column
+    pass runs on the float intermediate and never wraps.  The initial all-128
+    reference frame is float64 and does not wrap.  ``wrap_row_pass`` defaults
+    to True iff ``frame`` is uint8 (matching the reference's dtype-driven
+    behavior).
     """
+    if wrap_row_pass is None:
+        wrap_row_pass = frame.dtype == np.uint8 if xp is np else frame.dtype == xp.uint8
     f = frame.astype(xp.int32)
     h, w = f.shape
     out = xp.zeros((2 * h - 1, 2 * w - 1), dtype=xp.int32)
     a = f[:, :-1]
     b = f[:, 1:]
-    row_half = (a + b + 1) >> 1  # ceil((a+b)/2)
+    row_sum = (a + b) & 255 if wrap_row_pass else a + b
+    row_half = (row_sum + 1) >> 1  # ceil
     c = f[:-1, :]
     d = f[1:, :]
-    col_half = (c + d + 1) >> 1
-    quad = (f[:-1, :-1] + f[:-1, 1:] + f[1:, :-1] + f[1:, 1:] + 3) >> 2  # ceil(avg4)
+    col_half = (c + d + 1) >> 1  # column pass: float in the reference, no wrap
+    rs_top = (f[:-1, :-1] + f[:-1, 1:]) & 255 if wrap_row_pass else f[:-1, :-1] + f[:-1, 1:]
+    rs_bot = (f[1:, :-1] + f[1:, 1:]) & 255 if wrap_row_pass else f[1:, :-1] + f[1:, 1:]
+    quad = (rs_top + rs_bot + 3) >> 2  # ceil of the averaged wrapped halves
     if xp is np:
         out[0::2, 0::2] = f
         out[0::2, 1::2] = row_half

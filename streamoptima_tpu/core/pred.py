@@ -20,12 +20,19 @@ from __future__ import annotations
 import numpy as np
 
 
-def gather_predictions(mvs, ref_stack, bx, by, bs: int, fme: bool, xp):
+def gather_predictions(mvs, ref_stack, bx, by, bs: int, fme: bool, xp, fme_margin: int | None = None):
     """Predicted blocks for chosen MVs.
 
     mvs: (nb, 3) int32 [dx, dy, ref]; ref_stack: (nref, H, W) int (the FME
     upsampled frames when ``fme``); bx, by: (nb,) block top-left pixel coords
     (un-doubled).  Returns (nb, bs, bs) int32.
+
+    ``fme_margin``: subtrahend of the FME overflow check
+    ``0 <= p + 2*bs < W - fme_margin`` (default ``bs``).  The reference uses
+    ``bs`` on the residual path (Encoder.py:447) but the *parent* block size
+    (= 2*bs for VBS quads) on the reconstruction/decode path (Encoder.py:910,
+    decoder.py:185), so quads near the right/bottom edge can be predicted
+    from a real window at residual time but from 128s at reconstruction.
     """
     H, W = ref_stack.shape[-2:]
     scale = 2 if fme else 1
@@ -48,11 +55,12 @@ def gather_predictions(mvs, ref_stack, bx, by, bs: int, fme: bool, xp):
     if not fme:
         return g1.astype(xp.int32)
 
+    m = bs if fme_margin is None else fme_margin
     valid2 = (
         (px + 2 * bs >= 0)
-        & (px + 2 * bs < W - bs)
+        & (px + 2 * bs < W - m)
         & (py + 2 * bs >= 0)
-        & (py + 2 * bs < H - bs)
+        & (py + 2 * bs < H - m)
     )
     rows2 = xp.clip(py[:, None] + 2 * i[None, :], 0, H - 1)
     cols2 = xp.clip(px[:, None] + 2 * i[None, :], 0, W - 1)

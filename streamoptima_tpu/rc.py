@@ -1,0 +1,76 @@
+"""Rate control: per-row QP selection, scene-change promotion, two-pass.
+
+The reference's per-row budget recursion (Encoder.py:1597-1609, :1665-1678)
+carries over ``budget - table_bitrate(QP)`` - the *table* value, not actual
+bits - so the whole per-row QP sequence is a pure function of
+(bitrate_per_row, table) and is identical for every frame.  Quirk K9: both
+intra and inter flows index table 0 (the intra table; Encoder.py:1671).
+
+``row_qp_sequence`` precomputes it once.  ``measure_qp_table`` builds tables
+by measuring the codec itself (the reference expects externally measured
+tables; main.py references undefined globals for them, bug B5).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def pick_qp(table, budget: float):
+    """First (qp, bitrate) with bitrate < budget (get_appropriate_Qp_value,
+    Encoder.py:1576-1580).  Raises like-for-like instead of returning None."""
+    for qp, bitrate in enumerate(table):
+        if bitrate < budget:
+            return qp, bitrate
+    raise ValueError(
+        "no QP in the rate table fits the row budget "
+        f"({budget}); the reference crashes here (bug B6)"
+    )
+
+
+def row_qp_sequence(cfg, frame_type: int = 0):
+    """Per-row (qp, table_bits) for one frame; identical across frames.
+
+    frame_type is forced to 0 in compat mode (quirk K9).
+    """
+    table_idx = 0 if cfg.compat else frame_type
+    table = cfg.qp_rate_tables[table_idx]
+    per_row = cfg.bitrate_per_row
+    qps = []
+    budget = per_row
+    for r in range(cfg.block_rows):
+        if r > 0:
+            budget = per_row + (budget - bits)
+        qp, bits = pick_qp(table, budget)
+        qps.append(qp)
+    return qps
+
+
+def row_wise_stats(bits_cum_per_row):
+    """First-pass statistics: per-row share (%) of the frame's bits
+    (Encoder.py:1627-1639; computed then discarded by the reference)."""
+    total = bits_cum_per_row[-1]
+    diffs = np.diff(np.concatenate([[0], np.asarray(bits_cum_per_row, dtype=np.float64)]))
+    return (diffs / total) * 100.0 if total else diffs * 0.0
+
+
+def two_pass_row_budgets(cfg, stats_pct):
+    """Second pass: reallocate the frame budget by first-pass row shares
+    (the README-promised consumer of row_wise_stats, README.md:13; absent in
+    the reference snapshot - designed here)."""
+    frame_budget = (cfg.target_bitrate // cfg.frame_rate) if cfg.target_bitrate else 0
+    shares = np.asarray(stats_pct, dtype=np.float64) / 100.0
+    return frame_budget * shares
+
+
+def row_qp_from_budgets(cfg, budgets, frame_type: int = 0):
+    """Pick a QP per row from explicit per-row budgets (two-pass second pass)."""
+    table_idx = 0 if cfg.compat else frame_type
+    table = cfg.qp_rate_tables[table_idx]
+    out = []
+    for b in budgets:
+        try:
+            qp, _ = pick_qp(table, b)
+        except ValueError:
+            qp = len(table) - 1
+        out.append(qp)
+    return out

@@ -19,13 +19,14 @@ def make_codec(Encoder, h, w, frames=2, bs=16, sr=4, fme=False, fast=False, vbs=
     )
 
 
-def test_fme_upsample_matches_reference(ref_modules):
+@pytest.mark.parametrize("dtype", [np.float64, np.uint8])
+def test_fme_upsample_matches_reference(ref_modules, dtype):
     Encoder, _ = ref_modules
     enc = make_codec(Encoder, 32, 48)
     rng = np.random.default_rng(0)
-    frame = rng.integers(0, 256, size=(32, 48)).astype(np.float64)
+    frame = rng.integers(0, 256, size=(32, 48)).astype(dtype)
     ref_up = enc.frac_me_reference_frame([frame], 16)[0]
-    mine = M.fme_upsample(frame.astype(np.int32), np)
+    mine = M.fme_upsample(frame, np)
     assert ref_up.shape == mine.shape
     assert np.array_equal(ref_up.astype(np.int64), mine.astype(np.int64))
 
