@@ -1,0 +1,510 @@
+"""Native TPU engine: fully-jitted per-frame encode/decode steps (JAX/XLA).
+
+Same pipeline shape as the reference (SURVEY.md section 3) but designed
+TPU-first:
+
+- per-block Python loops become array programs over the (nb, bs, bs) tiled
+  layout: batched int32 DCT/quant (MXU/VPU), SAD candidate maps, vectorized
+  RD selection;
+- the exact fixed-point transform (core/transform.py) keeps every pixel
+  bit-identical across backends - encode and decode agree on CPU and TPU;
+- sequential chains (intra reconstruction, fast-ME MVP propagation) are
+  lax.scans with vectorized inner steps;
+- one jitted step per frame kind; the GOP loop stays host-side (scene-change
+  promotion consumes one scalar per frame).
+
+Deliberate deviations from the compat engine (documented in COMPAT_NOTES.md):
+the transform is the exact int32 DCT rather than scipy float (values within
++-1), fast ME reports true SADs in the MAE slot (quirk K6 fixed), and RD
+decisions run in float32 on device.  Search semantics (candidates, bounds,
+tie-breaks) are identical, so motion vectors match the reference exactly.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from streamoptima_tpu import rc as rc_mod
+from streamoptima_tpu.config import CodecConfig
+from streamoptima_tpu.core import intra as I
+from streamoptima_tpu.core import me as M
+from streamoptima_tpu.core import pred as P
+from streamoptima_tpu.core.quant import quantize, rescale
+from streamoptima_tpu.core.transform import dct2_int, idct2_int
+from streamoptima_tpu.core.zigzag import rle_length
+from streamoptima_tpu import metrics
+
+
+def _qpm1_vec(qp):
+    return jnp.where(qp > 0, qp - 1, qp)
+
+
+class JaxCodec:
+    """Native JAX encoder/decoder (engine='jax')."""
+
+    def __init__(self, cfg: CodecConfig, y_frames=None):
+        assert not cfg.compat
+        self.cfg = cfg
+        self.y = None if y_frames is None else np.asarray(y_frames, dtype=np.uint8)
+        self.h, self.w = cfg.height, cfg.width
+        self.bs = cfg.block_size
+        self.sbs = cfg.sub_block_size
+        self.nbr, self.nbc = cfg.block_rows, cfg.blocks_per_row
+        self.nb = self.nbr * self.nbc
+        ys, xs = np.meshgrid(np.arange(self.nbr) * self.bs, np.arange(self.nbc) * self.bs, indexing="ij")
+        self.bx = jnp.asarray(xs.reshape(-1))
+        self.by = jnp.asarray(ys.reshape(-1))
+        offs = np.array([[0, 0], [0, 1], [1, 0], [1, 1]]) * self.sbs
+        self.qx = jnp.asarray((xs.reshape(-1)[:, None] + offs[None, :, 1]))
+        self.qy = jnp.asarray((ys.reshape(-1)[:, None] + offs[None, :, 0]))
+        self.vbs_eligible = jnp.asarray((xs.reshape(-1) != 0) & (ys.reshape(-1) != 0))
+        if cfg.rc_active:
+            row_qps = np.asarray(rc_mod.row_qp_sequence(cfg), dtype=np.int32)
+        else:
+            row_qps = np.full(self.nbr, cfg.qp, dtype=np.int32)
+        self.row_qps = jnp.asarray(row_qps)
+        if cfg.roi_qp_map is not None:
+            roi = np.asarray(cfg.roi_qp_map, dtype=np.int32).reshape(-1)
+            assert roi.shape[0] == self.nb, "roi_qp_map must have one offset per block"
+            self.roi = jnp.asarray(roi)
+        else:
+            self.roi = None
+        # jitted steps (donate nothing; frames are small relative to HBM)
+        self._inter_step_j = jax.jit(self._inter_step, static_argnames=("nref", "initial_refs"))
+        self._intra_step_j = jax.jit(self._intra_step)
+        self._dec_inter_j = jax.jit(self._decode_inter_step, static_argnames=("nref", "initial_refs"))
+        self._dec_intra_j = jax.jit(self._decode_intra_step)
+
+    # ----------------------------------------------------------- utilities
+    def _block_qps(self, row_qps):
+        q = jnp.repeat(row_qps.astype(jnp.int32), self.nbc)
+        if self.roi is not None:
+            q = jnp.clip(q + self.roi, 0, 12)
+        return q
+
+    def _prep_refs(self, refs, initial_refs: bool):
+        """(nref, h, w) uint8/int32 -> search/pred ref stack (upsampled under
+        FME; wrap only for real reconstructions, quirk K17)."""
+        if self.cfg.fme_enable:
+            up = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=not initial_refs))(refs)
+            return up
+        return refs.astype(jnp.int32)
+
+    def _blockify(self, frame32):
+        return frame32.reshape(self.nbr, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs)
+
+    def _quads_of(self, blocks):
+        s = self.sbs
+        return blocks.reshape(-1, 2, s, 2, s).swapaxes(2, 3).reshape(-1, 4, s, s)
+
+    def _merge_quads(self, quads):
+        s = self.sbs
+        return quads.reshape(-1, 2, 2, s, s).swapaxes(2, 3).reshape(-1, self.bs, self.bs)
+
+    # ------------------------------------------------------------- search
+    def _full_search(self, cur32, search_refs, fme):
+        cfg = self.cfg
+        sr = cfg.search_range * 2 if fme else cfg.search_range
+        scale = 2 if fme else 1
+        H, W = search_refs.shape[-2:]
+        maps = jax.vmap(lambda r: M.sad_maps(cur32, r, sr, self.sbs, scale, jnp))(search_refs)
+        nref, ndy, ndx, nbr2, nbc2 = maps.shape
+        full = maps.reshape(nref, ndy, ndx, nbr2 // 2, 2, nbc2 // 2, 2).sum(axis=(4, 6)).reshape(nref, ndy, ndx, -1)
+        vmask = M.candidate_valid_mask(self.bx * scale, self.by * scale, sr, self.bs, H, W, fme, jnp)
+        mv, sad, ok = M.argmin_displacement(full, jnp.broadcast_to(vmask, full.shape), sr, True, jnp)
+        out = {"mv": mv, "sad": sad, "ok": ok}
+        if cfg.vbs_enable:
+            qidx = (self.qy // self.sbs) * nbc2 + (self.qx // self.sbs)  # (nb, 4)
+            sub = maps.reshape(nref, ndy, ndx, -1)[:, :, :, qidx.reshape(-1)]
+            vsub = M.candidate_valid_mask(
+                self.qx.reshape(-1) * scale, self.qy.reshape(-1) * scale, sr, self.sbs, H, W, fme, jnp
+            )
+            smv, ssad, sok = M.argmin_displacement(sub, jnp.broadcast_to(vsub, sub.shape), sr, True, jnp)
+            out["sub_mv"] = smv.reshape(self.nb, 4, 3)
+            out["sub_sad"] = ssad.reshape(self.nb, 4)
+            out["sub_ok"] = sok.reshape(self.nb, 4)
+        return out
+
+    def _fast_candidates(self, cur_blk, refs, X, Y, n, mvp, fme):
+        """SADs of the 3x3 window around mvp for one block; returns winner
+        with fast-ME semantics (strict improvement, (ref, dx, dy) scan
+        order; quirk K7 bound; fallback to mvp when nothing valid)."""
+        H, W = refs.shape[-2:]
+        nref = refs.shape[0]
+        d = jnp.arange(-1, 2)
+        dx = mvp[0] + d  # (3,)
+        dy = mvp[1] + d
+        px = X + dx
+        py = Y + dy
+        okx = (px >= 0) & (px < W - n) & (px + 2 * n >= 0) & (px + 2 * n < W - n)
+        oky = (py >= 0) & (py < H - n) & (py + 2 * n >= 0) & (py + 2 * n < H - n)
+        valid = oky[:, None] & okx[None, :]  # (dy, dx) -> note loops dx outer
+        step = 2 if fme else 1
+        i = jnp.arange(n)
+        rows = py[:, None] + step * i[None, :]  # (3, n)
+        cols = px[:, None] + step * i[None, :]
+        rc = jnp.clip(rows, 0, H - 1)
+        cc = jnp.clip(cols, 0, W - 1)
+        win = refs[:, rc[:, :, None, None], cc[None, None, :, :]]  # (nref, 3, n, 3, n)
+        win = win.transpose(0, 1, 3, 2, 4)  # (nref, dyi, dxi, n, n)
+        sads = jnp.abs(win - cur_blk[None, None, None]).sum(axis=(-2, -1))  # (nref, dyi, dxi)
+        sads = jnp.where(valid[None], sads, np.int32(2**31 - 1))
+        # scan order (ref, dx, dy): strict improvement => first minimal in that order
+        order = sads.transpose(0, 2, 1).reshape(-1)  # ref-major, dx, dy
+        k = jnp.argmin(order)  # first occurrence of min (ties -> first)
+        best = order[k]
+        ref_i = k // 9
+        dxi = (k % 9) // 3
+        dyi = k % 3
+        any_ok = best != np.int32(2**31 - 1)
+        mv = jnp.where(
+            any_ok,
+            jnp.stack([mvp[0] + dxi - 1, mvp[1] + dyi - 1, ref_i]).astype(jnp.int32),
+            jnp.stack([mvp[0], mvp[1], mvp[2]]).astype(jnp.int32),  # fallback: mvp itself (K8)
+        )
+        sad = jnp.where(any_ok, best, np.int32(2**31 - 1))
+        return mv, sad
+
+    def _fast_search(self, cur32, search_refs, fme, zero_mvp: bool):
+        """Sequential MVP chain as a lax.scan over blocks (native twin of
+        Encoder.py:549-581); reports true SADs (quirk K6 fixed)."""
+        cfg = self.cfg
+        scale = 2 if fme else 1
+        cur_b = self._blockify(cur32)
+        cur_q = self._quads_of(cur_b) if cfg.vbs_enable else None
+        n = self.bs
+
+        def step(mvp, i):
+            outs = {}
+            if cfg.vbs_enable:
+                qmv = []
+                qsad = []
+                for q in range(4):
+                    m, s = self._fast_candidates(
+                        cur_q[i, q], search_refs, self.qx[i, q] * scale, self.qy[i, q] * scale, self.sbs, mvp, fme
+                    )
+                    qmv.append(m)
+                    qsad.append(s)
+                outs["sub_mv"] = jnp.stack(qmv)
+                outs["sub_sad"] = jnp.stack(qsad)
+            m, s = self._fast_candidates(cur_b[i], search_refs, self.bx[i] * scale, self.by[i] * scale, n, mvp, fme)
+            outs["mv"] = m
+            outs["sad"] = s
+            new_mvp = jnp.where(zero_mvp, jnp.zeros(3, jnp.int32), m)
+            return new_mvp, outs
+
+        _, outs = jax.lax.scan(step, jnp.zeros(3, jnp.int32), jnp.arange(self.nb))
+        outs["ok"] = outs["sad"] != np.int32(2**31 - 1)
+        if cfg.vbs_enable:
+            outs["sub_ok"] = outs["sub_sad"] != np.int32(2**31 - 1)
+        return outs
+
+    # ----------------------------------------------------- shared encode
+    def _transform_and_select(self, res_full, res_quads, sad_full, sad_quads, frame_type, row_qps,
+                              ok_full=None, ok_quads=None):
+        """DCT both variants once, RD-select, quantize at the RC row QPs.
+
+        Returns (split, qtc_full, qtc_quads, size, mae_per_block).
+        Blocks without any valid search candidate carry MAE=+inf (reference
+        semantics, Encoder.py:684): inf < inf is False, so an all-invalid
+        block still SPLITS under VBS."""
+        cfg = self.cfg
+        qps = self._block_qps(row_qps)
+        tf = dct2_int(res_full.astype(jnp.int32))  # (nb, bs, bs)
+        qtc_const = quantize(tf, int(cfg.qp))
+        split = jnp.zeros(self.nb, dtype=bool)
+        tq = None
+        mae_full = sad_full.astype(jnp.float32) / (self.bs * self.bs)
+        if ok_full is not None:
+            mae_full = jnp.where(ok_full, mae_full, jnp.inf)
+        mae_pb = mae_full
+        if cfg.vbs_enable:
+            tq = dct2_int(res_quads.astype(jnp.int32))
+            qtcq_const = quantize(tq, int(self.cfg.qp) - 1 if cfg.qp > 0 else int(cfg.qp))
+            base = 8 if frame_type == 0 else 16
+            base_v = 32 if frame_type == 0 else 64
+            bits_bs = base + 8 * rle_length(qtc_const)
+            bits_vbs = base_v + 8 * rle_length(qtcq_const).sum(axis=1)
+            mae_q = sad_quads.astype(jnp.float32) / (self.sbs * self.sbs)
+            if ok_quads is not None:
+                mae_q = jnp.where(ok_quads, mae_q, jnp.inf)
+            vbs_mae = mae_q.sum(axis=1) / 4.0
+            rd_bs = cfg.lam * bits_bs.astype(jnp.float32) + mae_full
+            rd_vbs = cfg.lam * bits_vbs.astype(jnp.float32) + vbs_mae
+            split = ~(rd_bs < rd_vbs) & self.vbs_eligible
+            mae_pb = jnp.where(self.vbs_eligible, vbs_mae, mae_full)
+        qtc_full = quantize(tf, qps)
+        lens_full = rle_length(qtc_full)
+        if cfg.vbs_enable:
+            qtc_quads = quantize(tq, _qpm1_vec(qps)[:, None])
+            lens_q = rle_length(qtc_quads).sum(axis=1)
+            size = jnp.where(split, lens_q, lens_full).sum()
+        else:
+            qtc_quads = jnp.zeros((self.nb, 4, self.sbs, self.sbs), dtype=qtc_full.dtype)
+            size = lens_full.sum()
+        return split, qtc_full, qtc_quads, size, mae_pb
+
+    def _dequant(self, qtc_full, qtc_quads, row_qps):
+        qps = self._block_qps(row_qps)
+        rf = idct2_int(rescale(qtc_full, qps).astype(jnp.int32))
+        rq = idct2_int(rescale(qtc_quads, _qpm1_vec(qps)[:, None]).astype(jnp.int32))
+        return rf, rq
+
+    def _recon_inter(self, pred_refs, mv, split, sub_mv, qtc_full, qtc_quads, row_qps, fme):
+        rf, rq = self._dequant(qtc_full, qtc_quads, row_qps)
+        pred_full = P.gather_predictions(mv, pred_refs, self.bx, self.by, self.bs, fme, jnp)
+        full_blocks = P.wrap_uint8(pred_full + rf, jnp)
+        if self.cfg.vbs_enable:
+            # native fixes quirk K18: the reconstruction uses the same FME
+            # bound as the residual path, so prediction always matches what
+            # the residual was computed against (better edge quality; the
+            # compat engine replicates the reference's mismatch instead)
+            pred_q = P.gather_predictions(
+                sub_mv.reshape(-1, 3), pred_refs, self.qx.reshape(-1), self.qy.reshape(-1),
+                self.sbs, fme, jnp,
+            ).reshape(self.nb, 4, self.sbs, self.sbs)
+            quad_blocks = self._merge_quads(P.wrap_uint8(pred_q + rq, jnp))
+            blocks = jnp.where(split[:, None, None], quad_blocks, full_blocks)
+        else:
+            blocks = full_blocks
+        return blocks.reshape(self.nbr, self.nbc, self.bs, self.bs).swapaxes(1, 2).reshape(self.h, self.w)
+
+    def _recon_intra(self, mv, split, sub_mv, qtc_full, qtc_quads, row_qps):
+        rf, rq = self._dequant(qtc_full, qtc_quads, row_qps)
+        if self.cfg.intra_mode == 1:
+            # mode 1 = transpose of mode 0 (native-only; reference bug B2)
+            frame = I.intra_reconstruct_mode0(
+                rf.swapaxes(-1, -2), rq.swapaxes(-1, -2), split, mv, sub_mv, self.w, self.h, self.bs, jnp
+            ).T
+        else:
+            frame = I.intra_reconstruct_mode0(rf, rq, split, mv, sub_mv, self.h, self.w, self.bs, jnp)
+        return P.wrap_uint8(frame, jnp)
+
+    # ------------------------------------------------------------ steps
+    def _inter_step(self, cur, refs, row_qps, orig, nref: int, initial_refs: bool):
+        cfg = self.cfg
+        fme = cfg.fme_enable
+        cur32 = cur.astype(jnp.int32)
+        search_refs = self._prep_refs(refs, initial_refs)
+        if cfg.fast_me and cfg.parallel_mode != 1:
+            s = self._fast_search(cur32, search_refs, fme, zero_mvp=(cfg.parallel_mode == 2))
+        else:
+            s = self._full_search(cur32, search_refs, fme)
+        mv = s["mv"]
+        cur_blocks = self._blockify(cur32)
+        pred_full = P.gather_predictions(mv, search_refs, self.bx, self.by, self.bs, fme, jnp)
+        res_full = cur_blocks - pred_full
+        if cfg.vbs_enable:
+            smv = s["sub_mv"]
+            pred_q = P.gather_predictions(
+                smv.reshape(-1, 3), search_refs, self.qx.reshape(-1), self.qy.reshape(-1), self.sbs, fme, jnp
+            ).reshape(self.nb, 4, self.sbs, self.sbs)
+            res_quads = self._quads_of(cur_blocks) - pred_q
+            sub_sad = s["sub_sad"]
+        else:
+            smv = jnp.zeros((self.nb, 4, 3), jnp.int32)
+            res_quads = jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
+            sub_sad = jnp.zeros((self.nb, 4), jnp.int32)
+        split, qtc_full, qtc_quads, size, mae_pb = self._transform_and_select(
+            res_full, res_quads, s["sad"], sub_sad, 1, row_qps,
+            ok_full=s.get("ok"), ok_quads=s.get("sub_ok"),
+        )
+        recon = self._recon_inter(search_refs, mv, split, smv, qtc_full, qtc_quads, row_qps, fme)
+        return {
+            "mv": mv, "split": split, "sub_mv": smv,
+            "qtc_full": qtc_full, "qtc_quads": qtc_quads,
+            "size": size, "recon": recon,
+            "mae": mae_pb.mean(),
+            "psnr": metrics.psnr_jax(orig, recon),
+        }
+
+    def _intra_step(self, cur, row_qps, orig):
+        cfg = self.cfg
+        work = cur.astype(jnp.int32)
+        if cfg.intra_mode == 1:
+            work = work.T
+        canvas_w = cfg.intra_canvas[1] if cfg.intra_mode == 0 else cfg.intra_canvas[0]
+        out = I.intra_search_mode0(work, self.bs, cfg.search_range, canvas_w, cfg.vbs_enable, jnp)
+        res_full, res_quads = I.intra_residuals_mode0(work, out["mv"], out.get("sub_mv"), self.bs, jnp)
+        if cfg.intra_mode == 1:
+            res_full = res_full.swapaxes(-1, -2)
+            res_quads = None if res_quads is None else res_quads.swapaxes(-1, -2)
+        if cfg.vbs_enable:
+            sub_sad = out["sub_sad"].reshape(self.nb, 4)
+            smv3 = out["sub_mv"].reshape(self.nb, 4)
+        else:
+            res_quads = jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
+            sub_sad = jnp.zeros((self.nb, 4), jnp.int32)
+            smv3 = jnp.zeros((self.nb, 4), jnp.int32)
+        split, qtc_full, qtc_quads, size, mae_pb = self._transform_and_select(
+            res_full, res_quads, out["sad"].reshape(-1), sub_sad, 0, row_qps
+        )
+        recon = self._recon_intra(out["mv"].reshape(-1), split, smv3, qtc_full, qtc_quads, row_qps)
+        return {
+            "mv": out["mv"].reshape(-1), "split": split, "sub_mv": smv3,
+            "qtc_full": qtc_full, "qtc_quads": qtc_quads,
+            "size": size, "recon": recon,
+            "mae": mae_pb.mean(),
+            "psnr": metrics.psnr_jax(orig, recon),
+        }
+
+    def _decode_inter_step(self, refs, mv, split, sub_mv, qtc_full, qtc_quads, row_qps, nref: int, initial_refs: bool):
+        pred_refs = self._prep_refs(refs, initial_refs)
+        return self._recon_inter(pred_refs, mv, split, sub_mv, qtc_full, qtc_quads, row_qps, self.cfg.fme_enable)
+
+    def _decode_intra_step(self, mv, split, sub_mv, qtc_full, qtc_quads, row_qps):
+        return self._recon_intra(mv, split, sub_mv, qtc_full, qtc_quads, row_qps)
+
+    # ------------------------------------------------------------ encode
+    def encode(self):
+        cfg = self.cfg
+        assert self.y is not None, "construct with y_frames to encode"
+        frames = []
+        ftypes = []
+        per_frame = []
+        refs = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)]
+        initial = True
+        for i in range(cfg.frames):
+            cur = jnp.asarray(self.y[i])
+            if i % cfg.intra_dur == 0 and cfg.parallel_mode != 1:
+                out = self._intra_step_j(cur, self.row_qps, cur)
+                ftype = 0
+            else:
+                if cfg.parallel_mode in (1, 3):
+                    use, use_initial = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)], True
+                else:
+                    use, use_initial = refs, initial
+                out = self._inter_step_j(cur, jnp.stack(use), self.row_qps, cur, nref=len(use), initial_refs=use_initial)
+                ftype = 1
+                if cfg.rc_flag is not None and cfg.rc_flag > 1 and int(out["size"]) > cfg.intra_thresh:
+                    out = self._intra_step_j(cur, self.row_qps, cur)
+                    ftype = 0
+            ftypes.append(ftype)
+            per_frame.append(out)
+            frames.append(out["recon"])
+            if i < cfg.frames - 1:
+                if ftype == 0:
+                    refs = []
+                if len(refs) >= cfg.n_ref_frames:
+                    refs.pop(0)
+                refs.append(out["recon"])
+                initial = False
+        package = {
+            "block size": self.bs,
+            "num frames": cfg.frames,
+            "height in pixels": self.h,
+            "width in pixels": self.w,
+            "search range": cfg.search_range,
+            "PSNR per frame": [float(o["psnr"]) for o in per_frame],
+            "MAE per Frame": [float(o["mae"]) for o in per_frame],
+            "frame_type_seq": ftypes,
+            "Qp_per_row_per_frame": [
+                list(np.asarray(self.row_qps)) if cfg.rc_active else [] for _ in range(cfg.frames)
+            ],
+            "residual size per frame": [int(o["size"]) for o in per_frame],
+            "reconstructed frames": np.stack([np.asarray(f) for f in frames]),
+            "MVS per Frame": [self._mvs_to_list(o, ft) for o, ft in zip(per_frame, ftypes)],
+            "approx residual": [self._res_to_list(o) for o in per_frame],
+        }
+        return package
+
+    # ------------------------------------------------------------ decode
+    def decode(self, frame_types, residuals_per_frame, qp_rows_per_frame, mvs_per_frame):
+        """In-memory decode of list-structured packages (same interchange
+        structures as the compat engine / bitstream module)."""
+        cfg = self.cfg
+        out_frames = []
+        refs = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)]
+        initial = True
+        for i in range(cfg.frames):
+            mv, split, smv = self._list_to_mvs(mvs_per_frame[i], frame_types[i])
+            qf, qq = self._list_to_res(residuals_per_frame[i])
+            row_qps = (
+                jnp.asarray(np.asarray(qp_rows_per_frame[i], dtype=np.int32))
+                if cfg.rc_active and len(qp_rows_per_frame[i])
+                else jnp.full(self.nbr, cfg.qp, dtype=jnp.int32)
+            )
+            if cfg.parallel_mode == 1:
+                f = self._dec_inter_j(
+                    jnp.stack([jnp.full((self.h, self.w), 128, dtype=jnp.uint8)]),
+                    mv, split, smv, qf, qq, row_qps, nref=1, initial_refs=True,
+                )
+                out_frames.append(np.asarray(f))
+                continue
+            if frame_types[i] == 0:
+                f = self._dec_intra_j(mv[:, 0] if mv.ndim == 2 else mv, split, smv[:, :, 0] if smv.ndim == 3 else smv, qf, qq, row_qps)
+                refs = []
+            else:
+                if cfg.parallel_mode == 3:
+                    use, use_init = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)], True
+                else:
+                    use, use_init = refs, initial
+                f = self._dec_inter_j(jnp.stack(use), mv, split, smv, qf, qq, row_qps, nref=len(use), initial_refs=use_init)
+            out_frames.append(np.asarray(f))
+            if i < cfg.frames - 1:
+                if len(refs) >= cfg.n_ref_frames:
+                    refs.pop(0)
+                refs.append(jnp.asarray(out_frames[-1]))
+                initial = False
+        return out_frames
+
+    # ----------------------------------------------- interchange helpers
+    def _mvs_to_list(self, out, ftype):
+        mv = np.asarray(out["mv"])
+        split = np.asarray(out["split"])
+        smv = np.asarray(out["sub_mv"])
+        res = []
+        for i in range(self.nb):
+            if split[i]:
+                if ftype == 0:
+                    res.append((1, [int(smv[i, q]) for q in range(4)]))
+                else:
+                    res.append((1, [tuple(int(v) for v in smv[i, q]) for q in range(4)]))
+            else:
+                if ftype == 0:
+                    res.append((0, int(mv[i]) if mv.ndim == 1 else int(mv[i, 0])))
+                else:
+                    res.append((0, tuple(int(v) for v in mv[i])))
+        return res
+
+    def _res_to_list(self, out):
+        qf = np.asarray(out["qtc_full"])
+        qq = np.asarray(out["qtc_quads"])
+        split = np.asarray(out["split"])
+        res = []
+        for i in range(self.nb):
+            if split[i]:
+                res.append((1, [qq[i, q] for q in range(4)]))
+            else:
+                res.append((0, qf[i]))
+        return res
+
+    def _list_to_mvs(self, mvs_list, ftype):
+        if ftype == 0:
+            mv = np.zeros(self.nb, dtype=np.int32)
+            smv = np.zeros((self.nb, 4), dtype=np.int32)
+        else:
+            mv = np.zeros((self.nb, 3), dtype=np.int32)
+            smv = np.zeros((self.nb, 4, 3), dtype=np.int32)
+        split = np.zeros(self.nb, dtype=bool)
+        for i, (sp, m) in enumerate(mvs_list):
+            if sp == 0:
+                mv[i] = m
+            else:
+                split[i] = True
+                smv[i] = np.asarray(m)
+        return jnp.asarray(mv), jnp.asarray(split), jnp.asarray(smv)
+
+    def _list_to_res(self, res_list):
+        qf = np.zeros((self.nb, self.bs, self.bs), dtype=np.int32)
+        qq = np.zeros((self.nb, 4, self.sbs, self.sbs), dtype=np.int32)
+        for i, (sp, r) in enumerate(res_list):
+            if sp == 0:
+                qf[i] = np.asarray(r)
+            else:
+                qq[i] = np.stack([np.asarray(x) for x in r])
+        return jnp.asarray(qf), jnp.asarray(qq)

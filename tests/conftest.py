@@ -14,6 +14,15 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+try:  # persistent XLA compile cache: native-engine tests are compile-heavy
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 REPO = Path(__file__).resolve().parent.parent
 REFERENCE = Path("/root/reference")
 

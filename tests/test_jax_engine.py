@@ -1,0 +1,143 @@
+"""Native JAX engine tests: self-consistency (encode->decode exact round
+trip), agreement with the compat engine on search decisions, and quality
+parity within transform tolerance."""
+import numpy as np
+import pytest
+
+from streamoptima_tpu import bitstream as BS
+from streamoptima_tpu.compat_engine import CompatCodec
+from streamoptima_tpu.config import CodecConfig
+from streamoptima_tpu.jax_engine import JaxCodec
+
+from conftest import smooth_clip, synthetic_clip
+
+FLAG_SETS = [
+    ("plain", dict()),
+    ("vbs", dict(vbs_enable=True)),
+    ("fme", dict(fme_enable=True)),
+    ("vbs_fme", dict(vbs_enable=True, fme_enable=True)),
+    ("fast", dict(fast_me=True)),
+    ("fast_fme_vbs", dict(fast_me=True, fme_enable=True, vbs_enable=True)),
+]
+
+TEST_TABLES = [
+    [9000, 4000, 2000, 1100, 800, 600, 450, 350, 280, 230, 200, 180],
+    [8000, 3500, 1800, 1000, 700, 500, 400, 300, 250, 210, 190, 170],
+]
+
+
+def make_cfg(h, w, frames, engine, **kw):
+    base = dict(height=h, width=w, frames=frames, block_size=16, search_range=3,
+                qp=4, intra_dur=3, intra_mode=0, lam=0.015, engine=engine)
+    base.update(kw)
+    return CodecConfig(**base)
+
+
+@pytest.mark.parametrize("name,flags", FLAG_SETS)
+def test_roundtrip_and_compat_agreement(name, flags):
+    h, w, frames = 64, 64, 3
+    y = smooth_clip(h, w, frames)
+    cfg_j = make_cfg(h, w, frames, "jax", **flags)
+    cj = JaxCodec(cfg_j, y)
+    pkg = cj.encode()
+    # self-consistency: decode(package) == in-loop reconstructions
+    dec = cj.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                    pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i in range(frames):
+        assert np.array_equal(dec[i], pkg["reconstructed frames"][i]), (name, i)
+
+    cfg_c = make_cfg(h, w, frames, "compat", **flags)
+    cc = CompatCodec(cfg_c, y)
+    pkg_c = cc.encode()
+    assert pkg["frame_type_seq"] == list(pkg_c["frame_type_seq"])
+    # full-search MVs are transform-independent -> must match compat exactly
+    if not flags.get("fast_me"):
+        for i in range(frames):
+            for j, ((sa, ma), (sb, mb)) in enumerate(zip(pkg["MVS per Frame"][i], pkg_c["MVS per Frame"][i])):
+                if sa == 0 == sb:
+                    assert tuple(np.atleast_1d(ma)) == tuple(np.atleast_1d(mb)), (name, i, j)
+    # quality parity: tight for full search; fast-ME RD decisions legitimately
+    # differ (native fixes quirk K6: real SADs instead of zeros in RD), and
+    # native fixes quirk K18 (consistent FME bounds), so allow headroom but
+    # never a material regression
+    tol = 1.5 if flags.get("fast_me") else 0.35
+    for a, b in zip(pkg["PSNR per frame"], pkg_c["PSNR per frame"]):
+        assert a > b - tol, (name, pkg["PSNR per frame"], pkg_c["PSNR per frame"])
+
+
+def test_bitstream_roundtrip_jax(tmp_path):
+    h, w, frames = 64, 64, 3
+    y = synthetic_clip(h, w, frames)
+    cfg = make_cfg(h, w, frames, "jax", vbs_enable=True, fme_enable=True)
+    cj = JaxCodec(cfg, y)
+    pkg = cj.encode()
+    BS.write_bitstream(tmp_path / "mv.txt", tmp_path / "res.txt", pkg["frame_type_seq"],
+                       pkg["MVS per Frame"], pkg["Qp_per_row_per_frame"], pkg["approx residual"], cfg)
+    fts, mvs, qps, res = BS.read_bitstream(tmp_path / "mv.txt", tmp_path / "res.txt", cfg)
+    dec = cj.decode(fts, res, qps, mvs)
+    for i in range(frames):
+        assert np.array_equal(dec[i], pkg["reconstructed frames"][i]), i
+
+
+def test_rc_and_promotion():
+    h, w, frames = 64, 64, 4
+    y = synthetic_clip(h, w, frames)
+    cfg = make_cfg(h, w, frames, "jax", rc_flag=2, target_br="150 kbps",
+                   qp_rate_tables=TEST_TABLES, intra_thresh=100, intra_dur=4)
+    cj = JaxCodec(cfg, y)
+    pkg = cj.encode()
+    # tiny threshold forces promotion: all frames intra
+    assert pkg["frame_type_seq"] == [0, 0, 0, 0]
+    dec = cj.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                    pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i in range(frames):
+        assert np.array_equal(dec[i], pkg["reconstructed frames"][i])
+
+
+def test_intra_mode1_native():
+    h, w, frames = 48, 64, 2
+    y = smooth_clip(h, w, frames)
+    cfg = make_cfg(h, w, frames, "jax", intra_mode=1, intra_dur=1)
+    cj = JaxCodec(cfg, y)
+    pkg = cj.encode()
+    assert pkg["frame_type_seq"] == [0, 0]
+    assert all(p > 20 for p in pkg["PSNR per frame"])
+    dec = cj.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                    pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i in range(frames):
+        assert np.array_equal(dec[i], pkg["reconstructed frames"][i])
+
+
+def test_roi_qp_map():
+    h, w, frames = 64, 64, 2
+    y = synthetic_clip(h, w, frames)
+    roi = np.zeros((4, 4), dtype=np.int32)
+    roi[:2, :2] = -3  # higher quality top-left quadrant
+    cfg = make_cfg(h, w, frames, "jax", roi_qp_map=roi, qp=6)
+    cj = JaxCodec(cfg, y)
+    pkg = cj.encode()
+    dec = cj.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                    pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i in range(frames):
+        assert np.array_equal(dec[i], pkg["reconstructed frames"][i])
+    # ROI region must be higher fidelity than the rest on the intra frame
+    rec = pkg["reconstructed frames"][0].astype(np.int64)
+    src = y[0].astype(np.int64)
+    mse_roi = ((rec - src)[:32, :32] ** 2).mean()
+    mse_rest = ((rec - src)[32:, 32:] ** 2).mean()
+    assert mse_roi < mse_rest
+
+
+def test_nref_multi():
+    h, w, frames = 64, 64, 4
+    y = smooth_clip(h, w, frames)
+    cfg = make_cfg(h, w, frames, "jax", n_ref_frames=2, intra_dur=4)
+    cj = JaxCodec(cfg, y)
+    pkg = cj.encode()
+    dec = cj.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                    pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i in range(frames):
+        assert np.array_equal(dec[i], pkg["reconstructed frames"][i]), i
+    # at least one block should reference the older frame at some point
+    refs_used = {mv[1][2] for f in pkg["MVS per Frame"][2:] for mv in f if mv[0] == 0}
+    assert 0 in refs_used  # sanity; index 1 may or may not appear
