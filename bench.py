@@ -1,0 +1,92 @@
+"""Headline benchmark: 720p YUV encode frames/sec on one chip.
+
+Config = BASELINE.json config #2 (IPPP, full-search ME sr=+-8, block 16) on a
+synthetic 1280x720 clip.  ``vs_baseline`` is the speedup over the NumPy
+reference encoder, whose throughput was measured on this host by
+``benchmarks/measure_reference.py`` (recorded in
+benchmarks/reference_baseline.json; the reference cannot intra-code beyond
+CIF — see that file's docstring — so its 720p number is its P-frame rate,
+which flatters it).
+
+Prints ONE json line:
+  {"metric": "720p_encode_fps", "value": N, "unit": "frames/s", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+from streamoptima_tpu.config import CodecConfig  # noqa: E402
+from streamoptima_tpu.jax_engine import JaxCodec  # noqa: E402
+from streamoptima_tpu.utils import synthetic_clip  # noqa: E402
+
+H, W, FRAMES = 720, 1280, 32
+BS, SR, QP, INTRA_DUR = 16, 8, 4, 8
+
+
+def main():
+    import jax
+
+    try:  # persistent compile cache: 720p TPU compiles take ~2 min cold
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from streamoptima_tpu.parallel import ShardedCodec, make_mesh
+
+    clip = synthetic_clip(H, W, FRAMES)
+    cfg = CodecConfig(height=H, width=W, frames=FRAMES, block_size=BS, search_range=SR,
+                      qp=QP, intra_dur=INTRA_DUR, lam=0.015)
+    # single-chip GOP-scan encoder: the whole GOP (intra + lax.scan over inter
+    # frames) is ONE device program, so per-frame dispatch overhead vanishes
+    mesh = make_mesh(cfg, devices=jax.devices()[:1])
+    codec = ShardedCodec(cfg, mesh, clip)
+
+    # warmup: compile the GOP program + move the clip-shaped batch once
+    warm = jax.numpy.asarray(clip[None, :INTRA_DUR])
+    jax.block_until_ready(codec._encode_j(warm, codec._row_qps, codec._roi))
+
+    t0 = time.perf_counter()
+    pkg = codec.encode(fetch="light")  # device pipeline + recon/size/PSNR fetch
+    # (the reference's timed scope is likewise its per-frame flows, not the
+    # text-file serialization)
+    elapsed = time.perf_counter() - t0
+    fps = FRAMES / elapsed
+
+    base_path = REPO / "benchmarks" / "reference_baseline.json"
+    vs = None
+    if base_path.exists():
+        base = json.loads(base_path.read_text())
+        ref_fps = base["p720_inter"]["fps"]
+        vs = fps / ref_fps
+    psnr = float(np.mean(pkg["PSNR per frame"]))
+    print(
+        json.dumps(
+            {
+                "metric": "720p_encode_fps",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 1) if vs is not None else None,
+                "detail": {
+                    "device": str(jax.devices()[0].platform),
+                    "frames": FRAMES,
+                    "elapsed_s": round(elapsed, 3),
+                    "mean_psnr_db": round(psnr, 2),
+                    "config": f"IPPP bs={BS} sr={SR} qp={QP} gop={INTRA_DUR}",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

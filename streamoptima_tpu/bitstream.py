@@ -151,6 +151,49 @@ def encode_residual_frame(residuals, block_size: int, numpy_repr: bool) -> str:
     return "".join(out)
 
 
+def encode_residual_frame_arrays(qtc_full, qtc_quads, split, numpy_repr: bool) -> str:
+    """Residual line straight from device-shaped arrays (qtc_full (nb,bs,bs),
+    qtc_quads (nb,4,sbs,sbs), split (nb,)) — C++ fast path when available
+    (streamoptima_tpu/native), byte-identical Python fallback otherwise."""
+    from streamoptima_tpu import native
+
+    line = native.encode_residual_line(qtc_full, qtc_quads, split, numpy_repr)
+    if line is not None:
+        return line
+    qf = np.asarray(qtc_full)
+    qq = np.asarray(qtc_quads)
+    sp = np.asarray(split)
+    residuals = [
+        (1, [qq[i, q] for q in range(4)]) if sp[i] else (0, qf[i]) for i in range(qf.shape[0])
+    ]
+    return encode_residual_frame(residuals, qf.shape[-1], numpy_repr)
+
+
+def write_bitstream_arrays(path_mv, path_res, frame_types, per_frame, qp_per_row_per_frame, cfg, raw_mv_path=None):
+    """transmit_bitstream twin that consumes the native engine's device-array
+    package (``encode(package=False)``) directly — no list interchange, C++
+    serialization for the residual lines."""
+    from streamoptima_tpu import jax_engine
+
+    nb = cfg.n_blocks
+    with open(path_mv, "w") as fm, open(path_res, "w") as fr:
+        for i, out in enumerate(per_frame):
+            ft = int(frame_types[i])
+            mvs = jax_engine.mvs_to_list(out, ft, nb)
+            fm.write(
+                str(ft) + "|" + encode_mv_frame(ft, mvs, qp_per_row_per_frame[i], cfg.rc_active, cfg.blocks_per_row) + "\n"
+            )
+            fr.write(
+                encode_residual_frame_arrays(out["qtc_full"], out["qtc_quads"], out["split"], cfg.bitstream_numpy_repr)
+                + "\n"
+            )
+    if raw_mv_path is not None:
+        with open(raw_mv_path, "w") as f:
+            for i, out in enumerate(per_frame):
+                ft = int(frame_types[i])
+                f.write(str(ft) + "|" + str(jax_engine.mvs_to_list(out, ft, nb)) + "\n")
+
+
 def decode_residual_frame(line: str, block_size: int):
     """Twin of entropy_decoder_frame (decoder.py:651-670)."""
     out = []

@@ -64,6 +64,10 @@ class CodecConfig:
     two_pass: bool = False
     # devices for multi-chip sharding (parallel/ modes); None => single chip
     mesh_devices: Any = None
+    # full-search kernel: "materialized" (candidate maps + argmin; lower
+    # serial latency on TPU) or "fused" (streaming reduction, no candidate
+    # map in HBM).  Bit-identical results (core/me.py).
+    me_search: str = "materialized"
 
     def __post_init__(self) -> None:
         if self.height % self.block_size or self.width % self.block_size:
@@ -75,6 +79,15 @@ class CodecConfig:
             raise ValueError("intra_mode must be 0 (horizontal) or 1 (vertical)")
         if self.engine not in ("jax", "compat"):
             raise ValueError("engine must be 'jax' or 'compat'")
+        if self.me_search not in ("materialized", "fused"):
+            raise ValueError("me_search must be 'materialized' or 'fused'")
+        if self.two_pass:
+            if self.engine != "jax":
+                raise ValueError("two_pass is a native-engine feature (the reference only gathers "
+                                 "first-pass stats and discards them, Encoder.py:1627-1639)")
+            if not (self.rc_flag is not None and self.rc_flag > 0 and self.target_br is not None
+                    and self.qp_rate_tables is not None):
+                raise ValueError("two_pass requires rate control (rc_flag>0, target_br, qp_rate_tables)")
 
     # ------------------------------------------------------------------ API
     @property

@@ -69,15 +69,19 @@ def fme_upsample(frame, xp, wrap_row_pass: bool | None = None):
     return out
 
 
-def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp):
+def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp, row_offset=0):
     """SAD tables at sub-block granularity for every displacement.
 
     cur: (h, w) current frame (int); ref: (H, W) reference frame (int; the FME
     upsampled frame when stride == 2).  Displacements d in [-sr, sr] are in
     ref-grid units (half-pel when stride == 2).  Block (bi, bj) covers cur
     rows [bi*sub_bs, ...); its window in ref starts at
-    (stride*bi*sub_bs + dy, stride*bj*sub_bs + dx) with ``stride`` row/col
-    step.
+    (stride*bi*sub_bs + dy + row_offset, stride*bj*sub_bs + dx) with
+    ``stride`` row/col step.
+
+    ``row_offset`` (ref-grid units, may be traced) supports row-sharded
+    multi-chip tiles: ``cur`` holds pixel rows [y0, y0+h) of the frame while
+    ``ref`` is the full-height reference, with row_offset = stride*y0.
 
     Returns (ndy, ndx, nbr, nbc) int32 where entry [dyi, dxi, bi, bj] is the
     SAD; out-of-frame windows contribute garbage and MUST be masked by the
@@ -97,7 +101,7 @@ def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp):
     if xp is np:
 
         def one_dy(dy):
-            row_idx = stride * np.arange(h) + dy + pad
+            row_idx = stride * np.arange(h) + dy + pad + row_offset
             rows = rp[row_idx, :]  # (h, Wp)
             col_idx = stride * np.arange(w)[None, :] + np.arange(nd)[:, None] - sr + pad  # (nd, w)
             win = rows[:, col_idx]  # (h, nd, w)
@@ -110,22 +114,210 @@ def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp):
     import jax
     from jax import lax
 
-    # serial over dy (lax.map), fully vectorized over dx per step: one gather
-    # builds (h, ndx, w) int16 windows which XLA fuses into the blocked
-    # reduction (block sums <= 255*sub_bs^2 <= 16320 fit int16 for sub_bs<=8)
+    # serial over dy (lax.map), static unroll over dx per step: each dx is a
+    # static column slice of the row band (an XLA view, no gather), so the
+    # abs-diff + blocked reduction fuse into one VPU pass per dx.  Block sums
+    # <= 255*sub_bs^2 <= 16320 fit int16 for sub_bs <= 8.  (An MXU 0/1-
+    # aggregation matmul form was tried and rejected: the TPU accumulates
+    # bf16 matmuls in reduced precision regardless of preferred_element_type,
+    # breaking bit-exactness — measured max error 8 on 8x8 block sums.)
     c16 = cur.astype(xp.int16)
     rp16 = rp.astype(xp.int16)
     sum_dtype = xp.int16 if sub_bs <= 8 else xp.int32
-    col_idx = stride * xp.arange(w)[None, :] + xp.arange(nd)[:, None] + pad - sr  # (nd, w)
 
     def one_dy_jax(dy):
-        rows = lax.dynamic_slice_in_dim(rp16, pad + dy, stride * (h - 1) + 1, axis=0)[::stride]  # (h, Wp)
-        win = rows[:, col_idx]  # (h, nd, w)
-        diff = abs(win - c16[:, None, :])
-        s = diff.reshape(nbr, sub_bs, nd, nbc, sub_bs).astype(sum_dtype).sum(axis=(1, 4))
-        return s.transpose(1, 0, 2).astype(xp.int32)  # (nd, nbr, nbc)
+        rows = lax.dynamic_slice_in_dim(rp16, pad + dy + row_offset, stride * (h - 1) + 1, axis=0)[::stride]  # (h, Wp)
+        outs = []
+        for dxi in range(nd):
+            if stride == 1:
+                win = rows[:, dxi + pad - sr : dxi + pad - sr + w]
+            else:
+                win = rows[:, dxi + pad - sr : dxi + pad - sr + stride * (w - 1) + 1 : stride]
+            diff = abs(win - c16)
+            s = diff.reshape(nbr, sub_bs, nbc, sub_bs).astype(sum_dtype).sum(axis=(1, 3))
+            outs.append(s)
+        return xp.stack(outs).astype(xp.int32)  # (nd, nbr, nbc)
 
     return jax.lax.map(one_dy_jax, xp.arange(-sr, sr + 1))  # (ndy, ndx, nbr, nbc)
+
+
+def full_search_materialized(cur, refs, sr: int, bs: int, sub_bs: int, stride: int, fme: bool,
+                             vbs: bool, xp, row_offset=0, nvalid=None):
+    """Full search via materialized candidate maps + exact-tie-break argmin.
+
+    Same contract and bit-identical results as full_search_fused; the
+    materialized form has lower serial latency on TPU (measured 37 vs 55
+    ms/frame at 720p), the fused form avoids the (ndy, ndx, nbr2, nbc2)
+    intermediate.  Works for NumPy (oracle) and JAX backends.
+    """
+    h, w = cur.shape
+    nref, H, W = refs.shape
+    nd = 2 * sr + 1
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    nbr2, nbc2 = h // sub_bs, w // sub_bs
+    if xp is np:
+        maps = np.stack([sad_maps(cur, refs[i], sr, sub_bs, stride, np, row_offset) for i in range(nref)])
+    else:
+        import jax
+
+        maps = jax.vmap(lambda r: sad_maps(cur, r, sr, sub_bs, stride, xp, row_offset))(refs)
+    full = maps.reshape(nref, nd, nd, nbr2 // 2, 2, nbc2 // 2, 2).sum(axis=(4, 6)).reshape(nref, nd, nd, -1)
+    bxs = xp.asarray(np.tile(np.arange(nbc) * bs, nbr)) * stride
+    bys = xp.asarray(np.repeat(np.arange(nbr) * bs, nbc)) * stride + row_offset
+    vm = candidate_valid_mask(bxs, bys, sr, bs, H, W, fme, xp)
+    rv_shape = (nref, 1, 1, 1)
+    rv = (xp.arange(nref) < (nref if nvalid is None else nvalid)).reshape(rv_shape)
+    mv, sad, ok = argmin_displacement(full, xp.broadcast_to(vm[None] & rv, full.shape), sr, True, xp)
+    out = {"mv": mv, "sad": sad, "ok": ok}
+    if vbs:
+        qxs = xp.asarray(np.tile(np.arange(nbc2) * sub_bs, nbr2)) * stride
+        qys = xp.asarray(np.repeat(np.arange(nbr2) * sub_bs, nbc2)) * stride + row_offset
+        sub = maps.reshape(nref, nd, nd, -1)
+        vs = candidate_valid_mask(qxs, qys, sr, sub_bs, H, W, fme, xp)
+        smv, ssad, sok = argmin_displacement(sub, xp.broadcast_to(vs[None] & rv, sub.shape), sr, True, xp)
+
+        # sub arrays are in (nbr2, nbc2) raster; regroup into per-block quads
+        def regroup(a, tail):
+            a = a.reshape((nbr, 2, nbc, 2) + tail)
+            if xp is np:
+                a = a.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(tail))))
+            else:
+                a = xp.transpose(a, (0, 2, 1, 3) + tuple(range(4, 4 + len(tail))))
+            return a.reshape((nb, 4) + tail)
+
+        out["sub_mv"] = regroup(smv, (3,))
+        out["sub_sad"] = regroup(ssad, ())
+        out["sub_ok"] = regroup(sok, ())
+    return out
+
+
+def full_search_fused(cur, refs, sr: int, bs: int, sub_bs: int, stride: int, fme: bool,
+                      vbs: bool, xp, row_offset=0, nvalid=None):
+    """Streaming full search: SAD generation and winner selection in one pass.
+
+    Functionally identical to sad_maps + candidate_valid_mask +
+    argmin_displacement (the winner is the lexicographic min of
+    (SAD, L1, ref, dx_idx, dy_idx) over valid candidates) but folds the
+    reduction into the dy scan: no (ndy, ndx, nbr, nbc) intermediate is
+    materialized — XLA otherwise re-reads that buffer across the two argmin
+    passes, which dominates the 720p frame step.
+
+    cur: (h, w) int local band; refs: (nref, H, W) int full-height reference
+    stack (FME-upsampled when stride == 2); sr in ref-grid units;
+    row_offset = stride * y0 for row-sharded tiles (may be traced);
+    nvalid (traced int) masks refs[i >= nvalid] (reference FIFO warm-up).
+
+    Returns dict mv (nb, 3) [dx, dy, ref], sad (nb,), ok (nb,) — plus
+    sub_mv (nb, 4, 3), sub_sad, sub_ok when ``vbs``.  The NumPy path
+    delegates to the materializing pipeline (golden-test oracle).
+    """
+    h, w = cur.shape
+    nref, H, W = refs.shape
+    nd = 2 * sr + 1
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+
+    if xp is np:  # oracle path: materialize + argmin (bit-identical result)
+        return full_search_materialized(cur, refs, sr, bs, sub_bs, stride, fme, vbs, np,
+                                        row_offset=row_offset, nvalid=nvalid)
+
+    import jax
+    from jax import lax
+
+    nbr2, nbc2 = h // sub_bs, w // sub_bs
+    pad = sr + stride * sub_bs + 2
+    c16 = cur.astype(xp.int16)
+    sum_dtype = xp.int16 if sub_bs <= 8 else xp.int32
+
+    d = xp.arange(nd) - sr  # displacement values per index
+    # per-axis validity, precomputed for all (index, coordinate) pairs
+    bx = xp.asarray(np.arange(nbc) * bs) * stride
+    by = xp.asarray(np.arange(nbr) * bs) * stride + row_offset
+    px = bx[None, :] + d[:, None]  # (nd, nbc)
+    py = by[None, :] + d[:, None]  # (nd, nbr)
+    okx_f = (px >= 0) & (px < W - bs)
+    oky_f = (py >= 0) & (py < H - bs)
+    if fme:
+        okx_f &= (px + 2 * bs >= 0) & (px + 2 * bs < W - bs)
+        oky_f &= (py + 2 * bs >= 0) & (py + 2 * bs < H - bs)
+    if vbs:
+        qx = xp.asarray(np.arange(nbc2) * sub_bs) * stride
+        qy = xp.asarray(np.arange(nbr2) * sub_bs) * stride + row_offset
+        pxq = qx[None, :] + d[:, None]
+        pyq = qy[None, :] + d[:, None]
+        okx_q = (pxq >= 0) & (pxq < W - sub_bs)
+        oky_q = (pyq >= 0) & (pyq < H - sub_bs)
+        if fme:
+            okx_q &= (pxq + 2 * sub_bs >= 0) & (pxq + 2 * sub_bs < W - sub_bs)
+            oky_q &= (pyq + 2 * sub_bs >= 0) & (pyq + 2 * sub_bs < H - sub_bs)
+
+    l1 = abs(d)[:, None] + abs(d)[None, :]  # (ndy, ndx)
+
+    carry = {
+        "sad": xp.full((nb,), _INF32, xp.int32),
+        "sec": xp.full((nb,), _INF32, xp.int32),
+    }
+    if vbs:
+        carry["q_sad"] = xp.full((nb, 4), _INF32, xp.int32)
+        carry["q_sec"] = xp.full((nb, 4), _INF32, xp.int32)
+
+    def lex_update(best_sad, best_sec, cand, sec):
+        better = (cand < best_sad) | ((cand == best_sad) & (cand != _INF32) & (sec < best_sec))
+        return xp.where(better, cand, best_sad), xp.where(better, sec, best_sec)
+
+    for refi in range(nref):
+        rp16 = xp.pad(refs[refi].astype(xp.int16), pad)
+        rv_ok = True if nvalid is None else refi < nvalid
+
+        def body(c, dyi):
+            dy = dyi - sr
+            rows = lax.dynamic_slice_in_dim(
+                rp16, pad + dy + row_offset, stride * (h - 1) + 1, axis=0
+            )[::stride]
+            for dxi in range(nd):
+                if stride == 1:
+                    win = rows[:, dxi + pad - sr : dxi + pad - sr + w]
+                else:
+                    win = rows[:, dxi + pad - sr : dxi + pad - sr + stride * (w - 1) + 1 : stride]
+                diff = abs(win - c16)
+                ss = diff.reshape(nbr2, sub_bs, nbc2, sub_bs).astype(sum_dtype).sum(axis=(1, 3)).astype(xp.int32)
+                fs = ss.reshape(nbr, 2, nbc, 2).sum(axis=(1, 3)).reshape(-1)  # (nb,)
+                sec = ((((l1[dyi, dxi].astype(xp.int32) << 3) | refi) << 8 | dxi) << 8) | dyi
+                vf = (oky_f[dyi][:, None] & okx_f[dxi][None, :]).reshape(-1) & rv_ok
+                c["sad"], c["sec"] = lex_update(c["sad"], c["sec"], xp.where(vf, fs, _INF32), sec)
+                if vbs:
+                    qs = ss.reshape(nbr, 2, nbc, 2).transpose(0, 2, 1, 3).reshape(nb, 4)
+                    vq = (
+                        oky_q[dyi].reshape(nbr, 2)[:, None, :, None]
+                        & okx_q[dxi].reshape(nbc, 2)[None, :, None, :]
+                    ).reshape(nb, 4) & rv_ok
+                    c["q_sad"], c["q_sec"] = lex_update(
+                        c["q_sad"], c["q_sec"], xp.where(vq, qs, _INF32), sec
+                    )
+            return c, None
+
+        carry, _ = lax.scan(body, carry, xp.arange(nd))
+
+    def unpack(sad, sec):
+        ok = sad != _INF32
+        wdy = (sec & 0xFF) - sr
+        wdx = ((sec >> 8) & 0xFF) - sr
+        wref = (sec >> 16) & 0x7
+        zero = xp.zeros_like(wdx)
+        mv = xp.stack(
+            [xp.where(ok, wdx, zero), xp.where(ok, wdy, zero), xp.where(ok, wref, zero)], axis=-1
+        ).astype(xp.int32)
+        return mv, sad.astype(xp.int32), ok
+
+    mv, sad, ok = unpack(carry["sad"], carry["sec"])
+    out = {"mv": mv, "sad": sad, "ok": ok}
+    if vbs:
+        smv, ssad, sok = unpack(carry["q_sad"].reshape(-1), carry["q_sec"].reshape(-1))
+        out["sub_mv"] = smv.reshape(nb, 4, 3)
+        out["sub_sad"] = ssad.reshape(nb, 4)
+        out["sub_ok"] = sok.reshape(nb, 4)
+    return out
 
 
 def _arange(xp, n):
@@ -174,11 +366,12 @@ def argmin_displacement(sads, valid, sr: int, ref_axis: bool, xp):
     # secondary key: (L1, ref, dx_idx, dy_idx) -- 8+3+8+8 bits (sr <= 64 grid)
     sec = (((l1.astype(xp.int32) << 3 | refi) << 8 | dxi) << 8 | dyi)  # (nref, ndy, ndx)
     sads_m = xp.where(valid, sads, _INF32)
-    flat = sads_m.reshape(nref * ndy * ndx, nb)
-    best_sad = flat.min(axis=0)
-    sec_b = xp.broadcast_to(sec[..., None], sads.shape).reshape(nref * ndy * ndx, nb)
-    sec_m = xp.where((flat == best_sad[None, :]) & (flat != _INF32), sec_b, _INF32)
-    win = sec_m.min(axis=0)
+    # candidate axis last: minor-axis reductions are the VPU-native layout
+    flat = sads_m.reshape(nref * ndy * ndx, nb).T  # (nb, ncand)
+    best_sad = flat.min(axis=-1)
+    sec_b = xp.broadcast_to(sec[..., None], sads.shape).reshape(nref * ndy * ndx, nb).T
+    sec_m = xp.where((flat == best_sad[:, None]) & (flat != _INF32), sec_b, _INF32)
+    win = sec_m.min(axis=-1)
     any_valid = win != _INF32
     wdy = (win & 0xFF) - sr
     wdx = ((win >> 8) & 0xFF) - sr

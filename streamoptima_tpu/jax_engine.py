@@ -33,6 +33,7 @@ from streamoptima_tpu.config import CodecConfig
 from streamoptima_tpu.core import intra as I
 from streamoptima_tpu.core import me as M
 from streamoptima_tpu.core import pred as P
+from streamoptima_tpu.core import rd
 from streamoptima_tpu.core.quant import quantize, rescale
 from streamoptima_tpu.core.transform import dct2_int, idct2_int
 from streamoptima_tpu.core.zigzag import rle_length
@@ -50,6 +51,9 @@ class JaxCodec:
         assert not cfg.compat
         self.cfg = cfg
         self.y = None if y_frames is None else np.asarray(y_frames, dtype=np.uint8)
+        # clip uploaded to HBM once; per-frame device slices avoid a host->
+        # device round trip per frame (transfers dominate on tunneled chips)
+        self._y_dev = None if self.y is None else jax.device_put(self.y)
         self.h, self.w = cfg.height, cfg.width
         self.bs = cfg.block_size
         self.sbs = cfg.sub_block_size
@@ -107,27 +111,14 @@ class JaxCodec:
 
     # ------------------------------------------------------------- search
     def _full_search(self, cur32, search_refs, fme):
+        """Materializing SAD search: MXU-matmul candidate maps (sad_maps) +
+        exact-tie-break argmin.  full_search_fused computes the same result
+        with a streaming reduction; the materializing form has lower serial
+        latency on TPU (measured), so it is the single-chip default."""
         cfg = self.cfg
         sr = cfg.search_range * 2 if fme else cfg.search_range
-        scale = 2 if fme else 1
-        H, W = search_refs.shape[-2:]
-        maps = jax.vmap(lambda r: M.sad_maps(cur32, r, sr, self.sbs, scale, jnp))(search_refs)
-        nref, ndy, ndx, nbr2, nbc2 = maps.shape
-        full = maps.reshape(nref, ndy, ndx, nbr2 // 2, 2, nbc2 // 2, 2).sum(axis=(4, 6)).reshape(nref, ndy, ndx, -1)
-        vmask = M.candidate_valid_mask(self.bx * scale, self.by * scale, sr, self.bs, H, W, fme, jnp)
-        mv, sad, ok = M.argmin_displacement(full, jnp.broadcast_to(vmask, full.shape), sr, True, jnp)
-        out = {"mv": mv, "sad": sad, "ok": ok}
-        if cfg.vbs_enable:
-            qidx = (self.qy // self.sbs) * nbc2 + (self.qx // self.sbs)  # (nb, 4)
-            sub = maps.reshape(nref, ndy, ndx, -1)[:, :, :, qidx.reshape(-1)]
-            vsub = M.candidate_valid_mask(
-                self.qx.reshape(-1) * scale, self.qy.reshape(-1) * scale, sr, self.sbs, H, W, fme, jnp
-            )
-            smv, ssad, sok = M.argmin_displacement(sub, jnp.broadcast_to(vsub, sub.shape), sr, True, jnp)
-            out["sub_mv"] = smv.reshape(self.nb, 4, 3)
-            out["sub_sad"] = ssad.reshape(self.nb, 4)
-            out["sub_ok"] = sok.reshape(self.nb, 4)
-        return out
+        search = M.full_search_fused if cfg.me_search == "fused" else M.full_search_materialized
+        return search(cur32, search_refs, sr, self.bs, self.sbs, 2 if fme else 1, fme, cfg.vbs_enable, jnp)
 
     def _fast_candidates(self, cur_blk, refs, X, Y, n, mvp, fme):
         """SADs of the 3x3 window around mvp for one block; returns winner
@@ -206,47 +197,16 @@ class JaxCodec:
     # ----------------------------------------------------- shared encode
     def _transform_and_select(self, res_full, res_quads, sad_full, sad_quads, frame_type, row_qps,
                               ok_full=None, ok_quads=None):
-        """DCT both variants once, RD-select, quantize at the RC row QPs.
-
-        Returns (split, qtc_full, qtc_quads, size, mae_per_block).
-        Blocks without any valid search candidate carry MAE=+inf (reference
-        semantics, Encoder.py:684): inf < inf is False, so an all-invalid
-        block still SPLITS under VBS."""
+        """DCT both variants once, RD-select, quantize at the RC row QPs
+        (shared logic in core/rd.py).  Returns per-block lens in place of the
+        old scalar size; callers sum/row-sum as needed."""
         cfg = self.cfg
-        qps = self._block_qps(row_qps)
-        tf = dct2_int(res_full.astype(jnp.int32))  # (nb, bs, bs)
-        qtc_const = quantize(tf, int(cfg.qp))
-        split = jnp.zeros(self.nb, dtype=bool)
-        tq = None
-        mae_full = sad_full.astype(jnp.float32) / (self.bs * self.bs)
-        if ok_full is not None:
-            mae_full = jnp.where(ok_full, mae_full, jnp.inf)
-        mae_pb = mae_full
-        if cfg.vbs_enable:
-            tq = dct2_int(res_quads.astype(jnp.int32))
-            qtcq_const = quantize(tq, int(self.cfg.qp) - 1 if cfg.qp > 0 else int(cfg.qp))
-            base = 8 if frame_type == 0 else 16
-            base_v = 32 if frame_type == 0 else 64
-            bits_bs = base + 8 * rle_length(qtc_const)
-            bits_vbs = base_v + 8 * rle_length(qtcq_const).sum(axis=1)
-            mae_q = sad_quads.astype(jnp.float32) / (self.sbs * self.sbs)
-            if ok_quads is not None:
-                mae_q = jnp.where(ok_quads, mae_q, jnp.inf)
-            vbs_mae = mae_q.sum(axis=1) / 4.0
-            rd_bs = cfg.lam * bits_bs.astype(jnp.float32) + mae_full
-            rd_vbs = cfg.lam * bits_vbs.astype(jnp.float32) + vbs_mae
-            split = ~(rd_bs < rd_vbs) & self.vbs_eligible
-            mae_pb = jnp.where(self.vbs_eligible, vbs_mae, mae_full)
-        qtc_full = quantize(tf, qps)
-        lens_full = rle_length(qtc_full)
-        if cfg.vbs_enable:
-            qtc_quads = quantize(tq, _qpm1_vec(qps)[:, None])
-            lens_q = rle_length(qtc_quads).sum(axis=1)
-            size = jnp.where(split, lens_q, lens_full).sum()
-        else:
-            qtc_quads = jnp.zeros((self.nb, 4, self.sbs, self.sbs), dtype=qtc_full.dtype)
-            size = lens_full.sum()
-        return split, qtc_full, qtc_quads, size, mae_pb
+        return rd.transform_and_select(
+            res_full, res_quads, sad_full, sad_quads, frame_type, self._block_qps(row_qps),
+            qp_nominal=int(cfg.qp), lam=cfg.lam, vbs_enable=cfg.vbs_enable,
+            vbs_eligible=self.vbs_eligible, bs=self.bs, sbs=self.sbs,
+            ok_full=ok_full, ok_quads=ok_quads,
+        )
 
     def _dequant(self, qtc_full, qtc_quads, row_qps):
         qps = self._block_qps(row_qps)
@@ -309,7 +269,7 @@ class JaxCodec:
             smv = jnp.zeros((self.nb, 4, 3), jnp.int32)
             res_quads = jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
             sub_sad = jnp.zeros((self.nb, 4), jnp.int32)
-        split, qtc_full, qtc_quads, size, mae_pb = self._transform_and_select(
+        split, qtc_full, qtc_quads, lens, mae_pb = self._transform_and_select(
             res_full, res_quads, s["sad"], sub_sad, 1, row_qps,
             ok_full=s.get("ok"), ok_quads=s.get("sub_ok"),
         )
@@ -317,7 +277,8 @@ class JaxCodec:
         return {
             "mv": mv, "split": split, "sub_mv": smv,
             "qtc_full": qtc_full, "qtc_quads": qtc_quads,
-            "size": size, "recon": recon,
+            "size": lens.sum(), "row_bits": lens.reshape(self.nbr, self.nbc).sum(axis=1),
+            "recon": recon,
             "mae": mae_pb.mean(),
             "psnr": metrics.psnr_jax(orig, recon),
         }
@@ -340,14 +301,21 @@ class JaxCodec:
             res_quads = jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
             sub_sad = jnp.zeros((self.nb, 4), jnp.int32)
             smv3 = jnp.zeros((self.nb, 4), jnp.int32)
-        split, qtc_full, qtc_quads, size, mae_pb = self._transform_and_select(
+        split, qtc_full, qtc_quads, lens, mae_pb = self._transform_and_select(
             res_full, res_quads, out["sad"].reshape(-1), sub_sad, 0, row_qps
         )
         recon = self._recon_intra(out["mv"].reshape(-1), split, smv3, qtc_full, qtc_quads, row_qps)
+        # block raster order is transposed under intra_mode 1 (search runs on
+        # the transposed frame); map back to pixel-row bit sums either way
+        if cfg.intra_mode == 1:
+            row_bits = lens.reshape(self.nbc, self.nbr).T.sum(axis=1)
+        else:
+            row_bits = lens.reshape(self.nbr, self.nbc).sum(axis=1)
         return {
             "mv": out["mv"].reshape(-1), "split": split, "sub_mv": smv3,
             "qtc_full": qtc_full, "qtc_quads": qtc_quads,
-            "size": size, "recon": recon,
+            "size": lens.sum(), "row_bits": row_bits,
+            "recon": recon,
             "mae": mae_pb.mean(),
             "psnr": metrics.psnr_jax(orig, recon),
         }
@@ -360,16 +328,36 @@ class JaxCodec:
         return self._recon_intra(mv, split, sub_mv, qtc_full, qtc_quads, row_qps)
 
     # ------------------------------------------------------------ encode
-    def encode(self):
+    def _two_pass_qps(self, out, ftype):
+        """Second-pass per-row QPs from first-pass row bit shares
+        (rc.two_pass_row_budgets; the README-promised consumer of the stats
+        the reference computes then discards, Encoder.py:1627-1639)."""
+        row_bits = np.asarray(out["row_bits"], dtype=np.float64)
+        total = row_bits.sum()
+        if total <= 0:
+            return self.row_qps
+        stats_pct = row_bits / total * 100.0
+        budgets = rc_mod.two_pass_row_budgets(self.cfg, stats_pct)
+        qps = rc_mod.row_qp_from_budgets(self.cfg, budgets, ftype)
+        return jnp.asarray(np.asarray(qps, dtype=np.int32))
+
+    def encode(self, package: bool = True):
+        """Encode the clip.  ``package=False`` skips the host-side conversion
+        to the list-structured interchange format ("MVS per Frame" /
+        "approx residual" left as device arrays in "per_frame") — use it when
+        only reconstructions/metrics are needed (benchmarks, metric sweeps).
+        """
         cfg = self.cfg
         assert self.y is not None, "construct with y_frames to encode"
+        two_pass = cfg.two_pass and cfg.rc_active
         frames = []
         ftypes = []
         per_frame = []
+        qp_rows_pf = []
         refs = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)]
         initial = True
         for i in range(cfg.frames):
-            cur = jnp.asarray(self.y[i])
+            cur = self._y_dev[i]
             if i % cfg.intra_dur == 0 and cfg.parallel_mode != 1:
                 out = self._intra_step_j(cur, self.row_qps, cur)
                 ftype = 0
@@ -383,9 +371,26 @@ class JaxCodec:
                 if cfg.rc_flag is not None and cfg.rc_flag > 1 and int(out["size"]) > cfg.intra_thresh:
                     out = self._intra_step_j(cur, self.row_qps, cur)
                     ftype = 0
+            if two_pass:
+                row_qps2 = self._two_pass_qps(out, ftype)
+                if ftype == 0:
+                    out = self._intra_step_j(cur, row_qps2, cur)
+                else:
+                    out = self._inter_step_j(cur, jnp.stack(use), row_qps2, cur, nref=len(use), initial_refs=use_initial)
+                qp_rows_pf.append([int(q) for q in np.asarray(row_qps2)])
+            else:
+                qp_rows_pf.append(list(np.asarray(self.row_qps)) if cfg.rc_active else [])
             ftypes.append(ftype)
             per_frame.append(out)
             frames.append(out["recon"])
+            # start device->host copies now so they overlap the next frames'
+            # compute (transfers are the bottleneck on tunneled chips)
+            fetch = out.values() if package else (out["recon"], out["size"], out["psnr"], out["mae"])
+            for v in fetch:
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:
+                    pass
             if i < cfg.frames - 1:
                 if ftype == 0:
                     refs = []
@@ -393,7 +398,7 @@ class JaxCodec:
                     refs.pop(0)
                 refs.append(out["recon"])
                 initial = False
-        package = {
+        pkg = {
             "block size": self.bs,
             "num frames": cfg.frames,
             "height in pixels": self.h,
@@ -402,15 +407,16 @@ class JaxCodec:
             "PSNR per frame": [float(o["psnr"]) for o in per_frame],
             "MAE per Frame": [float(o["mae"]) for o in per_frame],
             "frame_type_seq": ftypes,
-            "Qp_per_row_per_frame": [
-                list(np.asarray(self.row_qps)) if cfg.rc_active else [] for _ in range(cfg.frames)
-            ],
+            "Qp_per_row_per_frame": qp_rows_pf,
             "residual size per frame": [int(o["size"]) for o in per_frame],
             "reconstructed frames": np.stack([np.asarray(f) for f in frames]),
-            "MVS per Frame": [self._mvs_to_list(o, ft) for o, ft in zip(per_frame, ftypes)],
-            "approx residual": [self._res_to_list(o) for o in per_frame],
         }
-        return package
+        if package:
+            pkg["MVS per Frame"] = [self._mvs_to_list(o, ft) for o, ft in zip(per_frame, ftypes)]
+            pkg["approx residual"] = [self._res_to_list(o) for o in per_frame]
+        else:
+            pkg["per_frame"] = per_frame
+        return pkg
 
     # ------------------------------------------------------------ decode
     def decode(self, frame_types, residuals_per_frame, qp_rows_per_frame, mvs_per_frame):
@@ -454,57 +460,76 @@ class JaxCodec:
 
     # ----------------------------------------------- interchange helpers
     def _mvs_to_list(self, out, ftype):
-        mv = np.asarray(out["mv"])
-        split = np.asarray(out["split"])
-        smv = np.asarray(out["sub_mv"])
-        res = []
-        for i in range(self.nb):
-            if split[i]:
-                if ftype == 0:
-                    res.append((1, [int(smv[i, q]) for q in range(4)]))
-                else:
-                    res.append((1, [tuple(int(v) for v in smv[i, q]) for q in range(4)]))
-            else:
-                if ftype == 0:
-                    res.append((0, int(mv[i]) if mv.ndim == 1 else int(mv[i, 0])))
-                else:
-                    res.append((0, tuple(int(v) for v in mv[i])))
-        return res
+        return mvs_to_list(out, ftype, self.nb)
 
     def _res_to_list(self, out):
-        qf = np.asarray(out["qtc_full"])
-        qq = np.asarray(out["qtc_quads"])
-        split = np.asarray(out["split"])
-        res = []
-        for i in range(self.nb):
-            if split[i]:
-                res.append((1, [qq[i, q] for q in range(4)]))
-            else:
-                res.append((0, qf[i]))
-        return res
+        return res_to_list(out, self.nb)
 
     def _list_to_mvs(self, mvs_list, ftype):
-        if ftype == 0:
-            mv = np.zeros(self.nb, dtype=np.int32)
-            smv = np.zeros((self.nb, 4), dtype=np.int32)
-        else:
-            mv = np.zeros((self.nb, 3), dtype=np.int32)
-            smv = np.zeros((self.nb, 4, 3), dtype=np.int32)
-        split = np.zeros(self.nb, dtype=bool)
-        for i, (sp, m) in enumerate(mvs_list):
-            if sp == 0:
-                mv[i] = m
-            else:
-                split[i] = True
-                smv[i] = np.asarray(m)
-        return jnp.asarray(mv), jnp.asarray(split), jnp.asarray(smv)
+        return list_to_mvs(mvs_list, ftype, self.nb)
 
     def _list_to_res(self, res_list):
-        qf = np.zeros((self.nb, self.bs, self.bs), dtype=np.int32)
-        qq = np.zeros((self.nb, 4, self.sbs, self.sbs), dtype=np.int32)
-        for i, (sp, r) in enumerate(res_list):
-            if sp == 0:
-                qf[i] = np.asarray(r)
+        return list_to_res(res_list, self.nb, self.bs, self.sbs)
+
+
+# ------------------------------------------------ interchange (module level)
+def mvs_to_list(out, ftype, nb):
+    """Device arrays -> the list-structured MV interchange format shared with
+    the compat engine and the bitstream module."""
+    mv = np.asarray(out["mv"])
+    split = np.asarray(out["split"])
+    smv = np.asarray(out["sub_mv"])
+    res = []
+    for i in range(nb):
+        if split[i]:
+            if ftype == 0:
+                res.append((1, [int(smv[i, q]) if smv.ndim == 2 else int(smv[i, q, 0]) for q in range(4)]))
             else:
-                qq[i] = np.stack([np.asarray(x) for x in r])
-        return jnp.asarray(qf), jnp.asarray(qq)
+                res.append((1, [tuple(int(v) for v in smv[i, q]) for q in range(4)]))
+        else:
+            if ftype == 0:
+                res.append((0, int(mv[i]) if mv.ndim == 1 else int(mv[i, 0])))
+            else:
+                res.append((0, tuple(int(v) for v in mv[i])))
+    return res
+
+
+def res_to_list(out, nb):
+    qf = np.asarray(out["qtc_full"])
+    qq = np.asarray(out["qtc_quads"])
+    split = np.asarray(out["split"])
+    res = []
+    for i in range(nb):
+        if split[i]:
+            res.append((1, [qq[i, q] for q in range(4)]))
+        else:
+            res.append((0, qf[i]))
+    return res
+
+
+def list_to_mvs(mvs_list, ftype, nb):
+    if ftype == 0:
+        mv = np.zeros(nb, dtype=np.int32)
+        smv = np.zeros((nb, 4), dtype=np.int32)
+    else:
+        mv = np.zeros((nb, 3), dtype=np.int32)
+        smv = np.zeros((nb, 4, 3), dtype=np.int32)
+    split = np.zeros(nb, dtype=bool)
+    for i, (sp, m) in enumerate(mvs_list):
+        if sp == 0:
+            mv[i] = m
+        else:
+            split[i] = True
+            smv[i] = np.asarray(m)
+    return jnp.asarray(mv), jnp.asarray(split), jnp.asarray(smv)
+
+
+def list_to_res(res_list, nb, bs, sbs):
+    qf = np.zeros((nb, bs, bs), dtype=np.int32)
+    qq = np.zeros((nb, 4, sbs, sbs), dtype=np.int32)
+    for i, (sp, r) in enumerate(res_list):
+        if sp == 0:
+            qf[i] = np.asarray(r)
+        else:
+            qq[i] = np.stack([np.asarray(x) for x in r])
+    return jnp.asarray(qf), jnp.asarray(qq)

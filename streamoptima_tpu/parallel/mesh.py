@@ -1,0 +1,401 @@
+"""Multi-chip encoding over a jax.sharding.Mesh (shard_map + ICI collectives).
+
+TPU-native successor of the reference's ``multiprocessing`` ParallelModes
+(Encoder.py:477-499, :1711-1787; SURVEY.md section 2.4) designed for exactness
+instead of the reference's dependency-breaking approximations:
+
+- **"data" axis — GOP parallelism.**  Every GOP opens with an intra frame
+  (``i % intra_dur == 0``, Encoder.py:1841), so GOPs are temporally
+  independent: sharding whole GOPs across chips is *exact* frame-level
+  parallelism — the correct version of the reference's racy ParallelMode 3
+  (its Manager.Queue sync, Encoder.py:1717-1723, is approximated-away there).
+- **"tile" axis — spatial row parallelism.**  Each chip owns a horizontal
+  band of block rows.  Mode-0 intra search/reconstruction only ever reads the
+  current 16-row band (core/intra.py), so intra frames need **zero
+  communication**.  Inter frames all_gather the reconstructed reference band
+  over ICI once per frame, then run motion search / transform / RD / recon on
+  the local band only.  This is the ICI-native version of the reference's
+  block/row-level modes 1-2 (which vmap already covers on a single chip).
+
+The sharded path always uses full-search ME (fast-ME's MVP chain is
+raster-sequential across the whole frame — it stays a single-chip feature,
+Encoder.py:719-742) and intra_mode 0 (mode 1's column chain crosses tiles).
+Scene-change promotion (RCFlag>1) consumes a per-frame scalar on the host and
+is likewise a single-chip engine feature.
+
+Output parity: with parallel_mode=0, fast_me=False the sharded encoder is
+bit-identical to the single-chip JaxCodec (tested in tests/test_parallel.py).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P_
+from jax import shard_map
+
+from streamoptima_tpu import jax_engine
+from streamoptima_tpu import rc as rc_mod
+from streamoptima_tpu.config import CodecConfig
+from streamoptima_tpu.core import intra as I
+from streamoptima_tpu.core import me as M
+from streamoptima_tpu.core import pred as P
+from streamoptima_tpu.core import rd
+from streamoptima_tpu.core.quant import rescale
+from streamoptima_tpu.core.transform import idct2_int
+
+_INF32 = np.int32(2**31 - 1)
+
+
+def make_mesh(cfg: CodecConfig, devices=None, tile: int | None = None) -> Mesh:
+    """Build a ("data", "tile") mesh over ``devices`` (default: all).
+
+    ``tile`` must divide both the device count and the frame's block-row
+    count; by default the largest such divisor is chosen, remaining devices
+    go to GOP ("data") parallelism.
+    """
+    devices = list(jax.devices() if devices is None else devices)
+    n = len(devices)
+    nbr = cfg.block_rows
+    if tile is None:
+        tile = 1
+        for d in range(n, 0, -1):
+            if n % d == 0 and nbr % d == 0:
+                tile = d
+                break
+    if n % tile or nbr % tile:
+        raise ValueError(f"tile={tile} must divide device count {n} and block rows {nbr}")
+    data = n // tile
+    arr = np.asarray(devices).reshape(data, tile)
+    return Mesh(arr, ("data", "tile"))
+
+
+class ShardedCodec:
+    """GOP- and row-sharded encoder over a 2D device mesh.
+
+    Same package format as JaxCodec.encode(); decode stays on the single-chip
+    engine (it is >10x cheaper than encode).
+    """
+
+    def __init__(self, cfg: CodecConfig, mesh: Mesh, y_frames=None):
+        assert not cfg.compat, "sharded encoding requires the native engine"
+        assert cfg.intra_mode == 0, "sharded path supports intra_mode 0 (mode 1's column chain crosses tiles)"
+        assert not (cfg.rc_flag is not None and cfg.rc_flag > 1), (
+            "scene-change promotion consumes per-frame host scalars; use the single-chip engine"
+        )
+        assert cfg.parallel_mode == 0, "mesh sharding replaces the reference's ParallelModes"
+        self.cfg = cfg
+        self.mesh = mesh
+        self.y = None if y_frames is None else np.asarray(y_frames, dtype=np.uint8)
+        self.ndata = mesh.devices.shape[0]
+        self.ntile = mesh.devices.shape[1]
+        self.h, self.w = cfg.height, cfg.width
+        self.bs = cfg.block_size
+        self.sbs = cfg.sub_block_size
+        self.nbr, self.nbc = cfg.block_rows, cfg.blocks_per_row
+        assert self.nbr % self.ntile == 0
+        self.nbr_t = self.nbr // self.ntile  # block rows per tile
+        self.h_t = self.nbr_t * self.bs  # pixel rows per tile
+        self.nb_t = self.nbr_t * self.nbc
+        self.gl = cfg.intra_dur  # GOP length
+        if cfg.rc_active:
+            row_qps = np.asarray(rc_mod.row_qp_sequence(cfg), dtype=np.int32)
+        else:
+            row_qps = np.full(self.nbr, cfg.qp, dtype=np.int32)
+        self._row_qps = jnp.asarray(row_qps)
+        if cfg.roi_qp_map is not None:
+            self._roi = jnp.asarray(np.asarray(cfg.roi_qp_map, dtype=np.int32).reshape(self.nbr, self.nbc))
+        else:
+            self._roi = jnp.zeros((self.nbr, self.nbc), dtype=jnp.int32)
+        # local block coords (x global; y local within the tile band)
+        ys, xs = np.meshgrid(np.arange(self.nbr_t) * self.bs, np.arange(self.nbc) * self.bs, indexing="ij")
+        self._bx = jnp.asarray(xs.reshape(-1))
+        self._by_local = jnp.asarray(ys.reshape(-1))
+        offs = np.array([[0, 0], [0, 1], [1, 0], [1, 1]]) * self.sbs
+        self._qx = jnp.asarray(xs.reshape(-1)[:, None] + offs[None, :, 1])
+        self._qy_local = jnp.asarray(ys.reshape(-1)[:, None] + offs[None, :, 0])
+        self._encode_j = jax.jit(
+            shard_map(
+                self._encode_gops_shard,
+                mesh=mesh,
+                in_specs=(P_("data", None, "tile", None), P_(None), P_(None, None)),
+                out_specs=self._out_specs(),
+                check_vma=False,
+            )
+        )
+
+    # ----------------------------------------------------------- out specs
+    def _out_specs(self):
+        return {
+            "mv": P_("data", None, "tile", None, None),
+            "split": P_("data", None, "tile", None),
+            "sub_mv": P_("data", None, "tile", None, None, None),
+            "qtc_full": P_("data", None, "tile", None, None, None),
+            "qtc_quads": P_("data", None, "tile", None, None, None, None),
+            "size": P_("data", None),
+            "sqerr": P_("data", None),
+            "mae_sum": P_("data", None),
+            "recon": P_("data", None, "tile", None),
+        }
+
+    # ------------------------------------------------------ per-tile steps
+    def _qps_blocks(self, row_qps_tile, roi_tile):
+        q = jnp.repeat(row_qps_tile.astype(jnp.int32), self.nbc)
+        if self.cfg.roi_qp_map is not None:
+            q = jnp.clip(q + roi_tile.reshape(-1), 0, 12)
+        return q
+
+    def _grid_out(self, out):
+        """(nb_t, ...) flat block arrays -> (nbr_t, nbc, ...) grids."""
+        g = {}
+        g["mv"] = out["mv"].reshape(self.nbr_t, self.nbc, 3)
+        g["split"] = out["split"].reshape(self.nbr_t, self.nbc)
+        g["sub_mv"] = out["sub_mv"].reshape(self.nbr_t, self.nbc, 4, 3)
+        g["qtc_full"] = out["qtc_full"].reshape(self.nbr_t, self.nbc, self.bs, self.bs)
+        g["qtc_quads"] = out["qtc_quads"].reshape(self.nbr_t, self.nbc, 4, self.sbs, self.sbs)
+        g["size"] = out["size"]
+        g["sqerr"] = out["sqerr"]
+        g["mae_sum"] = out["mae_sum"]
+        g["recon"] = out["recon"]
+        return g
+
+    def _intra_tile(self, cur_l, y0_blocks, row_qps_tile, roi_tile):
+        """Intra-code the local band (zero communication; mode-0 search and
+        reconstruction never leave the 16-row band)."""
+        cfg = self.cfg
+        work = cur_l.astype(jnp.int32)
+        out = I.intra_search_mode0(work, self.bs, cfg.search_range, self.w, cfg.vbs_enable, jnp)
+        res_full, res_quads = I.intra_residuals_mode0(work, out["mv"], out.get("sub_mv"), self.bs, jnp)
+        if cfg.vbs_enable:
+            sub_sad = out["sub_sad"].reshape(self.nb_t, 4)
+            smv = out["sub_mv"].reshape(self.nb_t, 4)
+        else:
+            res_quads = jnp.zeros((self.nb_t, 4, self.sbs, self.sbs), jnp.int32)
+            sub_sad = jnp.zeros((self.nb_t, 4), jnp.int32)
+            smv = jnp.zeros((self.nb_t, 4), jnp.int32)
+        by_g = self._by_local + y0_blocks * self.bs
+        eligible = (self._bx != 0) & (by_g != 0)
+        split, qtc_full, qtc_quads, lens, mae_pb = rd.transform_and_select(
+            res_full, res_quads, out["sad"].reshape(-1), sub_sad, 0,
+            self._qps_blocks(row_qps_tile, roi_tile),
+            qp_nominal=int(cfg.qp), lam=cfg.lam, vbs_enable=cfg.vbs_enable,
+            vbs_eligible=eligible, bs=self.bs, sbs=self.sbs,
+        )
+        qps = self._qps_blocks(row_qps_tile, roi_tile)
+        rf = idct2_int(rescale(qtc_full, qps).astype(jnp.int32))
+        rq = idct2_int(rescale(qtc_quads, rd.qp_minus_1(qps)[:, None]).astype(jnp.int32))
+        recon = P.wrap_uint8(
+            I.intra_reconstruct_mode0(
+                rf, rq if cfg.vbs_enable else None, split, out["mv"].reshape(-1),
+                smv, self.h_t, self.w, self.bs, jnp,
+            ),
+            jnp,
+        )
+        mv3 = jnp.zeros((self.nb_t, 3), jnp.int32).at[:, 0].set(out["mv"].reshape(-1))
+        smv3 = jnp.zeros((self.nb_t, 4, 3), jnp.int32).at[:, :, 0].set(smv)
+        return {
+            "mv": mv3, "split": split, "sub_mv": smv3,
+            "qtc_full": qtc_full, "qtc_quads": qtc_quads,
+            "size": jax.lax.psum(lens.sum(), "tile"), "recon": recon,
+            "mae_sum": jax.lax.psum(mae_pb.sum(), "tile"),
+        }
+
+    def _inter_tile(self, cur_l, refs_l, nvalid, y0_blocks, row_qps_tile, roi_tile):
+        """Inter-code the local band against the FIFO of reference bands.
+
+        One all_gather over the "tile" ICI axis rebuilds the full-height
+        references; everything downstream touches only the local band.
+        """
+        cfg = self.cfg
+        fme = cfg.fme_enable
+        scale = 2 if fme else 1
+        sr = cfg.search_range * 2 if fme else cfg.search_range
+        y0_px = y0_blocks * self.bs
+        cur32 = cur_l.astype(jnp.int32)
+
+        refs_full = jax.lax.all_gather(refs_l, "tile", axis=1, tiled=True)  # (nref, h, w)
+        if fme:
+            # refs are real uint8 reconstructions (every GOP opens intra), so
+            # the row-pass wrap (quirk K17) is always live
+            search_refs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(refs_full)
+        else:
+            search_refs = refs_full.astype(jnp.int32)
+        H, W = search_refs.shape[-2:]
+
+        search = M.full_search_fused if cfg.me_search == "fused" else M.full_search_materialized
+        s = search(
+            cur32, search_refs, sr, self.bs, self.sbs, scale, fme, cfg.vbs_enable, jnp,
+            row_offset=scale * y0_px, nvalid=nvalid,
+        )
+        mv, sad, ok = s["mv"], s["sad"], s["ok"]
+        by_g = self._by_local + y0_px
+
+        cur_blocks = cur32.reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs)
+        pred_full = P.gather_predictions(mv, search_refs, self._bx, by_g, self.bs, fme, jnp)
+        res_full = cur_blocks - pred_full
+
+        if cfg.vbs_enable:
+            qy_g = self._qy_local + y0_px
+            smv = s["sub_mv"]
+            sub_sad = s["sub_sad"]
+            sub_ok = s["sub_ok"]
+            pred_q = P.gather_predictions(
+                smv.reshape(-1, 3), search_refs, self._qx.reshape(-1), qy_g.reshape(-1), self.sbs, fme, jnp
+            ).reshape(self.nb_t, 4, self.sbs, self.sbs)
+            quads = cur_blocks.reshape(-1, 2, self.sbs, 2, self.sbs).swapaxes(2, 3).reshape(-1, 4, self.sbs, self.sbs)
+            res_quads = quads - pred_q
+        else:
+            smv = jnp.zeros((self.nb_t, 4, 3), jnp.int32)
+            res_quads = jnp.zeros((self.nb_t, 4, self.sbs, self.sbs), jnp.int32)
+            sub_sad = jnp.zeros((self.nb_t, 4), jnp.int32)
+            sub_ok = None
+
+        eligible = (self._bx != 0) & (by_g != 0)
+        qps = self._qps_blocks(row_qps_tile, roi_tile)
+        split, qtc_full, qtc_quads, lens, mae_pb = rd.transform_and_select(
+            res_full, res_quads, sad, sub_sad, 1, qps,
+            qp_nominal=int(cfg.qp), lam=cfg.lam, vbs_enable=cfg.vbs_enable,
+            vbs_eligible=eligible, bs=self.bs, sbs=self.sbs,
+            ok_full=ok, ok_quads=sub_ok,
+        )
+        rf = idct2_int(rescale(qtc_full, qps).astype(jnp.int32))
+        full_blocks = P.wrap_uint8(pred_full + rf, jnp)
+        if cfg.vbs_enable:
+            rq = idct2_int(rescale(qtc_quads, rd.qp_minus_1(qps)[:, None]).astype(jnp.int32))
+            quad_blocks = P.wrap_uint8(pred_q + rq, jnp)
+            quad_merged = quad_blocks.reshape(-1, 2, 2, self.sbs, self.sbs).swapaxes(2, 3).reshape(
+                -1, self.bs, self.bs
+            )
+            blocks = jnp.where(split[:, None, None], quad_merged, full_blocks)
+        else:
+            blocks = full_blocks
+        recon = blocks.reshape(self.nbr_t, self.nbc, self.bs, self.bs).swapaxes(1, 2).reshape(self.h_t, self.w)
+        return {
+            "mv": mv, "split": split, "sub_mv": smv,
+            "qtc_full": qtc_full, "qtc_quads": qtc_quads,
+            "size": jax.lax.psum(lens.sum(), "tile"), "recon": recon,
+            "mae_sum": jax.lax.psum(mae_pb.sum(), "tile"),
+        }
+
+    # -------------------------------------------------------- shard program
+    def _encode_gop_local(self, frames_l, row_qps_tile, roi_tile, y0_blocks):
+        """Encode one GOP's local band: intra frame 0, scan over inter frames
+        carrying the reference-band FIFO."""
+        cfg = self.cfg
+        nref = cfg.n_ref_frames
+        cur0 = frames_l[0]
+        out0 = self._intra_tile(cur0, y0_blocks, row_qps_tile, roi_tile)
+        out0["sqerr"] = jax.lax.psum(
+            jnp.sum((out0["recon"].astype(jnp.float32) - cur0.astype(jnp.float32)) ** 2), "tile"
+        )
+
+        if self.gl == 1:
+            return jax.tree.map(lambda a: a[None], self._grid_out(out0))
+
+        refs0 = jnp.zeros((nref, self.h_t, self.w), dtype=jnp.uint8).at[0].set(out0["recon"])
+
+        def step(carry, cur):
+            refs, nvalid = carry
+            out = self._inter_tile(cur, refs, nvalid, y0_blocks, row_qps_tile, roi_tile)
+            out["sqerr"] = jax.lax.psum(
+                jnp.sum((out["recon"].astype(jnp.float32) - cur.astype(jnp.float32)) ** 2), "tile"
+            )
+            # reference FIFO (Encoder.py:1864-1867): append newest, drop oldest
+            full = nvalid >= nref
+            rolled = jnp.where(full, jnp.roll(refs, -1, axis=0), refs)
+            idx = jnp.minimum(nvalid, nref - 1)
+            new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, out["recon"][None], idx, axis=0)
+            return (new_refs, jnp.minimum(nvalid + 1, nref)), self._grid_out(out)
+
+        (_, _), outs = jax.lax.scan(step, (refs0, jnp.int32(1)), frames_l[1:])
+        out0g = self._grid_out(out0)
+        return jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], axis=0), out0g, outs)
+
+    def _encode_gops_shard(self, frames_g, row_qps, roi):
+        """Per-device program: frames_g (G_local, gl, h_t, w)."""
+        tile_idx = jax.lax.axis_index("tile")
+        y0_blocks = tile_idx * self.nbr_t
+        row_qps_tile = jax.lax.dynamic_slice_in_dim(row_qps, y0_blocks, self.nbr_t)
+        roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0_blocks, self.nbr_t, axis=0)
+        return jax.vmap(lambda fl: self._encode_gop_local(fl, row_qps_tile, roi_tile, y0_blocks))(frames_g)
+
+    # -------------------------------------------------------------- encode
+    def encode(self, fetch: str = "full"):
+        """Full-clip encode; returns the same package dict as JaxCodec.
+
+        GOPs are dispatched in fixed-shape batches of ``ndata`` (one GOP per
+        "data"-axis device), so the shard program compiles once regardless of
+        clip length.  ``fetch="light"`` skips the device->host transfer of
+        coefficients/MVs and the list-interchange conversion ("MVS per Frame"
+        / "approx residual" omitted) — for benchmarks and metric sweeps where
+        only reconstructions and sizes matter.
+        """
+        cfg = self.cfg
+        assert self.y is not None, "construct with y_frames to encode"
+        n = cfg.frames
+        gl = self.gl
+        n_gops = math.ceil(n / gl)
+        g_pad = math.ceil(n_gops / self.ndata) * self.ndata
+        frames_g = np.zeros((g_pad, gl, self.h, self.w), dtype=np.uint8)
+        flat = frames_g.reshape(-1, self.h, self.w)
+        flat[:n] = self.y[:n]
+        # pad by repeating the last real frame (padding output is dropped)
+        flat[n:] = self.y[n - 1]
+        outs = []
+        light_keys = ("recon", "size", "sqerr", "mae_sum")
+        for b in range(g_pad // self.ndata):
+            batch = jnp.asarray(frames_g[b * self.ndata : (b + 1) * self.ndata])
+            o = self._encode_j(batch, self._row_qps, self._roi)
+            if fetch == "light":
+                o = {k: o[k] for k in light_keys}
+            for v in o.values():  # overlap D2H with the next batch's compute
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:
+                    pass
+            outs.append(o)
+        out = jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *outs)
+
+        nb = self.nbr * self.nbc
+        row_qps_host = list(np.asarray(self._row_qps)) if cfg.rc_active else []
+        mvs_pf, res_pf, psnr_pf, mae_pf, sizes, ftypes = [], [], [], [], [], []
+        recon = np.zeros((n, self.h, self.w), dtype=np.uint8)
+        for i in range(n):
+            g, f = divmod(i, gl)
+            ftype = 0 if f == 0 else 1
+            ftypes.append(ftype)
+            if fetch != "light":
+                per = {
+                    "mv": out["mv"][g, f].reshape(nb, 3),
+                    "split": out["split"][g, f].reshape(nb),
+                    "sub_mv": out["sub_mv"][g, f].reshape(nb, 4, 3),
+                    "qtc_full": out["qtc_full"][g, f].reshape(nb, self.bs, self.bs),
+                    "qtc_quads": out["qtc_quads"][g, f].reshape(nb, 4, self.sbs, self.sbs),
+                }
+                mvs_pf.append(jax_engine.mvs_to_list(per, ftype, nb))
+                res_pf.append(jax_engine.res_to_list(per, nb))
+            sizes.append(int(out["size"][g, f]))
+            mse = out["sqerr"][g, f] / (self.h * self.w)
+            psnr_pf.append(float(10.0 * np.log10(255.0**2 / mse)) if mse > 0 else float("inf"))
+            mae_pf.append(float(out["mae_sum"][g, f]) / nb)
+            recon[i] = out["recon"][g, f]
+        pkg = {
+            "block size": self.bs,
+            "num frames": n,
+            "height in pixels": self.h,
+            "width in pixels": self.w,
+            "search range": cfg.search_range,
+            "PSNR per frame": psnr_pf,
+            "MAE per Frame": mae_pf,
+            "frame_type_seq": ftypes,
+            "Qp_per_row_per_frame": [row_qps_host for _ in range(n)],
+            "residual size per frame": sizes,
+            "reconstructed frames": recon,
+        }
+        if fetch != "light":
+            pkg["MVS per Frame"] = mvs_pf
+            pkg["approx residual"] = res_pf
+        return pkg

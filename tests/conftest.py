@@ -1,5 +1,9 @@
 """Test env: force CPU backend with 8 virtual devices so multi-chip sharding
-paths compile and run without TPU hardware (SURVEY.md section 4)."""
+paths compile and run without TPU hardware (SURVEY.md section 4).
+
+NOTE the env image preloads jax via sitecustomize (axon TPU plugin), so
+setting JAX_PLATFORMS in os.environ here is too late — the platform must be
+forced through jax.config before the first backend initialization."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -8,6 +12,13 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("MPLBACKEND", "Agg")
 
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import sys
 from pathlib import Path
 
@@ -15,9 +26,19 @@ import numpy as np
 import pytest
 
 try:  # persistent XLA compile cache: native-engine tests are compile-heavy
+    import hashlib
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    # key the cache on the host CPU's feature flags: XLA:CPU AOT entries are
+    # machine-feature-specific and loading another machine's entries warns
+    # (and can SIGILL) when this VM migrates hosts
+    try:
+        flags_line = next(l for l in open("/proc/cpuinfo") if l.startswith("flags"))
+        _cpu_key = hashlib.md5(flags_line.encode()).hexdigest()[:8]
+    except Exception:
+        _cpu_key = "generic"
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_compile_cache_{_cpu_key}")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:

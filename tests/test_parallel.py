@@ -1,0 +1,100 @@
+"""Multi-chip sharded encoder: bit-parity with the single-chip native engine.
+
+Runs on the 8-virtual-device CPU mesh configured in conftest.py.  The sharded
+GOP/tile encoder (parallel/mesh.py) must produce bit-identical MVs, splits,
+coefficients and reconstructions to JaxCodec for every supported feature
+combination (full-search ME; the sharded path's exactness claim).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from streamoptima_tpu.config import CodecConfig
+from streamoptima_tpu.jax_engine import JaxCodec
+from streamoptima_tpu.parallel import ShardedCodec, make_mesh
+
+from conftest import synthetic_clip
+
+
+def _compare_packages(a, b, check_psnr=True):
+    assert a["frame_type_seq"] == b["frame_type_seq"]
+    assert a["residual size per frame"] == b["residual size per frame"]
+    np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
+    for fa, fb in zip(a["MVS per Frame"], b["MVS per Frame"]):
+        assert fa == fb
+    for fa, fb in zip(a["approx residual"], b["approx residual"]):
+        for (sa, ra), (sb, rb) in zip(fa, fb):
+            assert sa == sb
+            if sa == 0:
+                np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+            else:
+                for x, y in zip(ra, rb):
+                    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    if check_psnr:
+        np.testing.assert_allclose(a["PSNR per frame"], b["PSNR per frame"], rtol=1e-4)
+
+
+CASES = [
+    dict(),  # plain: full search, no VBS/FME
+    dict(vbs_enable=True, lam=0.015),
+    dict(fme_enable=True),
+    dict(vbs_enable=True, fme_enable=True, lam=0.015),
+    dict(n_ref_frames=3),
+    dict(
+        rc_flag=1,
+        target_br="640 kbps",
+        frame_rate=30,
+        qp_rate_tables=[[99000, 60000, 40000, 26000, 17000, 11000, 7200, 4800, 3200, 2100, 1400, 950], [60000, 36000, 24000, 16000, 10000, 6600, 4400, 2900, 1900, 1300, 850, 560]],
+    ),
+]
+
+
+@pytest.mark.parametrize("extra", CASES, ids=[",".join(sorted(c)) or "plain" for c in CASES])
+def test_sharded_matches_single_chip(extra):
+    clip = synthetic_clip(h=64, w=64, frames=6, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=6, block_size=16, search_range=4, qp=3, intra_dur=3, **extra)
+    single = JaxCodec(cfg, clip).encode()
+    mesh = make_mesh(cfg)  # 8 devices -> tile=4 (nbr=4), data=2
+    assert mesh.devices.shape == (2, 4)
+    sharded = ShardedCodec(cfg, mesh, clip).encode()
+    _compare_packages(single, sharded)
+
+
+def test_sharded_roi():
+    clip = synthetic_clip(h=64, w=64, frames=4, motion=1)
+    roi = np.zeros((4, 4), dtype=np.int32)
+    roi[1:3, 1:3] = -2  # better quality in the middle
+    cfg = CodecConfig(height=64, width=64, frames=4, search_range=4, qp=5, intra_dur=2, roi_qp_map=roi)
+    single = JaxCodec(cfg, clip).encode()
+    sharded = ShardedCodec(cfg, make_mesh(cfg), clip).encode()
+    _compare_packages(single, sharded)
+
+
+def test_sharded_decodes_with_single_chip_decoder():
+    """Packages from the sharded encoder must round-trip through the
+    single-chip decoder (the encode/decode closed-loop invariant)."""
+    clip = synthetic_clip(h=64, w=64, frames=4, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=4, search_range=4, qp=4, intra_dur=2, vbs_enable=True, lam=0.02)
+    pkg = ShardedCodec(cfg, make_mesh(cfg), clip).encode()
+    dec = JaxCodec(cfg)
+    frames = dec.decode(
+        pkg["frame_type_seq"], pkg["approx residual"], pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"]
+    )
+    np.testing.assert_array_equal(np.stack(frames), pkg["reconstructed frames"])
+
+
+def test_uneven_tail_and_gop_padding():
+    """frames not divisible by intra_dur or by the data axis still encode."""
+    clip = synthetic_clip(h=64, w=64, frames=5, motion=1)
+    cfg = CodecConfig(height=64, width=64, frames=5, search_range=4, qp=4, intra_dur=3)
+    single = JaxCodec(cfg, clip).encode()
+    sharded = ShardedCodec(cfg, make_mesh(cfg), clip).encode()
+    _compare_packages(single, sharded)
+
+
+def test_make_mesh_factorization():
+    cfg = CodecConfig(height=96, width=64, frames=2, search_range=2)  # nbr=6
+    mesh = make_mesh(cfg)  # 8 devices, nbr=6 -> tile=2, data=4
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "tile")
