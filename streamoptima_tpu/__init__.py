@@ -11,5 +11,14 @@ block/frame-level parallelism via vmap / shard_map over device meshes.
 
 from streamoptima_tpu.config import CodecConfig, parse_bitrate
 
-__all__ = ["CodecConfig", "parse_bitrate"]
+
+def __getattr__(name):  # lazy: keep `import streamoptima_tpu` jax-free
+    if name == "VideoCodec":
+        from streamoptima_tpu.codec import VideoCodec
+
+        return VideoCodec
+    raise AttributeError(name)
+
+
+__all__ = ["CodecConfig", "VideoCodec", "parse_bitrate"]
 __version__ = "0.1.0"

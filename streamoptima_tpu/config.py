@@ -64,10 +64,12 @@ class CodecConfig:
     two_pass: bool = False
     # devices for multi-chip sharding (parallel/ modes); None => single chip
     mesh_devices: Any = None
-    # full-search kernel: "materialized" (candidate maps + argmin; lower
-    # serial latency on TPU) or "fused" (streaming reduction, no candidate
-    # map in HBM).  Bit-identical results (core/me.py).
-    me_search: str = "materialized"
+    # full-search kernel: "auto" picks per context (measured on TPU v5e:
+    # "materialized" — candidate maps + argmin — wins in the per-frame jitted
+    # step; "fused" — streaming reduction, no candidate map in HBM — wins
+    # inside the GOP-scan/sharded program).  Bit-identical results either way
+    # (core/me.py).
+    me_search: str = "auto"
 
     def __post_init__(self) -> None:
         if self.height % self.block_size or self.width % self.block_size:
@@ -79,8 +81,8 @@ class CodecConfig:
             raise ValueError("intra_mode must be 0 (horizontal) or 1 (vertical)")
         if self.engine not in ("jax", "compat"):
             raise ValueError("engine must be 'jax' or 'compat'")
-        if self.me_search not in ("materialized", "fused"):
-            raise ValueError("me_search must be 'materialized' or 'fused'")
+        if self.me_search not in ("auto", "materialized", "fused"):
+            raise ValueError("me_search must be 'auto', 'materialized' or 'fused'")
         if self.two_pass:
             if self.engine != "jax":
                 raise ValueError("two_pass is a native-engine feature (the reference only gathers "

@@ -69,7 +69,7 @@ def fme_upsample(frame, xp, wrap_row_pass: bool | None = None):
     return out
 
 
-def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp, row_offset=0):
+def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp, row_offset=0, also_full=False):
     """SAD tables at sub-block granularity for every displacement.
 
     cur: (h, w) current frame (int); ref: (H, W) reference frame (int; the FME
@@ -86,6 +86,12 @@ def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp, row_offset=0):
     Returns (ndy, ndx, nbr, nbc) int32 where entry [dyi, dxi, bi, bj] is the
     SAD; out-of-frame windows contribute garbage and MUST be masked by the
     caller via candidate_valid_mask (the reference never evaluates them).
+
+    ``also_full=True`` returns a tuple (sub_maps, full_maps) where full_maps
+    additionally sums 2x2 quads into (2*sub_bs)-block SADs — computed inside
+    the dy loop where the partial sums are register-resident (summing the
+    materialized sub map afterwards forces XLA into a layout-rotating copy
+    of the whole candidate buffer; measured dominant at 720p).
     """
     h, w = cur.shape
     nbr, nbc = h // sub_bs, w // sub_bs
@@ -109,7 +115,11 @@ def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp, row_offset=0):
             d4 = diff.reshape(nbr, sub_bs, nd, nbc, sub_bs)
             return d4.sum(axis=(1, 4)).transpose(1, 0, 2)
 
-        return np.stack([one_dy(dy) for dy in range(-sr, sr + 1)])
+        sub = np.stack([one_dy(dy) for dy in range(-sr, sr + 1)])
+        if not also_full:
+            return sub
+        full = sub.reshape(nd, nd, nbr // 2, 2, nbc // 2, 2).sum(axis=(3, 5))
+        return sub, full
 
     import jax
     from jax import lax
@@ -128,15 +138,26 @@ def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp, row_offset=0):
     def one_dy_jax(dy):
         rows = lax.dynamic_slice_in_dim(rp16, pad + dy + row_offset, stride * (h - 1) + 1, axis=0)[::stride]  # (h, Wp)
         outs = []
+        fulls = []
         for dxi in range(nd):
             if stride == 1:
                 win = rows[:, dxi + pad - sr : dxi + pad - sr + w]
             else:
                 win = rows[:, dxi + pad - sr : dxi + pad - sr + stride * (w - 1) + 1 : stride]
             diff = abs(win - c16)
-            s = diff.reshape(nbr, sub_bs, nbc, sub_bs).astype(sum_dtype).sum(axis=(1, 3))
+            # two-stage: minor-axis reduce first (fuses with the abs-diff, so
+            # the (h, w) diff is never materialized), then the small sublane
+            # reduce — a single strided (1, 3)-axes reduce defeats fusion and
+            # quintuples HBM traffic (measured via XLA cost analysis)
+            cols = diff.reshape(h, nbc, sub_bs).astype(sum_dtype).sum(axis=-1)  # (h, nbc)
+            s = cols.reshape(nbr, sub_bs, nbc).sum(axis=1).astype(xp.int32)  # (nbr, nbc)
             outs.append(s)
-        return xp.stack(outs).astype(xp.int32)  # (nd, nbr, nbc)
+            if also_full:
+                f = s.reshape(nbr // 2, 2, nbc // 2, 2).sum(axis=(1, 3))
+                fulls.append(f)
+        if also_full:
+            return xp.stack(outs), xp.stack(fulls)
+        return xp.stack(outs)  # (nd, nbr, nbc)
 
     return jax.lax.map(one_dy_jax, xp.arange(-sr, sr + 1))  # (ndy, ndx, nbr, nbc)
 
@@ -157,12 +178,16 @@ def full_search_materialized(cur, refs, sr: int, bs: int, sub_bs: int, stride: i
     nb = nbr * nbc
     nbr2, nbc2 = h // sub_bs, w // sub_bs
     if xp is np:
-        maps = np.stack([sad_maps(cur, refs[i], sr, sub_bs, stride, np, row_offset) for i in range(nref)])
+        pairs = [sad_maps(cur, refs[i], sr, sub_bs, stride, np, row_offset, also_full=True) for i in range(nref)]
+        maps = np.stack([p[0] for p in pairs])
+        full = np.stack([p[1] for p in pairs]).reshape(nref, nd, nd, -1)
     else:
         import jax
 
-        maps = jax.vmap(lambda r: sad_maps(cur, r, sr, sub_bs, stride, xp, row_offset))(refs)
-    full = maps.reshape(nref, nd, nd, nbr2 // 2, 2, nbc2 // 2, 2).sum(axis=(4, 6)).reshape(nref, nd, nd, -1)
+        maps, fullg = jax.vmap(
+            lambda r: sad_maps(cur, r, sr, sub_bs, stride, xp, row_offset, also_full=True)
+        )(refs)
+        full = fullg.reshape(nref, nd, nd, -1)
     bxs = xp.asarray(np.tile(np.arange(nbc) * bs, nbr)) * stride
     bys = xp.asarray(np.repeat(np.arange(nbr) * bs, nbc)) * stride + row_offset
     vm = candidate_valid_mask(bxs, bys, sr, bs, H, W, fme, xp)
@@ -281,6 +306,10 @@ def full_search_fused(cur, refs, sr: int, bs: int, sub_bs: int, stride: int, fme
                 else:
                     win = rows[:, dxi + pad - sr : dxi + pad - sr + stride * (w - 1) + 1 : stride]
                 diff = abs(win - c16)
+                # NOTE: the single strided reduce is kept here deliberately —
+                # inside the GOP scan XLA fuses this form best (measured; the
+                # two-stage minor-axis reduce that wins in sad_maps is ~2x
+                # slower in this scan context)
                 ss = diff.reshape(nbr2, sub_bs, nbc2, sub_bs).astype(sum_dtype).sum(axis=(1, 3)).astype(xp.int32)
                 fs = ss.reshape(nbr, 2, nbc, 2).sum(axis=(1, 3)).reshape(-1)  # (nb,)
                 sec = ((((l1[dyi, dxi].astype(xp.int32) << 3) | refi) << 8 | dxi) << 8) | dyi

@@ -117,6 +117,7 @@ class JaxCodec:
         latency on TPU (measured), so it is the single-chip default."""
         cfg = self.cfg
         sr = cfg.search_range * 2 if fme else cfg.search_range
+        # auto => materialized: lower serial latency in the per-frame step
         search = M.full_search_fused if cfg.me_search == "fused" else M.full_search_materialized
         return search(cur32, search_refs, sr, self.bs, self.sbs, 2 if fme else 1, fme, cfg.vbs_enable, jnp)
 

@@ -225,7 +225,8 @@ class ShardedCodec:
             search_refs = refs_full.astype(jnp.int32)
         H, W = search_refs.shape[-2:]
 
-        search = M.full_search_fused if cfg.me_search == "fused" else M.full_search_materialized
+        # auto => fused: the streaming reduction wins inside the GOP scan
+        search = M.full_search_materialized if cfg.me_search == "materialized" else M.full_search_fused
         s = search(
             cur32, search_refs, sr, self.bs, self.sbs, scale, fme, cfg.vbs_enable, jnp,
             row_offset=scale * y0_px, nvalid=nvalid,
@@ -345,11 +346,11 @@ class ShardedCodec:
         # pad by repeating the last real frame (padding output is dropped)
         flat[n:] = self.y[n - 1]
         outs = []
-        light_keys = ("recon", "size", "sqerr", "mae_sum")
+        light_keys = ("size", "sqerr", "mae_sum") if fetch == "metrics" else ("recon", "size", "sqerr", "mae_sum")
         for b in range(g_pad // self.ndata):
             batch = jnp.asarray(frames_g[b * self.ndata : (b + 1) * self.ndata])
             o = self._encode_j(batch, self._row_qps, self._roi)
-            if fetch == "light":
+            if fetch in ("light", "metrics"):
                 o = {k: o[k] for k in light_keys}
             for v in o.values():  # overlap D2H with the next batch's compute
                 try:
@@ -362,12 +363,12 @@ class ShardedCodec:
         nb = self.nbr * self.nbc
         row_qps_host = list(np.asarray(self._row_qps)) if cfg.rc_active else []
         mvs_pf, res_pf, psnr_pf, mae_pf, sizes, ftypes = [], [], [], [], [], []
-        recon = np.zeros((n, self.h, self.w), dtype=np.uint8)
+        recon = None if fetch == "metrics" else np.zeros((n, self.h, self.w), dtype=np.uint8)
         for i in range(n):
             g, f = divmod(i, gl)
             ftype = 0 if f == 0 else 1
             ftypes.append(ftype)
-            if fetch != "light":
+            if fetch not in ("light", "metrics"):
                 per = {
                     "mv": out["mv"][g, f].reshape(nb, 3),
                     "split": out["split"][g, f].reshape(nb),
@@ -381,7 +382,8 @@ class ShardedCodec:
             mse = out["sqerr"][g, f] / (self.h * self.w)
             psnr_pf.append(float(10.0 * np.log10(255.0**2 / mse)) if mse > 0 else float("inf"))
             mae_pf.append(float(out["mae_sum"][g, f]) / nb)
-            recon[i] = out["recon"][g, f]
+            if recon is not None:
+                recon[i] = out["recon"][g, f]
         pkg = {
             "block size": self.bs,
             "num frames": n,
@@ -395,7 +397,7 @@ class ShardedCodec:
             "residual size per frame": sizes,
             "reconstructed frames": recon,
         }
-        if fetch != "light":
+        if fetch not in ("light", "metrics"):
             pkg["MVS per Frame"] = mvs_pf
             pkg["approx residual"] = res_pf
         return pkg

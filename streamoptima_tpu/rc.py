@@ -45,6 +45,47 @@ def row_qp_sequence(cfg, frame_type: int = 0):
     return qps
 
 
+def measure_qp_tables(cfg, y_frames, sample_frames: int = 2):
+    """Measure per-row bitrate tables by encoding sample frames at every QP.
+
+    The reference expects externally measured ``size_arr_intra`` /
+    ``size_arr_inter`` tables (main.py:43 references undefined globals, bug
+    B5); this builds them from the codec itself: table[frame_type][qp] =
+    mean entropy-coded bits per block row (8 bits per RLE symbol) over
+    ``sample_frames`` frames encoded intra (type 0) / inter (type 1) at that
+    QP.  Returns [intra_table, inter_table], each 12 entries (QP 0..11).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from streamoptima_tpu.jax_engine import JaxCodec
+
+    y = np.asarray(y_frames)[: sample_frames + 1]
+    tables = []
+    for ftype in (0, 1):
+        row = []
+        for qp in range(12):
+            c = dataclasses.replace(
+                cfg, qp=qp, frames=len(y), rc_flag=None, target_br=None,
+                qp_rate_tables=None, two_pass=False, engine="jax",
+            )
+            codec = JaxCodec(c, y)
+            bits = []
+            for i in range(1, len(y)):
+                cur = codec._y_dev[i]
+                if ftype == 0:
+                    out = codec._intra_step_j(cur, codec.row_qps, cur)
+                else:
+                    out = codec._inter_step_j(
+                        cur, codec._y_dev[i - 1 : i], codec.row_qps, cur, nref=1, initial_refs=False
+                    )
+                bits.append(8.0 * float(jnp.mean(out["row_bits"].astype(jnp.float32))))
+            row.append(float(np.mean(bits)))
+        tables.append(row)
+    return tables
+
+
 def row_wise_stats(bits_cum_per_row):
     """First-pass statistics: per-row share (%) of the frame's bits
     (Encoder.py:1627-1639; computed then discarded by the reference)."""
