@@ -64,11 +64,11 @@ class CodecConfig:
     two_pass: bool = False
     # devices for multi-chip sharding (parallel/ modes); None => single chip
     mesh_devices: Any = None
-    # full-search kernel: "auto" picks per context (measured on TPU v5e:
-    # "materialized" — candidate maps + argmin — wins in the per-frame jitted
-    # step; "fused" — streaming reduction, no candidate map in HBM — wins
-    # inside the GOP-scan/sharded program).  Bit-identical results either way
-    # (core/me.py).
+    # full-search kernel: "auto" picks per context (measured on TPU v5e):
+    # the hand-scheduled Pallas kernel (core/me_pallas.py) for whole-pel
+    # search on TPU, "materialized" (candidate maps + argmin) in the
+    # per-frame jitted step otherwise, "fused" (streaming reduction) inside
+    # GOP-scan/sharded programs.  All bit-identical (core/me.py).
     me_search: str = "auto"
 
     def __post_init__(self) -> None:
@@ -81,8 +81,8 @@ class CodecConfig:
             raise ValueError("intra_mode must be 0 (horizontal) or 1 (vertical)")
         if self.engine not in ("jax", "compat"):
             raise ValueError("engine must be 'jax' or 'compat'")
-        if self.me_search not in ("auto", "materialized", "fused"):
-            raise ValueError("me_search must be 'auto', 'materialized' or 'fused'")
+        if self.me_search not in ("auto", "materialized", "fused", "pallas"):
+            raise ValueError("me_search must be 'auto', 'materialized', 'fused' or 'pallas'")
         if self.two_pass:
             if self.engine != "jax":
                 raise ValueError("two_pass is a native-engine feature (the reference only gathers "

@@ -111,14 +111,21 @@ class JaxCodec:
 
     # ------------------------------------------------------------- search
     def _full_search(self, cur32, search_refs, fme):
-        """Materializing SAD search: MXU-matmul candidate maps (sad_maps) +
-        exact-tie-break argmin.  full_search_fused computes the same result
-        with a streaming reduction; the materializing form has lower serial
-        latency on TPU (measured), so it is the single-chip default."""
+        """Full-search dispatch (bit-identical results across kernels):
+        Pallas kernel for whole-pel search on TPU (fastest, core/me_pallas),
+        materialized candidate maps + argmin otherwise; "fused" selects the
+        streaming reduction (see CodecConfig.me_search)."""
         cfg = self.cfg
         sr = cfg.search_range * 2 if fme else cfg.search_range
-        # auto => materialized: lower serial latency in the per-frame step
-        search = M.full_search_fused if cfg.me_search == "fused" else M.full_search_materialized
+        mode = cfg.me_search
+        if mode in ("auto", "pallas") and not fme and jax.default_backend() == "tpu":
+            from streamoptima_tpu.core.me_pallas import full_search_pallas
+
+            out = full_search_pallas(cur32, search_refs, sr, self.bs, self.sbs, cfg.vbs_enable)
+            if not cfg.vbs_enable:
+                out = {k: out[k] for k in ("mv", "sad", "ok")}
+            return out
+        search = M.full_search_fused if mode == "fused" else M.full_search_materialized
         return search(cur32, search_refs, sr, self.bs, self.sbs, 2 if fme else 1, fme, cfg.vbs_enable, jnp)
 
     def _fast_candidates(self, cur_blk, refs, X, Y, n, mvp, fme):

@@ -225,12 +225,24 @@ class ShardedCodec:
             search_refs = refs_full.astype(jnp.int32)
         H, W = search_refs.shape[-2:]
 
-        # auto => fused: the streaming reduction wins inside the GOP scan
-        search = M.full_search_materialized if cfg.me_search == "materialized" else M.full_search_fused
-        s = search(
-            cur32, search_refs, sr, self.bs, self.sbs, scale, fme, cfg.vbs_enable, jnp,
-            row_offset=scale * y0_px, nvalid=nvalid,
-        )
+        mode = cfg.me_search
+        if (
+            mode in ("auto", "pallas")
+            and not fme
+            and self.ntile == 1
+            and jax.default_backend() == "tpu"
+        ):
+            # single-tile shards can use the Pallas kernel (no row offset)
+            from streamoptima_tpu.core.me_pallas import full_search_pallas
+
+            s = full_search_pallas(cur32, search_refs, sr, self.bs, self.sbs, cfg.vbs_enable, nvalid=nvalid)
+        else:
+            # auto => fused: the streaming reduction wins inside the GOP scan
+            search = M.full_search_materialized if mode == "materialized" else M.full_search_fused
+            s = search(
+                cur32, search_refs, sr, self.bs, self.sbs, scale, fme, cfg.vbs_enable, jnp,
+                row_offset=scale * y0_px, nvalid=nvalid,
+            )
         mv, sad, ok = s["mv"], s["sad"], s["ok"]
         by_g = self._by_local + y0_px
 
