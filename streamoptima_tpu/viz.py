@@ -102,6 +102,42 @@ def visualize_comparison(original, reconstructed, decoded=None, save=None):
     return fig
 
 
+def view_frame(frame, title: str = "frame", save=None):
+    """Single-plane viewer (view_frame, video_manager.py:99-142)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.imshow(np.asarray(frame), cmap="gray", vmin=0, vmax=255)
+    ax.set_title(title)
+    ax.axis("off")
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def view_frame_yuv(yuv444_frame, save=None):
+    """Y/U/V plane triptych (view_frame_diff_planes twin)."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+    for ax, name, plane in zip(axes, "YUV", np.asarray(yuv444_frame)):
+        ax.imshow(plane, cmap="gray", vmin=0, vmax=255)
+        ax.set_title(name)
+        ax.axis("off")
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def view_frame_rgb(rgb_frame, save=None):
+    """RGB frame viewer (view_frame_rgb twin)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.imshow(np.asarray(rgb_frame))
+    ax.axis("off")
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig
+
+
 def vbs_overlay_frames(frames, mvs_per_frame, frame_types, cfg):
     """Zero out each block's top/left edge — plus the mid cross when split —
     making the partition grid visible (construct_VBS_overlay twin,
