@@ -128,12 +128,20 @@ class JaxCodec:
         search = M.full_search_fused if mode == "fused" else M.full_search_materialized
         return search(cur32, search_refs, sr, self.bs, self.sbs, 2 if fme else 1, fme, cfg.vbs_enable, jnp)
 
-    def _fast_candidates(self, cur_blk, refs, X, Y, n, mvp, fme):
+    def _fast_candidates(self, cur_blk, refs_pad, pad, dims, X, Y, n, mvp, fme):
         """SADs of the 3x3 window around mvp for one block; returns winner
         with fast-ME semantics (strict improvement, (ref, dx, dy) scan
-        order; quirk K7 bound; fallback to mvp when nothing valid)."""
-        H, W = refs.shape[-2:]
-        nref = refs.shape[0]
+        order; quirk K7 bound; fallback to mvp when nothing valid).
+
+        ``refs_pad``: refs padded by ``pad`` on each side; ``dims`` the
+        unpadded (H, W).  One small dynamic_slice replaces the per-step
+        giant gather (the MVP chain runs 3600 sequential scan steps at 720p;
+        gather per step was ~100us, 10x the slice).  Valid candidates read
+        identical pixels (pad >= region size, so their slice is never
+        clamped); invalid ones are masked before the argmin either way.
+        """
+        H, W = dims
+        nref = refs_pad.shape[0]
         d = jnp.arange(-1, 2)
         dx = mvp[0] + d  # (3,)
         dy = mvp[1] + d
@@ -143,13 +151,17 @@ class JaxCodec:
         oky = (py >= 0) & (py < H - n) & (py + 2 * n >= 0) & (py + 2 * n < H - n)
         valid = oky[:, None] & okx[None, :]  # (dy, dx) -> note loops dx outer
         step = 2 if fme else 1
-        i = jnp.arange(n)
-        rows = py[:, None] + step * i[None, :]  # (3, n)
-        cols = px[:, None] + step * i[None, :]
-        rc = jnp.clip(rows, 0, H - 1)
-        cc = jnp.clip(cols, 0, W - 1)
-        win = refs[:, rc[:, :, None, None], cc[None, None, :, :]]  # (nref, 3, n, 3, n)
-        win = win.transpose(0, 1, 3, 2, 4)  # (nref, dyi, dxi, n, n)
+        size = step * (n - 1) + 3
+        region = jax.lax.dynamic_slice(
+            refs_pad, (0, Y + mvp[1] - 1 + pad, X + mvp[0] - 1 + pad), (nref, size, size)
+        )
+        wins = []
+        for dyi in range(3):
+            row_w = []
+            for dxi in range(3):
+                row_w.append(region[:, dyi : dyi + step * (n - 1) + 1 : step, dxi : dxi + step * (n - 1) + 1 : step])
+            wins.append(jnp.stack(row_w, axis=1))
+        win = jnp.stack(wins, axis=1)  # (nref, dyi, dxi, n, n)
         sads = jnp.abs(win - cur_blk[None, None, None]).sum(axis=(-2, -1))  # (nref, dyi, dxi)
         sads = jnp.where(valid[None], sads, np.int32(2**31 - 1))
         # scan order (ref, dx, dy): strict improvement => first minimal in that order
@@ -168,14 +180,84 @@ class JaxCodec:
         sad = jnp.where(any_ok, best, np.int32(2**31 - 1))
         return mv, sad
 
+    def _fast_search_zero_mvp(self, cur32, search_refs, fme):
+        """Vectorized fast ME for the chain-free mvp=(0,0,0) case (the
+        ParallelMode-2 worker semantics, Encoder.py:642): every block
+        evaluates the 3x3 window around zero independently, so the whole
+        frame is one batched search — no 3600-step scan.  Same candidate
+        bounds (quirk K7) and the fast-ME tie-break (first minimum in
+        (ref, dx, dy) scan order — no L1 term, unlike full search)."""
+        cfg = self.cfg
+        scale = 2 if fme else 1
+        H, W = search_refs.shape[-2:]
+        nref = search_refs.shape[0]
+        maps, fullg = jax.vmap(
+            lambda r: M.sad_maps(cur32, r, 1, self.sbs, scale, jnp, also_full=True)
+        )(search_refs)
+        full = fullg.reshape(nref, 3, 3, -1)
+        vmask = M.candidate_valid_mask(
+            self.bx * scale, self.by * scale, 1, self.bs, H, W, fme, jnp, extra_2bs=True
+        )
+
+        def fast_argmin(sads, valid):
+            ncand = sads.shape[0] * 9
+            refi = jnp.arange(nref)[:, None, None]
+            dyi = jnp.arange(3)[None, :, None]
+            dxi = jnp.arange(3)[None, None, :]
+            sec = refi * 9 + dxi * 3 + dyi  # (ref, dx, dy) scan order
+            inf = np.int32(2**31 - 1)
+            sm = jnp.where(valid, sads, inf)
+            flat = sm.reshape(ncand, -1).T
+            best = flat.min(axis=-1)
+            sec_b = jnp.broadcast_to(sec[..., None], sads.shape).reshape(ncand, -1).T
+            sec_m = jnp.where((flat == best[:, None]) & (flat != inf), sec_b, inf)
+            win = sec_m.min(axis=-1)
+            ok = win != inf
+            wref = win // 9
+            wdx = (win % 9) // 3
+            wdy = win % 3
+            zero = jnp.zeros_like(win)
+            mv = jnp.stack(
+                [jnp.where(ok, wdx - 1, zero), jnp.where(ok, wdy - 1, zero), jnp.where(ok, wref, zero)],
+                axis=-1,
+            ).astype(jnp.int32)
+            return mv, jnp.where(ok, best, inf), ok
+
+        mv, sad, ok = fast_argmin(full, vmask[None])
+        outs = {"mv": mv, "sad": sad, "ok": ok}
+        if cfg.vbs_enable:
+            sub = maps.reshape(nref, 3, 3, -1)
+            vs = M.candidate_valid_mask(
+                self.qx.reshape(-1) * scale, self.qy.reshape(-1) * scale, 1, self.sbs, H, W, fme, jnp,
+                extra_2bs=True,
+            )
+            # maps are in (nbr2, nbc2) raster; reorder columns to quad order
+            # (vs was built from self.qx/qy and is already quad-ordered)
+            qidx = ((self.qy // self.sbs) * (self.w // self.sbs) + (self.qx // self.sbs)).reshape(-1)
+            smv, ssad, sok = fast_argmin(sub[..., qidx], vs[None])
+            outs["sub_mv"] = smv.reshape(self.nb, 4, 3)
+            outs["sub_sad"] = ssad.reshape(self.nb, 4)
+            outs["sub_ok"] = sok.reshape(self.nb, 4)
+        return outs
+
     def _fast_search(self, cur32, search_refs, fme, zero_mvp: bool):
         """Sequential MVP chain as a lax.scan over blocks (native twin of
-        Encoder.py:549-581); reports true SADs (quirk K6 fixed)."""
+        Encoder.py:549-581); reports true SADs (quirk K6 fixed).  NOTE: the
+        chain is raster-sequential — 3600 scan steps at 720p dominate its
+        cost on TPU, where exhaustive full search is an order of magnitude
+        FASTER than this "fast" heuristic.  The chain-free zero-MVP variant
+        dispatches to the fully vectorized path instead."""
         cfg = self.cfg
+        if zero_mvp:
+            return self._fast_search_zero_mvp(cur32, search_refs, fme)
         scale = 2 if fme else 1
         cur_b = self._blockify(cur32)
         cur_q = self._quads_of(cur_b) if cfg.vbs_enable else None
         n = self.bs
+        step_px = 2 if fme else 1
+        pad = step_px * (n - 1) + 3  # >= region size for both block sizes
+        dims = search_refs.shape[-2:]
+        refs_pad = jnp.pad(search_refs, ((0, 0), (pad, pad), (pad, pad)))
 
         def step(mvp, i):
             outs = {}
@@ -184,13 +266,14 @@ class JaxCodec:
                 qsad = []
                 for q in range(4):
                     m, s = self._fast_candidates(
-                        cur_q[i, q], search_refs, self.qx[i, q] * scale, self.qy[i, q] * scale, self.sbs, mvp, fme
+                        cur_q[i, q], refs_pad, pad, dims, self.qx[i, q] * scale, self.qy[i, q] * scale,
+                        self.sbs, mvp, fme,
                     )
                     qmv.append(m)
                     qsad.append(s)
                 outs["sub_mv"] = jnp.stack(qmv)
                 outs["sub_sad"] = jnp.stack(qsad)
-            m, s = self._fast_candidates(cur_b[i], search_refs, self.bx[i] * scale, self.by[i] * scale, n, mvp, fme)
+            m, s = self._fast_candidates(cur_b[i], refs_pad, pad, dims, self.bx[i] * scale, self.by[i] * scale, n, mvp, fme)
             outs["mv"] = m
             outs["sad"] = s
             new_mvp = jnp.where(zero_mvp, jnp.zeros(3, jnp.int32), m)

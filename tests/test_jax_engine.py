@@ -141,3 +141,38 @@ def test_nref_multi():
     # at least one block should reference the older frame at some point
     refs_used = {mv[1][2] for f in pkg["MVS per Frame"][2:] for mv in f if mv[0] == 0}
     assert 0 in refs_used  # sanity; index 1 may or may not appear
+
+
+def test_mode2_fast_me_vectorized_matches_compat():
+    """ParallelMode 2 + fast ME: the native engine's chain-free vectorized
+    path (mvp=(0,0,0) per block) must pick exactly the compat engine's MVs
+    (same 3x3 candidates, K7 bounds, and (ref, dx, dy) tie-break)."""
+    h, w, frames = 64, 64, 3
+    y = smooth_clip(h, w, frames)
+    pj = JaxCodec(make_cfg(h, w, frames, "jax", parallel_mode=2, fast_me=True), y).encode()
+    pc = CompatCodec(make_cfg(h, w, frames, "compat", parallel_mode=2, fast_me=True), y).encode()
+    assert pj["frame_type_seq"] == list(pc["frame_type_seq"])
+    for i in range(frames):
+        if pj["frame_type_seq"][i] != 1:
+            continue
+        for j, ((sa, ma), (sb, mb)) in enumerate(zip(pj["MVS per Frame"][i], pc["MVS per Frame"][i])):
+            assert sa == sb and tuple(ma) == tuple(mb), (i, j, ma, mb)
+
+
+def test_mode2_fast_me_fme():
+    """Mode 2 fast ME under FME round-trips and matches compat MVs."""
+    h, w, frames = 64, 64, 3
+    y = smooth_clip(h, w, frames)
+    cfg = make_cfg(h, w, frames, "jax", parallel_mode=2, fast_me=True, fme_enable=True)
+    cj = JaxCodec(cfg, y)
+    pkg = cj.encode()
+    dec = cj.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                    pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i in range(frames):
+        assert np.array_equal(dec[i], pkg["reconstructed frames"][i])
+    pc = CompatCodec(make_cfg(h, w, frames, "compat", parallel_mode=2, fast_me=True, fme_enable=True), y).encode()
+    for i in range(frames):
+        if pkg["frame_type_seq"][i] != 1:
+            continue
+        for j, ((sa, ma), (sb, mb)) in enumerate(zip(pkg["MVS per Frame"][i], pc["MVS per Frame"][i])):
+            assert sa == sb and tuple(ma) == tuple(mb), (i, j, ma, mb)
