@@ -137,13 +137,18 @@ def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp, row_offset=0, also
 
     def one_dy_jax(dy):
         rows = lax.dynamic_slice_in_dim(rp16, pad + dy + row_offset, stride * (h - 1) + 1, axis=0)[::stride]  # (h, Wp)
+        if stride == 2:
+            # destride columns ONCE into parity planes; each dx window is then
+            # a contiguous view (a strided slice per dx materializes a copy)
+            planes = (rows[:, 0::2], rows[:, 1::2])
         outs = []
         fulls = []
         for dxi in range(nd):
+            c0 = dxi + pad - sr
             if stride == 1:
-                win = rows[:, dxi + pad - sr : dxi + pad - sr + w]
+                win = rows[:, c0 : c0 + w]
             else:
-                win = rows[:, dxi + pad - sr : dxi + pad - sr + stride * (w - 1) + 1 : stride]
+                win = planes[c0 % 2][:, c0 // 2 : c0 // 2 + w]
             diff = abs(win - c16)
             # two-stage: minor-axis reduce first (fuses with the abs-diff, so
             # the (h, w) diff is never materialized), then the small sublane

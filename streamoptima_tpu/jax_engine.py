@@ -67,10 +67,15 @@ class JaxCodec:
         self.qy = jnp.asarray((ys.reshape(-1)[:, None] + offs[None, :, 0]))
         self.vbs_eligible = jnp.asarray((xs.reshape(-1) != 0) & (ys.reshape(-1) != 0))
         if cfg.rc_active:
-            row_qps = np.asarray(rc_mod.row_qp_sequence(cfg), dtype=np.int32)
+            # native K9 fix: per-frame-type rate tables (the reference indexes
+            # the intra table for inter frames; compat replicates that)
+            self.row_qps_by_type = tuple(
+                jnp.asarray(np.asarray(rc_mod.row_qp_sequence(cfg, t), dtype=np.int32)) for t in (0, 1)
+            )
         else:
-            row_qps = np.full(self.nbr, cfg.qp, dtype=np.int32)
-        self.row_qps = jnp.asarray(row_qps)
+            const = jnp.asarray(np.full(self.nbr, cfg.qp, dtype=np.int32))
+            self.row_qps_by_type = (const, const)
+        self.row_qps = self.row_qps_by_type[0]
         if cfg.roi_qp_map is not None:
             roi = np.asarray(cfg.roi_qp_map, dtype=np.int32).reshape(-1)
             assert roi.shape[0] == self.nb, "roi_qp_map must have one offset per block"
@@ -118,10 +123,13 @@ class JaxCodec:
         cfg = self.cfg
         sr = cfg.search_range * 2 if fme else cfg.search_range
         mode = cfg.me_search
-        if mode in ("auto", "pallas") and not fme and jax.default_backend() == "tpu":
-            from streamoptima_tpu.core.me_pallas import full_search_pallas
+        if mode in ("auto", "pallas") and jax.default_backend() == "tpu":
+            from streamoptima_tpu.core import me_pallas
 
-            out = full_search_pallas(cur32, search_refs, sr, self.bs, self.sbs, cfg.vbs_enable)
+            if fme:
+                out = me_pallas.full_search_pallas_fme(cur32, search_refs, cfg.search_range, self.bs, self.sbs, cfg.vbs_enable)
+            else:
+                out = me_pallas.full_search_pallas(cur32, search_refs, sr, self.bs, self.sbs, cfg.vbs_enable)
             if not cfg.vbs_enable:
                 out = {k: out[k] for k in ("mv", "sad", "ok")}
             return out
@@ -426,7 +434,7 @@ class JaxCodec:
         row_bits = np.asarray(out["row_bits"], dtype=np.float64)
         total = row_bits.sum()
         if total <= 0:
-            return self.row_qps
+            return self.row_qps_by_type[ftype]
         stats_pct = row_bits / total * 100.0
         budgets = rc_mod.two_pass_row_budgets(self.cfg, stats_pct)
         qps = rc_mod.row_qp_from_budgets(self.cfg, budgets, ftype)
@@ -450,17 +458,17 @@ class JaxCodec:
         for i in range(cfg.frames):
             cur = self._y_dev[i]
             if i % cfg.intra_dur == 0 and cfg.parallel_mode != 1:
-                out = self._intra_step_j(cur, self.row_qps, cur)
+                out = self._intra_step_j(cur, self.row_qps_by_type[0], cur)
                 ftype = 0
             else:
                 if cfg.parallel_mode in (1, 3):
                     use, use_initial = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)], True
                 else:
                     use, use_initial = refs, initial
-                out = self._inter_step_j(cur, jnp.stack(use), self.row_qps, cur, nref=len(use), initial_refs=use_initial)
+                out = self._inter_step_j(cur, jnp.stack(use), self.row_qps_by_type[1], cur, nref=len(use), initial_refs=use_initial)
                 ftype = 1
                 if cfg.rc_flag is not None and cfg.rc_flag > 1 and int(out["size"]) > cfg.intra_thresh:
-                    out = self._intra_step_j(cur, self.row_qps, cur)
+                    out = self._intra_step_j(cur, self.row_qps_by_type[0], cur)
                     ftype = 0
             if two_pass:
                 row_qps2 = self._two_pass_qps(out, ftype)
@@ -470,7 +478,9 @@ class JaxCodec:
                     out = self._inter_step_j(cur, jnp.stack(use), row_qps2, cur, nref=len(use), initial_refs=use_initial)
                 qp_rows_pf.append([int(q) for q in np.asarray(row_qps2)])
             else:
-                qp_rows_pf.append(list(np.asarray(self.row_qps)) if cfg.rc_active else [])
+                qp_rows_pf.append(
+                    [int(q) for q in np.asarray(self.row_qps_by_type[ftype])] if cfg.rc_active else []
+                )
             ftypes.append(ftype)
             per_frame.append(out)
             frames.append(out["recon"])

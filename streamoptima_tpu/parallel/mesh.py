@@ -102,9 +102,12 @@ class ShardedCodec:
         self.nb_t = self.nbr_t * self.nbc
         self.gl = cfg.intra_dur  # GOP length
         if cfg.rc_active:
-            row_qps = np.asarray(rc_mod.row_qp_sequence(cfg), dtype=np.int32)
+            # native K9 fix: per-frame-type rate tables (row 0 = intra, 1 = inter)
+            row_qps = np.stack([
+                np.asarray(rc_mod.row_qp_sequence(cfg, t), dtype=np.int32) for t in (0, 1)
+            ])
         else:
-            row_qps = np.full(self.nbr, cfg.qp, dtype=np.int32)
+            row_qps = np.broadcast_to(np.full(self.nbr, cfg.qp, dtype=np.int32), (2, self.nbr)).copy()
         self._row_qps = jnp.asarray(row_qps)
         if cfg.roi_qp_map is not None:
             self._roi = jnp.asarray(np.asarray(cfg.roi_qp_map, dtype=np.int32).reshape(self.nbr, self.nbc))
@@ -121,7 +124,7 @@ class ShardedCodec:
             shard_map(
                 self._encode_gops_shard,
                 mesh=mesh,
-                in_specs=(P_("data", None, "tile", None), P_(None), P_(None, None)),
+                in_specs=(P_("data", None, "tile", None), P_(None, None), P_(None, None)),
                 out_specs=self._out_specs(),
                 check_vma=False,
             )
@@ -167,6 +170,7 @@ class ShardedCodec:
         reconstruction never leave the 16-row band)."""
         cfg = self.cfg
         work = cur_l.astype(jnp.int32)
+        row_qps_tile = row_qps_tile[0]  # intra table (native K9 fix)
         out = I.intra_search_mode0(work, self.bs, cfg.search_range, self.w, cfg.vbs_enable, jnp)
         res_full, res_quads = I.intra_residuals_mode0(work, out["mv"], out.get("sub_mv"), self.bs, jnp)
         if cfg.vbs_enable:
@@ -210,6 +214,7 @@ class ShardedCodec:
         references; everything downstream touches only the local band.
         """
         cfg = self.cfg
+        row_qps_tile = row_qps_tile[1]  # inter table (native K9 fix)
         fme = cfg.fme_enable
         scale = 2 if fme else 1
         sr = cfg.search_range * 2 if fme else cfg.search_range
@@ -228,14 +233,20 @@ class ShardedCodec:
         mode = cfg.me_search
         if (
             mode in ("auto", "pallas")
-            and not fme
             and self.ntile == 1
             and jax.default_backend() == "tpu"
         ):
-            # single-tile shards can use the Pallas kernel (no row offset)
-            from streamoptima_tpu.core.me_pallas import full_search_pallas
+            # single-tile shards can use the Pallas kernels (no row offset)
+            from streamoptima_tpu.core import me_pallas
 
-            s = full_search_pallas(cur32, search_refs, sr, self.bs, self.sbs, cfg.vbs_enable, nvalid=nvalid)
+            if fme:
+                s = me_pallas.full_search_pallas_fme(
+                    cur32, search_refs, cfg.search_range, self.bs, self.sbs, cfg.vbs_enable, nvalid=nvalid
+                )
+            else:
+                s = me_pallas.full_search_pallas(
+                    cur32, search_refs, sr, self.bs, self.sbs, cfg.vbs_enable, nvalid=nvalid
+                )
         else:
             # auto => fused: the streaming reduction wins inside the GOP scan
             search = M.full_search_materialized if mode == "materialized" else M.full_search_fused
@@ -331,7 +342,7 @@ class ShardedCodec:
         """Per-device program: frames_g (G_local, gl, h_t, w)."""
         tile_idx = jax.lax.axis_index("tile")
         y0_blocks = tile_idx * self.nbr_t
-        row_qps_tile = jax.lax.dynamic_slice_in_dim(row_qps, y0_blocks, self.nbr_t)
+        row_qps_tile = jax.lax.dynamic_slice_in_dim(row_qps, y0_blocks, self.nbr_t, axis=1)  # (2, nbr_t)
         roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0_blocks, self.nbr_t, axis=0)
         return jax.vmap(lambda fl: self._encode_gop_local(fl, row_qps_tile, roi_tile, y0_blocks))(frames_g)
 
@@ -373,7 +384,8 @@ class ShardedCodec:
         out = jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *outs)
 
         nb = self.nbr * self.nbc
-        row_qps_host = list(np.asarray(self._row_qps)) if cfg.rc_active else []
+        rq = np.asarray(self._row_qps)
+        row_qps_host = {0: [int(q) for q in rq[0]], 1: [int(q) for q in rq[1]]}
         mvs_pf, res_pf, psnr_pf, mae_pf, sizes, ftypes = [], [], [], [], [], []
         recon = None if fetch == "metrics" else np.zeros((n, self.h, self.w), dtype=np.uint8)
         for i in range(n):
@@ -405,7 +417,9 @@ class ShardedCodec:
             "PSNR per frame": psnr_pf,
             "MAE per Frame": mae_pf,
             "frame_type_seq": ftypes,
-            "Qp_per_row_per_frame": [row_qps_host for _ in range(n)],
+            "Qp_per_row_per_frame": [
+                (row_qps_host[ft] if cfg.rc_active else []) for ft in ftypes
+            ],
             "residual size per frame": sizes,
             "reconstructed frames": recon,
         }

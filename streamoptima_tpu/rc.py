@@ -28,9 +28,12 @@ def pick_qp(table, budget: float):
 
 
 def row_qp_sequence(cfg, frame_type: int = 0):
-    """Per-row (qp, table_bits) for one frame; identical across frames.
+    """Per-row QPs for one frame; identical across frames (quirk K10).
 
-    frame_type is forced to 0 in compat mode (quirk K9).
+    frame_type is forced to 0 in compat mode (quirk K9: the reference indexes
+    the intra table for inter frames too); the native engine uses the
+    per-type table and clamps to the largest QP when no table entry fits the
+    budget instead of crashing (bug B6).
     """
     table_idx = 0 if cfg.compat else frame_type
     table = cfg.qp_rate_tables[table_idx]
@@ -40,7 +43,13 @@ def row_qp_sequence(cfg, frame_type: int = 0):
     for r in range(cfg.block_rows):
         if r > 0:
             budget = per_row + (budget - bits)
-        qp, bits = pick_qp(table, budget)
+        try:
+            qp, bits = pick_qp(table, budget)
+        except ValueError:
+            if cfg.compat:
+                raise
+            qp = len(table) - 1
+            bits = table[qp]
         qps.append(qp)
     return qps
 

@@ -43,3 +43,28 @@ def test_pallas_translating_texture():
     # interior blocks: exact match at displacement (-3, -2)
     assert (mv[1:3, 2:6, 0] == -3).all() and (mv[1:3, 2:6, 1] == -2).all()
     assert (np.asarray(out["sad"]).reshape(4, 8)[1:3, 2:6] == 0).all()
+
+
+@pytest.mark.parametrize(
+    "h,w,sr,nref,nvalid",
+    [
+        (64, 128, 4, 1, None),
+        (64, 128, 8, 2, 1),
+    ],
+)
+def test_pallas_fme_matches_oracle(h, w, sr, nref, nvalid):
+    """Half-pel (parity-plane) kernel vs the XLA oracle at double range."""
+    rng = np.random.default_rng(h + sr)
+    from streamoptima_tpu.core.me_pallas import full_search_pallas_fme
+
+    cur = rng.integers(0, 256, (h, w)).astype(np.int32)
+    ups = np.stack([
+        M.fme_upsample(rng.integers(0, 256, (h, w)).astype(np.int32), np) for _ in range(nref)
+    ])
+    a = M.full_search_materialized(cur, ups, 2 * sr, 16, 8, 2, True, True, np, nvalid=nvalid)
+    b = full_search_pallas_fme(
+        jnp.asarray(cur), jnp.asarray(ups), sr, 16, 8, True,
+        nvalid=None if nvalid is None else jnp.int32(nvalid), interpret=True,
+    )
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)

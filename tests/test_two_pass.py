@@ -80,3 +80,17 @@ def test_two_pass_requires_rc():
     with pytest.raises(ValueError):
         CodecConfig(height=64, width=64, frames=2, two_pass=True, engine="compat",
                     rc_flag=1, target_br="100 kbps", qp_rate_tables=TABLES)
+
+
+def test_native_rc_uses_per_type_tables():
+    """K9 fix: the native engine looks inter frames up in the *inter* table
+    (the reference passes frame_type 0 everywhere, Encoder.py:1671, which the
+    compat engine replicates)."""
+    clip = synthetic_clip(h=64, w=64, frames=4, motion=2)
+    cfg = _cfg()
+    pkg = JaxCodec(cfg, clip).encode()
+    seq_intra = rc.row_qp_sequence(cfg, 0)
+    seq_inter = rc.row_qp_sequence(cfg, 1)
+    assert seq_intra != seq_inter  # tables differ enough to observe the fix
+    for ft, qps in zip(pkg["frame_type_seq"], pkg["Qp_per_row_per_frame"]):
+        assert qps == (seq_intra if ft == 0 else seq_inter)
