@@ -62,11 +62,16 @@ def fme_upsample(frame, xp, wrap_row_pass: bool | None = None):
         out[1::2, 0::2] = col_half
         out[1::2, 1::2] = quad
         return out
-    out = out.at[0::2, 0::2].set(f)
-    out = out.at[0::2, 1::2].set(row_half)
-    out = out.at[1::2, 0::2].set(col_half)
-    out = out.at[1::2, 1::2].set(quad)
-    return out
+    # interleave via stack+reshape (strided .at[] scatters lower poorly on TPU)
+    even_rows = xp.concatenate(
+        [xp.stack([f[:, :-1], row_half], axis=2).reshape(h, 2 * (w - 1)), f[:, -1:]], axis=1
+    )  # (h, 2w-1)
+    odd_rows = xp.concatenate(
+        [xp.stack([col_half[:, :-1], quad], axis=2).reshape(h - 1, 2 * (w - 1)), col_half[:, -1:]],
+        axis=1,
+    )  # (h-1, 2w-1)
+    inter = xp.stack([even_rows[:-1], odd_rows], axis=1).reshape(2 * (h - 1), 2 * w - 1)
+    return xp.concatenate([inter, even_rows[-1:]], axis=0)
 
 
 def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp, row_offset=0, also_full=False):
