@@ -176,3 +176,30 @@ def test_mode2_fast_me_fme():
             continue
         for j, ((sa, ma), (sb, mb)) in enumerate(zip(pkg["MVS per Frame"][i], pc["MVS per Frame"][i])):
             assert sa == sb and tuple(ma) == tuple(mb), (i, j, ma, mb)
+
+
+@pytest.mark.parametrize("bs", [8, 32])
+def test_block_size_generality(bs):
+    """Non-default block sizes round-trip, and the native search agrees with
+    the compat search bit-for-bit on identical inputs (the reference
+    parameterizes block_size throughout, Encoder.py:24).  Whole-clip MV
+    parity is NOT asserted: the engines' reconstructions differ by +-1
+    (int DCT vs scipy), so later frames search legitimately different refs."""
+    y = smooth_clip(64, 64, 3)
+    cfg = make_cfg(64, 64, 3, "jax", block_size=bs, vbs_enable=True)
+    cj = JaxCodec(cfg, y)
+    pkg = cj.encode()
+    dec = cj.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                    pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i in range(3):
+        assert np.array_equal(dec[i], pkg["reconstructed frames"][i])
+    # search primitives on identical inputs
+    from streamoptima_tpu.core import me as M
+
+    cc = CompatCodec(make_cfg(64, 64, 3, "compat", block_size=bs, vbs_enable=True), y)
+    cur = y[1].astype(np.int32)
+    ref = y[0].astype(np.int32)
+    out_n = M.full_search_materialized(cur, ref[None], 3, bs, bs // 2, 1, False, True, np)
+    out_c = cc._full_search(cur, ref[None].astype(np.float64), False)
+    np.testing.assert_array_equal(out_n["mv"], np.asarray(out_c["mv"]))
+    np.testing.assert_array_equal(out_n["sub_mv"], np.asarray(out_c["sub_mv"]))
