@@ -67,6 +67,7 @@ def main():
     gop_encode_fps("720p_vbs_fme", CodecConfig(height=720, width=1280, search_range=8,
                                                vbs_enable=True, fme_enable=True, **base))
     gop_encode_fps("1080p_full_search", CodecConfig(height=1088, width=1920, search_range=8, **base))
+    gop_encode_fps("4k_full_search", CodecConfig(height=2160, width=3840, search_range=8, **base), frames_n=8)
     gop_encode_fps("cif_reference_defaults", CodecConfig(height=288, width=352, search_range=16,
                                                          vbs_enable=True, fme_enable=True, **base))
 

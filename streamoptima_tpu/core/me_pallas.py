@@ -29,8 +29,11 @@ import jax.numpy as jnp
 _INF32 = np.int32(2**31 - 1)
 
 
-def _band_rows(nbr: int, target: int = 16) -> int:
-    """Largest divisor of nbr that is <= target (block rows per program)."""
+def _band_rows(nbr: int, w: int) -> int:
+    """Block rows per program: largest divisor of nbr whose VMEM footprint
+    (cur band + ref band + f32/bf16 diff temporaries, ~12 B/px) stays inside
+    the 16 MB budget — 16 rows at 720p, 5 at 4K."""
+    target = max(1, min(16, (16 * 1280) // max(w, 1)))
     for d in range(min(target, nbr), 0, -1):
         if nbr % d == 0:
             return d
@@ -62,7 +65,7 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
     nd_x = len(dx_list)
     nbr, nbc = h // bs, w // bs
     nbr2, nbc2 = h // sub_bs, w // sub_bs
-    band = _band_rows(nbr)
+    band = _band_rows(nbr, w)
     band_px = band * bs
     nprog = nbr // band
     nbr2_b = band_px // sub_bs
