@@ -173,16 +173,28 @@ def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp, row_offset=0, also
 
 
 def full_search_materialized(cur, refs, sr: int, bs: int, sub_bs: int, stride: int, fme: bool,
-                             vbs: bool, xp, row_offset=0, nvalid=None):
+                             vbs: bool, xp, row_offset=0, nvalid=None, grid_dims=None,
+                             valid_row_offset=None):
     """Full search via materialized candidate maps + exact-tie-break argmin.
 
     Same contract and bit-identical results as full_search_fused; the
     materialized form has lower serial latency on TPU (measured 37 vs 55
     ms/frame at 720p), the fused form avoids the (ndy, ndx, nbr2, nbc2)
     intermediate.  Works for NumPy (oracle) and JAX backends.
+
+    ``grid_dims``: the FULL reference-grid (H, W) for validity when ``refs``
+    is only a halo band of the frame (row-sharded tiles exchanging
+    search-range-wide borders); defaults to refs' own dims.
+    ``valid_row_offset``: GLOBAL ref-grid row of cur's first row for the
+    validity math; defaults to ``row_offset`` (which is the READ offset into
+    ``refs`` — the two differ when refs is a halo band).
     """
     h, w = cur.shape
     nref, H, W = refs.shape
+    if grid_dims is not None:
+        H, W = grid_dims
+    if valid_row_offset is None:
+        valid_row_offset = row_offset
     nd = 2 * sr + 1
     nbr, nbc = h // bs, w // bs
     nb = nbr * nbc
@@ -199,7 +211,7 @@ def full_search_materialized(cur, refs, sr: int, bs: int, sub_bs: int, stride: i
         )(refs)
         full = fullg.reshape(nref, nd, nd, -1)
     bxs = xp.asarray(np.tile(np.arange(nbc) * bs, nbr)) * stride
-    bys = xp.asarray(np.repeat(np.arange(nbr) * bs, nbc)) * stride + row_offset
+    bys = xp.asarray(np.repeat(np.arange(nbr) * bs, nbc)) * stride + valid_row_offset
     vm = candidate_valid_mask(bxs, bys, sr, bs, H, W, fme, xp)
     rv_shape = (nref, 1, 1, 1)
     rv = (xp.arange(nref) < (nref if nvalid is None else nvalid)).reshape(rv_shape)
@@ -207,7 +219,7 @@ def full_search_materialized(cur, refs, sr: int, bs: int, sub_bs: int, stride: i
     out = {"mv": mv, "sad": sad, "ok": ok}
     if vbs:
         qxs = xp.asarray(np.tile(np.arange(nbc2) * sub_bs, nbr2)) * stride
-        qys = xp.asarray(np.repeat(np.arange(nbr2) * sub_bs, nbc2)) * stride + row_offset
+        qys = xp.asarray(np.repeat(np.arange(nbr2) * sub_bs, nbc2)) * stride + valid_row_offset
         sub = maps.reshape(nref, nd, nd, -1)
         vs = candidate_valid_mask(qxs, qys, sr, sub_bs, H, W, fme, xp)
         smv, ssad, sok = argmin_displacement(sub, xp.broadcast_to(vs[None] & rv, sub.shape), sr, True, xp)
@@ -228,7 +240,8 @@ def full_search_materialized(cur, refs, sr: int, bs: int, sub_bs: int, stride: i
 
 
 def full_search_fused(cur, refs, sr: int, bs: int, sub_bs: int, stride: int, fme: bool,
-                      vbs: bool, xp, row_offset=0, nvalid=None):
+                      vbs: bool, xp, row_offset=0, nvalid=None, grid_dims=None,
+                      valid_row_offset=None):
     """Streaming full search: SAD generation and winner selection in one pass.
 
     Functionally identical to sad_maps + candidate_valid_mask +
@@ -255,11 +268,16 @@ def full_search_fused(cur, refs, sr: int, bs: int, sub_bs: int, stride: int, fme
 
     if xp is np:  # oracle path: materialize + argmin (bit-identical result)
         return full_search_materialized(cur, refs, sr, bs, sub_bs, stride, fme, vbs, np,
-                                        row_offset=row_offset, nvalid=nvalid)
+                                        row_offset=row_offset, nvalid=nvalid, grid_dims=grid_dims,
+                                        valid_row_offset=valid_row_offset)
 
     import jax
     from jax import lax
 
+    if grid_dims is not None:
+        H, W = grid_dims
+    if valid_row_offset is None:
+        valid_row_offset = row_offset
     nbr2, nbc2 = h // sub_bs, w // sub_bs
     pad = sr + stride * sub_bs + 2
     c16 = cur.astype(xp.int16)
@@ -268,7 +286,7 @@ def full_search_fused(cur, refs, sr: int, bs: int, sub_bs: int, stride: int, fme
     d = xp.arange(nd) - sr  # displacement values per index
     # per-axis validity, precomputed for all (index, coordinate) pairs
     bx = xp.asarray(np.arange(nbc) * bs) * stride
-    by = xp.asarray(np.arange(nbr) * bs) * stride + row_offset
+    by = xp.asarray(np.arange(nbr) * bs) * stride + valid_row_offset
     px = bx[None, :] + d[:, None]  # (nd, nbc)
     py = by[None, :] + d[:, None]  # (nd, nbr)
     okx_f = (px >= 0) & (px < W - bs)
@@ -278,7 +296,7 @@ def full_search_fused(cur, refs, sr: int, bs: int, sub_bs: int, stride: int, fme
         oky_f &= (py + 2 * bs >= 0) & (py + 2 * bs < H - bs)
     if vbs:
         qx = xp.asarray(np.arange(nbc2) * sub_bs) * stride
-        qy = xp.asarray(np.arange(nbr2) * sub_bs) * stride + row_offset
+        qy = xp.asarray(np.arange(nbr2) * sub_bs) * stride + valid_row_offset
         pxq = qx[None, :] + d[:, None]
         pyq = qy[None, :] + d[:, None]
         okx_q = (pxq >= 0) & (pxq < W - sub_bs)

@@ -20,7 +20,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def gather_predictions(mvs, ref_stack, bx, by, bs: int, fme: bool, xp, fme_margin: int | None = None):
+def gather_predictions(mvs, ref_stack, bx, by, bs: int, fme: bool, xp, fme_margin: int | None = None,
+                       grid_dims=None, origin_row=0):
     """Predicted blocks for chosen MVs.
 
     mvs: (nb, 3) int32 [dx, dy, ref]; ref_stack: (nref, H, W) int (the FME
@@ -33,8 +34,18 @@ def gather_predictions(mvs, ref_stack, bx, by, bs: int, fme: bool, xp, fme_margi
     (= 2*bs for VBS quads) on the reconstruction/decode path (Encoder.py:910,
     decoder.py:185), so quads near the right/bottom edge can be predicted
     from a real window at residual time but from 128s at reconstruction.
+
+    ``grid_dims``/``origin_row``: when ``ref_stack`` is a halo band of the
+    frame (row-sharded tiles), grid_dims is the FULL ref-grid (H, W) used for
+    all validity/clipping decisions and origin_row the band's first row in
+    ref-grid units; every in-frame read must land inside the band (the halo
+    must cover the search range).
     """
-    H, W = ref_stack.shape[-2:]
+    if grid_dims is None:
+        H, W = ref_stack.shape[-2:]
+    else:
+        H, W = grid_dims
+    band_h = ref_stack.shape[-2]
     scale = 2 if fme else 1
     px = scale * bx + mvs[:, 0]
     py = scale * by + mvs[:, 1]
@@ -42,12 +53,17 @@ def gather_predictions(mvs, ref_stack, bx, by, bs: int, fme: bool, xp, fme_margi
     i = xp.arange(bs)
     valid1 = (px >= 0) & (px < W - bs) & (py >= 0) & (py < H - bs)
 
+    def band_rows(rc_global):
+        # global (already frame-clipped) rows -> band indices; the extra clip
+        # only guards reads whose values are masked anyway
+        return xp.clip(rc_global - origin_row, 0, band_h - 1)
+
     # contiguous clamped gather, zeros outside (cases A non-FME and C)
     rows = py[:, None] + i[None, :]  # (nb, bs)
     cols = px[:, None] + i[None, :]
     rin = (rows >= 0) & (rows < H)
     cin = (cols >= 0) & (cols < W)
-    rc = xp.clip(rows, 0, H - 1)
+    rc = band_rows(xp.clip(rows, 0, H - 1))
     cc = xp.clip(cols, 0, W - 1)
     g1 = ref_stack[ref[:, None, None], rc[:, :, None], cc[:, None, :]]
     g1 = xp.where(rin[:, :, None] & cin[:, None, :], g1, 0)
@@ -62,7 +78,7 @@ def gather_predictions(mvs, ref_stack, bx, by, bs: int, fme: bool, xp, fme_margi
         & (py + 2 * bs >= 0)
         & (py + 2 * bs < H - m)
     )
-    rows2 = xp.clip(py[:, None] + 2 * i[None, :], 0, H - 1)
+    rows2 = band_rows(xp.clip(py[:, None] + 2 * i[None, :], 0, H - 1))
     cols2 = xp.clip(px[:, None] + 2 * i[None, :], 0, W - 1)
     g2 = ref_stack[ref[:, None, None], rows2[:, :, None], cols2[:, None, :]]
     out = xp.where(

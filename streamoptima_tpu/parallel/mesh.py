@@ -12,10 +12,13 @@ instead of the reference's dependency-breaking approximations:
 - **"tile" axis — spatial row parallelism.**  Each chip owns a horizontal
   band of block rows.  Mode-0 intra search/reconstruction only ever reads the
   current 16-row band (core/intra.py), so intra frames need **zero
-  communication**.  Inter frames all_gather the reconstructed reference band
-  over ICI once per frame, then run motion search / transform / RD / recon on
-  the local band only.  This is the ICI-native version of the reference's
-  block/row-level modes 1-2 (which vmap already covers on a single chip).
+  communication**.  Inter frames exchange (search_range+1)-row HALOS with
+  their up/down neighbors via lax.ppermute over ICI — motion search, 
+  prediction and reconstruction then touch only the local band (+halo).
+  ``tile_comm="all_gather"`` keeps the simpler full-frame gather as a
+  debug/fallback path; both are bit-identical.  This is the ICI-native
+  version of the reference's block/row-level modes 1-2 (which vmap already
+  covers on a single chip).
 
 The sharded path always uses full-search ME (fast-ME's MVP chain is
 raster-sequential across the whole frame — it stays a single-chip feature,
@@ -80,13 +83,15 @@ class ShardedCodec:
     engine (it is >10x cheaper than encode).
     """
 
-    def __init__(self, cfg: CodecConfig, mesh: Mesh, y_frames=None):
+    def __init__(self, cfg: CodecConfig, mesh: Mesh, y_frames=None, tile_comm: str = "halo"):
         assert not cfg.compat, "sharded encoding requires the native engine"
         assert cfg.intra_mode == 0, "sharded path supports intra_mode 0 (mode 1's column chain crosses tiles)"
         assert not (cfg.rc_flag is not None and cfg.rc_flag > 1), (
             "scene-change promotion consumes per-frame host scalars; use the single-chip engine"
         )
         assert cfg.parallel_mode == 0, "mesh sharding replaces the reference's ParallelModes"
+        assert tile_comm in ("halo", "all_gather")
+        self.tile_comm = tile_comm
         self.cfg = cfg
         self.mesh = mesh
         self.y = None if y_frames is None else np.asarray(y_frames, dtype=np.uint8)
@@ -220,15 +225,37 @@ class ShardedCodec:
         sr = cfg.search_range * 2 if fme else cfg.search_range
         y0_px = y0_blocks * self.bs
         cur32 = cur_l.astype(jnp.int32)
+        grid_dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
 
-        refs_full = jax.lax.all_gather(refs_l, "tile", axis=1, tiled=True)  # (nref, h, w)
+        if self.ntile == 1 or self.tile_comm == "all_gather":
+            band = jax.lax.all_gather(refs_l, "tile", axis=1, tiled=True)  # (nref, h, w)
+            origin_px = 0
+            search_row_offset = scale * y0_px
+            pred_origin = 0
+        else:
+            # halo exchange: each tile only needs the neighbors' search_range
+            # (+1 for half-pel interpolation) border rows — a ppermute of thin
+            # bands over ICI instead of an all_gather of whole frames.  Edge
+            # tiles receive ppermute's zero fill; those rows are outside the
+            # frame and every read of them is masked (validity uses global
+            # coordinates via grid_dims/origin_row).
+            halo = cfg.search_range + 1
+            assert halo <= self.h_t, "halo exceeds tile height; lower the tile count"
+            perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
+            perm_up = [(i + 1, i) for i in range(self.ntile - 1)]
+            top = jax.lax.ppermute(refs_l[:, -halo:, :], "tile", perm_dn)
+            bot = jax.lax.ppermute(refs_l[:, :halo, :], "tile", perm_up)
+            band = jnp.concatenate([top, refs_l, bot], axis=1)  # (nref, h_t+2halo, w)
+            origin_px = y0_px - halo  # band row 0 in global pixel rows (traced)
+            search_row_offset = scale * halo
+            pred_origin = scale * origin_px
+
         if fme:
             # refs are real uint8 reconstructions (every GOP opens intra), so
             # the row-pass wrap (quirk K17) is always live
-            search_refs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(refs_full)
+            search_refs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(band)
         else:
-            search_refs = refs_full.astype(jnp.int32)
-        H, W = search_refs.shape[-2:]
+            search_refs = band.astype(jnp.int32)
 
         mode = cfg.me_search
         if (
@@ -252,13 +279,15 @@ class ShardedCodec:
             search = M.full_search_materialized if mode == "materialized" else M.full_search_fused
             s = search(
                 cur32, search_refs, sr, self.bs, self.sbs, scale, fme, cfg.vbs_enable, jnp,
-                row_offset=scale * y0_px, nvalid=nvalid,
+                row_offset=search_row_offset, nvalid=nvalid, grid_dims=grid_dims,
+                valid_row_offset=scale * y0_px,
             )
         mv, sad, ok = s["mv"], s["sad"], s["ok"]
         by_g = self._by_local + y0_px
 
         cur_blocks = cur32.reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs)
-        pred_full = P.gather_predictions(mv, search_refs, self._bx, by_g, self.bs, fme, jnp)
+        pred_full = P.gather_predictions(mv, search_refs, self._bx, by_g, self.bs, fme, jnp,
+                                         grid_dims=grid_dims, origin_row=pred_origin)
         res_full = cur_blocks - pred_full
 
         if cfg.vbs_enable:
@@ -267,7 +296,8 @@ class ShardedCodec:
             sub_sad = s["sub_sad"]
             sub_ok = s["sub_ok"]
             pred_q = P.gather_predictions(
-                smv.reshape(-1, 3), search_refs, self._qx.reshape(-1), qy_g.reshape(-1), self.sbs, fme, jnp
+                smv.reshape(-1, 3), search_refs, self._qx.reshape(-1), qy_g.reshape(-1), self.sbs, fme, jnp,
+                grid_dims=grid_dims, origin_row=pred_origin,
             ).reshape(self.nb_t, 4, self.sbs, self.sbs)
             quads = cur_blocks.reshape(-1, 2, self.sbs, 2, self.sbs).swapaxes(2, 3).reshape(-1, 4, self.sbs, self.sbs)
             res_quads = quads - pred_q

@@ -98,3 +98,16 @@ def test_make_mesh_factorization():
     mesh = make_mesh(cfg)  # 8 devices, nbr=6 -> tile=2, data=4
     assert mesh.devices.shape == (4, 2)
     assert mesh.axis_names == ("data", "tile")
+
+
+def test_halo_equals_all_gather():
+    """The ppermute halo exchange and the all_gather tile paths must be
+    bit-identical (same search/prediction semantics via global-coordinate
+    validity), including under FME + VBS + multi-ref."""
+    clip = synthetic_clip(h=64, w=64, frames=5, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=5, search_range=4, qp=4, intra_dur=3,
+                      vbs_enable=True, fme_enable=True, lam=0.015, n_ref_frames=2)
+    mesh = make_mesh(cfg)  # tile=4
+    a = ShardedCodec(cfg, mesh, clip, tile_comm="halo").encode()
+    b = ShardedCodec(cfg, mesh, clip, tile_comm="all_gather").encode()
+    _compare_packages(a, b)
