@@ -100,14 +100,15 @@ def test_make_mesh_factorization():
     assert mesh.axis_names == ("data", "tile")
 
 
-def test_halo_equals_all_gather():
+@pytest.mark.parametrize("tile", [2, 4])
+def test_halo_equals_all_gather(tile):
     """The ppermute halo exchange and the all_gather tile paths must be
     bit-identical (same search/prediction semantics via global-coordinate
     validity), including under FME + VBS + multi-ref."""
     clip = synthetic_clip(h=64, w=64, frames=5, motion=2)
     cfg = CodecConfig(height=64, width=64, frames=5, search_range=4, qp=4, intra_dur=3,
                       vbs_enable=True, fme_enable=True, lam=0.015, n_ref_frames=2)
-    mesh = make_mesh(cfg)  # tile=4
+    mesh = make_mesh(cfg, tile=tile)
     a = ShardedCodec(cfg, mesh, clip, tile_comm="halo").encode()
     b = ShardedCodec(cfg, mesh, clip, tile_comm="all_gather").encode()
     _compare_packages(a, b)
