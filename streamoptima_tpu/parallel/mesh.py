@@ -90,6 +90,7 @@ class ShardedCodec:
             "scene-change promotion consumes per-frame host scalars; use the single-chip engine"
         )
         assert cfg.parallel_mode == 0, "mesh sharding replaces the reference's ParallelModes"
+        assert not cfg.two_pass, "two-pass RC consumes per-frame host stats; use the single-chip engine"
         assert tile_comm in ("halo", "all_gather")
         self.tile_comm = tile_comm
         self.cfg = cfg

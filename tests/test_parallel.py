@@ -112,3 +112,11 @@ def test_halo_equals_all_gather(tile):
     a = ShardedCodec(cfg, mesh, clip, tile_comm="halo").encode()
     b = ShardedCodec(cfg, mesh, clip, tile_comm="all_gather").encode()
     _compare_packages(a, b)
+
+
+def test_sharded_rejects_two_pass():
+    cfg = CodecConfig(height=64, width=64, frames=2, search_range=2, two_pass=True,
+                      rc_flag=1, target_br="100 kbps",
+                      qp_rate_tables=[[9000, 4000, 2000, 1100, 800, 600, 450, 350, 280, 230, 200, 180]] * 2)
+    with pytest.raises(AssertionError):
+        ShardedCodec(cfg, make_mesh(cfg))
