@@ -77,6 +77,10 @@ class CodecConfig:
                 "height/width must be multiples of block_size (the reference "
                 "crashes on non-multiples; pad input frames first)"
             )
+        if self.vbs_enable and self.lam is None:
+            # the RD constant the reference's driver uses (main.py:36); without
+            # it the split decision crashed deep in the RD path (round-2 fix)
+            self.lam = 0.015
         if self.intra_mode not in (0, 1):
             raise ValueError("intra_mode must be 0 (horizontal) or 1 (vertical)")
         if self.engine not in ("jax", "compat"):

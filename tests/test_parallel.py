@@ -120,3 +120,23 @@ def test_sharded_rejects_two_pass():
                       qp_rate_tables=[[9000, 4000, 2000, 1100, 800, 600, 450, 350, 280, 230, 200, 180]] * 2)
     with pytest.raises(AssertionError):
         ShardedCodec(cfg, make_mesh(cfg))
+
+
+def test_dryrun_multichip_fresh_process():
+    """The driver runs __graft_entry__.dryrun_multichip in a fresh process
+    where the axon TPU plugin owns the default backend and no CPU-forcing env
+    vars are set — the entry point must force the 8-virtual-device CPU
+    platform itself (round-1 MULTICHIP record was red for exactly this)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    r = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=str(Path(__file__).resolve().parent.parent),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun ok" in r.stdout
