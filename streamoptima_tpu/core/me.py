@@ -74,6 +74,32 @@ def fme_upsample(frame, xp, wrap_row_pass: bool | None = None):
     return xp.concatenate([inter, even_rows[-1:]], axis=0)
 
 
+def fme_parity_planes(frame, xp, wrap_row_pass: bool | None = None):
+    """The four parity planes of ``fme_upsample(frame)`` computed directly.
+
+    Plane (py, px) equals ``fme_upsample(frame)[py::2, px::2]`` zero-padded to
+    (h, w) — but produced by pure elementwise arithmetic on the (h, w) frame.
+    Materializing the (2h-1, 2w-1) upsample and strided-slicing it back lowers
+    to XLA gathers at ~2 GiB/s on TPU (measured: 38 ms/frame at 720p, the
+    single largest cost of the FME encode path); this form is ~free.
+
+    Returns (4, h, w) int32 ordered [p00, p01, p10, p11] (py-major).
+    """
+    if wrap_row_pass is None:
+        wrap_row_pass = frame.dtype == np.uint8 if xp is np else frame.dtype == xp.uint8
+    f = frame.astype(xp.int32)
+    h, w = f.shape
+    zc = ((0, 0), (0, 1))  # pad one column
+    zr = ((0, 1), (0, 0))  # pad one row
+    rs = (f[:, :-1] + f[:, 1:]) & 255 if wrap_row_pass else f[:, :-1] + f[:, 1:]
+    p01 = xp.pad((rs + 1) >> 1, zc)
+    p10 = xp.pad((f[:-1, :] + f[1:, :] + 1) >> 1, zr)
+    rs_top = (f[:-1, :-1] + f[:-1, 1:]) & 255 if wrap_row_pass else f[:-1, :-1] + f[:-1, 1:]
+    rs_bot = (f[1:, :-1] + f[1:, 1:]) & 255 if wrap_row_pass else f[1:, :-1] + f[1:, 1:]
+    p11 = xp.pad((rs_top + rs_bot + 3) >> 2, (zr[0], zc[1]))
+    return xp.stack([f, p01, p10, p11])
+
+
 def sad_maps(cur, ref, sr: int, sub_bs: int, stride: int, xp, row_offset=0, also_full=False):
     """SAD tables at sub-block granularity for every displacement.
 

@@ -15,7 +15,22 @@ even/odd cols); a displacement d = 2k + parity strides CONTIGUOUSLY through
 its plane, so each plane is searched by the same whole-pel kernel with its
 own static dx list / dynamic dy tables, and the 4 plane winners combine by
 the same lexicographic order — bit-identical to the XLA kernels
-(full_search_materialized / full_search_fused in core/me.py).
+(full_search_materialized / full_search_fused in core/me.py).  The planes
+are computed DIRECTLY from the reference pixels (core/me.fme_parity_planes);
+materializing the (2H-1, 2W-1) upsample and strided-slicing it back lowers
+to XLA gathers at ~2 GiB/s (measured 38 ms/frame at 720p).
+
+The kernels also RETURN THE WINNING PREDICTION PIXELS (``want_pred``): every
+candidate window is already streaming through VMEM, so the winner's pixels
+are kept by a masked select (block-mask -> pixel-mask via two 0/1 MXU
+matmuls) instead of re-fetching them afterwards with an XLA gather (measured
+~40 ms/frame at 720p VBS+FME for the full+quad prediction gathers).
+
+Row-sharded tiles (parallel/mesh.py) are supported natively: ``refs`` may be
+a halo band taller than ``cur`` — ``read_row0`` (8-aligned) locates cur's
+first row inside the band and ``g_px0`` its global frame row; candidate
+validity is evaluated against ``grid_dims`` in global coordinates, exactly
+like core/me.py's row_offset/grid_dims contract.
 """
 from __future__ import annotations
 
@@ -25,6 +40,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from streamoptima_tpu.core import me as M
 
 _INF32 = np.int32(2**31 - 1)
 
@@ -42,24 +59,28 @@ def _band_rows(nbr: int, w: int) -> int:
 
 def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bool,
                   grid_dims, grid_sr: int, dx_list, dxi_list, dy_vals, dyi_vals,
-                  nvalid, interpret: bool):
+                  nvalid, interpret: bool, read_row0=0, g_px0=0,
+                  want_pred: bool = False, want_qpred: bool = False):
     """Search one (parity-)plane: plane displacement k in [-ksr, ksr] rows x
     the static ``dx_list`` columns.
 
-    cur: (h, w) pixel frame; refs: (nref, h, w) plane (same grid as cur —
-    plane row Y+k holds upsampled row scale*Y + dy).  Validity is evaluated
-    in ORIGINAL ref-grid coordinates: position scale*X + dx against
+    cur: (h, w) pixel band; refs: (nref, bandh, w) plane band with
+    bandh >= read_row0 + h (cur row i lives at plane row read_row0 + i; the
+    extra rows are halo).  Validity is evaluated in GLOBAL ref-grid
+    coordinates: position (scale*(g_px0 + y) + dy, scale*x + dx) against
     ``grid_dims`` with the reference's strict bounds (+2n FME bound when
-    ``fme``), plus |d| <= grid_sr (the odd parity plane has one k with
-    d out of range).  Returns (sad (nbr,nbc), sec, qsad (nbr2,nbc2), qsec)
-    int32 grids; sec packs (L1, ref, dxi, dyi) exactly like
-    core/me.py argmin_displacement.
+    ``fme``), plus |d| <= grid_sr (the odd parity plane has one k with d out
+    of range).  Returns (sad (nbr,nbc), sec, qsad (nbr2,nbc2), qsec[, predf
+    (h,w), predq (h,w)]) where sec packs (L1, ref, dxi, dyi) exactly like
+    core/me.py argmin_displacement and predf/predq hold the winning
+    candidate's window pixels (blocks with no valid candidate hold zeros —
+    mask with ``ok`` outside).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     h, w = cur.shape
-    nref = refs.shape[0]
+    nref, bandh = refs.shape[0], refs.shape[1]
     Hg, Wg = grid_dims
     nd_y = 2 * ksr + 1
     nd_x = len(dx_list)
@@ -72,18 +93,25 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
 
     Wp = -(-(w + 2 * ksr) // 128) * 128  # DMA slice width must be 128-aligned
     refs_p = jnp.pad(refs.astype(jnp.int16), ((0, 0), (ksr, ksr + 8), (ksr, Wp - w - ksr)))
-    Hp = h + 2 * ksr
+    Hp = bandh + 2 * ksr
     refs_shift = jnp.stack([refs_p[:, k : k + Hp, :] for k in range(8)], axis=1)
-    nv = jnp.full((1, 1), nref if nvalid is None else nvalid, jnp.int32)
+    scalars = jnp.stack([
+        jnp.asarray(nref if nvalid is None else nvalid, jnp.int32),
+        jnp.asarray(read_row0, jnp.int32),
+        jnp.asarray(g_px0, jnp.int32),
+    ]).reshape(1, 3)
     dyv = jnp.asarray(np.asarray(dy_vals, np.int32))
     dyiv = jnp.asarray(np.asarray(dyi_vals, np.int32))
 
-    def kernel(nv_ref, dyv_ref, dyiv_ref, cur_ref, refs_hbm, sad_o, sec_o, qsad_o, qsec_o,
-               band_vmem, dma_sem):
+    def kernel(sc_ref, dyv_ref, dyiv_ref, cur_ref, refs_hbm, *out_refs):
+        band_vmem, dma_sem = out_refs[-2], out_refs[-1]
+        outs = out_refs[:-2]
         prog = pl.program_id(0)
-        y0 = prog * band_px  # global pixel row of this band's first row
+        y0 = prog * band_px  # cur-local pixel row of this band's first row
         cf32 = cur_ref[...].astype(jnp.float32)
-        nvv = nv_ref[0, 0]
+        nvv = sc_ref[0, 0]
+        rr0 = sc_ref[0, 1]  # read offset of cur row 0 inside the plane band
+        gpx = sc_ref[0, 2]  # global frame pixel row of cur row 0
 
         col_sub = jax.lax.broadcasted_iota(jnp.int32, (1, nbc2), 1)  # sub-col idx
         row_sub = jax.lax.broadcasted_iota(jnp.int32, (nbr2_b, 1), 0)
@@ -104,12 +132,30 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         col_pair = agg(nbc, nbc2, 2)  # (nbc2, nbc)
         row_pair = agg(band, nbr2_b, 2).T  # (band, nbr2_b)
 
+        def expander(npx, nblk, group):
+            # (npx, nblk) 0/1 with [p, b] = (p // group == b): block-mask ->
+            # pixel-mask expansion runs on the MXU (see want_pred)
+            a = jax.lax.broadcasted_iota(jnp.int32, (npx, nblk), 0) // group
+            b = jax.lax.broadcasted_iota(jnp.int32, (npx, nblk), 1)
+            return (a == b).astype(jnp.bfloat16)
+
+        if want_pred:
+            er_f = expander(band_px, band, bs)  # (band_px, band)
+            ec_f = expander(w, nbc, bs).T  # (nbc, w) -- trace-time transpose
+        if want_qpred:
+            er_q = expander(band_px, nbr2_b, sub_bs)
+            ec_q = expander(w, nbc2, sub_bs).T
+
         best = {
             "sad": jnp.full((band, nbc), _INF32, jnp.int32),
             "sec": jnp.full((band, nbc), _INF32, jnp.int32),
             "qsad": jnp.full((nbr2_b, nbc2), _INF32, jnp.int32),
             "qsec": jnp.full((nbr2_b, nbc2), _INF32, jnp.int32),
         }
+        if want_pred:
+            best["predf"] = jnp.zeros((band_px, w), jnp.int16)
+        if want_qpred:
+            best["predq"] = jnp.zeros((band_px, w), jnp.int16)
 
         def one_ref(refi, best):
             ref_ok = refi < nvv
@@ -120,9 +166,10 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                 absdy = jnp.where(dy < 0, -dy, dy)
                 dy_ok = absdy <= grid_sr  # odd plane's extra k is no candidate
                 # row shift at DMA time, from the (k mod 8) pre-shifted plane
-                # so the start row is provably 8-aligned
+                # so the start row is provably 8-aligned (read_row0 must be
+                # a multiple of 8)
                 kk = jax.lax.rem(kyi, 8)
-                start8 = pl.multiple_of(y0 + (kyi // 8) * 8, 8)
+                start8 = pl.multiple_of(rr0 + y0 + (kyi // 8) * 8, 8)
                 dma = pltpu.make_async_copy(
                     refs_hbm.at[refi, kk, pl.ds(start8, band_px), :],
                     band_vmem,
@@ -132,6 +179,8 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                 dma.wait()
                 rows = band_vmem[...]
                 bsad, bsec, qsad, qsec = best["sad"], best["sec"], best["qsad"], best["qsec"]
+                bpredf = best.get("predf")
+                bpredq = best.get("predq")
                 hi = jax.lax.Precision.HIGHEST
                 for kxi in range(nd_x):
                     dx = dx_list[kxi]  # static original-grid displacement
@@ -148,10 +197,10 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     fs = fs_f.astype(jnp.int32)
                     l1 = (abs(dx) + absdy).astype(jnp.int32)
                     sec = (((l1 << 3) << 8 | dxi) << 8 | dyi) | jnp.int32(refi << 16)
-                    # validity in original ref-grid coords (strict reference
+                    # validity in GLOBAL ref-grid coords (strict reference
                     # bounds; +2n FME bound when fme)
                     px_q = (col_sub * sub_bs) * scale + dx
-                    py_q = ((row_sub + y0 // sub_bs) * sub_bs) * scale + dy
+                    py_q = (row_sub * sub_bs + y0 + gpx) * scale + dy
                     vq = (px_q >= 0) & (px_q < Wg - sub_bs) & (py_q >= 0) & (py_q < Hg - sub_bs)
                     if fme:
                         vq &= (px_q + 2 * sub_bs >= 0) & (px_q + 2 * sub_bs < Wg - sub_bs)
@@ -161,8 +210,14 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     upq = (candq < qsad) | ((candq == qsad) & (candq != _INF32) & (sec < qsec))
                     qsad = jnp.where(upq, candq, qsad)
                     qsec = jnp.where(upq, sec, qsec)
+                    if want_qpred:
+                        mq = jnp.dot(
+                            jnp.dot(er_q, upq.astype(jnp.bfloat16), preferred_element_type=jnp.float32).astype(jnp.bfloat16),
+                            ec_q, preferred_element_type=jnp.float32,
+                        )
+                        bpredq = jnp.where(mq > 0.5, win, bpredq)
                     px_f = (col_f * bs) * scale + dx
-                    py_f = ((row_f + y0 // bs) * bs) * scale + dy
+                    py_f = (row_f * bs + y0 + gpx) * scale + dy
                     vf = (px_f >= 0) & (px_f < Wg - bs) & (py_f >= 0) & (py_f < Hg - bs)
                     if fme:
                         vf &= (px_f + 2 * bs >= 0) & (px_f + 2 * bs < Wg - bs)
@@ -172,51 +227,79 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     up = (cand < bsad) | ((cand == bsad) & (cand != _INF32) & (sec < bsec))
                     bsad = jnp.where(up, cand, bsad)
                     bsec = jnp.where(up, sec, bsec)
-                return {"sad": bsad, "sec": bsec, "qsad": qsad, "qsec": qsec}
+                    if want_pred:
+                        mf = jnp.dot(
+                            jnp.dot(er_f, up.astype(jnp.bfloat16), preferred_element_type=jnp.float32).astype(jnp.bfloat16),
+                            ec_f, preferred_element_type=jnp.float32,
+                        )
+                        bpredf = jnp.where(mf > 0.5, win, bpredf)
+                new = {"sad": bsad, "sec": bsec, "qsad": qsad, "qsec": qsec}
+                if want_pred:
+                    new["predf"] = bpredf
+                if want_qpred:
+                    new["predq"] = bpredq
+                return new
 
             return jax.lax.fori_loop(0, nd_y, one_dy, best)
 
         for refi in range(nref):  # static unroll: nref is small
             best = one_ref(refi, best)
 
-        sad_o[0] = best["sad"]
-        sec_o[0] = best["sec"]
-        qsad_o[0] = best["qsad"]
-        qsec_o[0] = best["qsec"]
+        outs[0][0] = best["sad"]
+        outs[1][0] = best["sec"]
+        outs[2][0] = best["qsad"]
+        outs[3][0] = best["qsec"]
+        i = 4
+        if want_pred:
+            outs[i][0] = best["predf"]
+            i += 1
+        if want_qpred:
+            outs[i][0] = best["predq"]
+
+    out_specs = [  # 3D blocks: trailing dims equal the array dims (tileable)
+        pl.BlockSpec((1, band, nbc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, band, nbc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nbr2_b, nbc2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nbr2_b, nbc2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nprog, band, nbc), jnp.int32),
+        jax.ShapeDtypeStruct((nprog, band, nbc), jnp.int32),
+        jax.ShapeDtypeStruct((nprog, nbr2_b, nbc2), jnp.int32),
+        jax.ShapeDtypeStruct((nprog, nbr2_b, nbc2), jnp.int32),
+    ]
+    for flag in (want_pred, want_qpred):
+        if flag:
+            out_specs.append(pl.BlockSpec((1, band_px, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((nprog, band_px, w), jnp.int16))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nprog,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((nd_y,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((nd_y,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((band_px, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # shifted ref planes, HBM
         ],
-        out_specs=[  # 3D blocks: trailing dims equal the array dims (tileable)
-            pl.BlockSpec((1, band, nbc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, band, nbc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nbr2_b, nbc2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nbr2_b, nbc2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((band_px, Wp), jnp.int16),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    sad, sec, qsad, qsec = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nprog, band, nbc), jnp.int32),
-            jax.ShapeDtypeStruct((nprog, band, nbc), jnp.int32),
-            jax.ShapeDtypeStruct((nprog, nbr2_b, nbc2), jnp.int32),
-            jax.ShapeDtypeStruct((nprog, nbr2_b, nbc2), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(nv, dyv, dyiv, cur.astype(jnp.int16), refs_shift)
-    return sad.reshape(nbr, nbc), sec.reshape(nbr, nbc), qsad.reshape(nbr2, nbc2), qsec.reshape(nbr2, nbc2)
+    )(scalars, dyv, dyiv, cur.astype(jnp.int16), refs_shift)
+    sad, sec, qsad, qsec = res[0], res[1], res[2], res[3]
+    out = [sad.reshape(nbr, nbc), sec.reshape(nbr, nbc), qsad.reshape(nbr2, nbc2), qsec.reshape(nbr2, nbc2)]
+    for r in res[4:]:
+        out.append(r.reshape(h, w))
+    return tuple(out)
 
 
 def _unpack(sadv, secv, grid_sr: int):
@@ -231,7 +314,23 @@ def _unpack(sadv, secv, grid_sr: int):
     return mv, sadv, ok
 
 
-def _assemble(planes, grid_sr: int, vbs: bool, nbr: int, nbc: int):
+def _winner_select(sad, sec, best_sad, best_sec, preds, nbr, nbc, bs):
+    """Pixel prediction of the lexicographic winner plane.  The block-level
+    winner mask expands to pixels by broadcast+reshape (pure XLA layout ops,
+    no gather)."""
+    if len(preds) == 1:
+        return preds[0]
+    h, w = preds[0].shape
+    out = preds[0]
+    for p in range(1, len(preds)):
+        m = (sad[p] == best_sad) & (sec[p] == best_sec) & (best_sad != _INF32)
+        mpx = jnp.broadcast_to(m[:, None, :, None], (nbr, bs, nbc, bs)).reshape(h, w)
+        out = jnp.where(mpx, preds[p], out)
+    return out
+
+
+def _assemble(planes, grid_sr: int, vbs: bool, nbr: int, nbc: int, bs: int, sub_bs: int,
+              want_pred: bool):
     """Lexicographic (sad, sec) combine of plane results + unpack."""
     sad = jnp.stack([p[0] for p in planes])
     sec = jnp.stack([p[1] for p in planes])
@@ -240,6 +339,10 @@ def _assemble(planes, grid_sr: int, vbs: bool, nbr: int, nbc: int):
     best_sec = sec_m.min(axis=0)
     mv, sadv, ok = _unpack(best_sad.reshape(-1), best_sec.reshape(-1), grid_sr)
     out = {"mv": mv, "sad": sadv, "ok": ok}
+    if want_pred:
+        out["pred"] = _winner_select(
+            sad, sec, best_sad, best_sec, [p[4] for p in planes], nbr, nbc, bs
+        ).astype(jnp.int32)
     if vbs:
         qsad = jnp.stack([p[2] for p in planes])
         qsec = jnp.stack([p[3] for p in planes])
@@ -256,56 +359,86 @@ def _assemble(planes, grid_sr: int, vbs: bool, nbr: int, nbc: int):
         out["sub_mv"] = regroup(smv, (3,))
         out["sub_sad"] = regroup(ssad, ())
         out["sub_ok"] = regroup(sok, ())
+        if want_pred:
+            nbr2, nbc2 = 2 * nbr, 2 * nbc
+            out["pred_quads"] = _winner_select(
+                qsad, qsec, bq, bqs, [p[5] for p in planes], nbr2, nbc2, sub_bs
+            ).astype(jnp.int32)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "bs", "sub_bs", "vbs", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sr", "bs", "sub_bs", "vbs", "interpret",
+                                             "grid_dims", "want_pred"))
 def full_search_pallas(cur, refs, sr: int, bs: int, sub_bs: int, vbs: bool,
-                       nvalid=None, interpret: bool = False):
-    """Whole-pel full search over ``refs`` (nref, H, W); same contract and
-    bit-identical results as core/me.py full_search_materialized."""
+                       nvalid=None, interpret: bool = False,
+                       read_row0=0, g_px0=0, grid_dims=None, want_pred: bool = True):
+    """Whole-pel full search over ``refs`` (nref, bandh, W); same contract and
+    bit-identical results as core/me.py full_search_materialized, plus
+    ``pred`` / ``pred_quads`` pixel bands when ``want_pred`` (blocks with
+    ok=False hold zeros — callers apply the mv=(0,0,0) fallback).
+
+    ``refs`` may be a halo band taller than cur: ``read_row0`` is cur row 0's
+    row within the band (must be a multiple of 8), ``g_px0`` its global frame
+    row, and ``grid_dims`` the full frame (H, W) for validity.
+    """
     h, w = cur.shape
-    assert refs.shape[-2:] == (h, w)
+    assert refs.shape[-1] == w
+    if grid_dims is None:
+        grid_dims = (refs.shape[-2], w)
     d = list(range(-sr, sr + 1))
     plane = _plane_search(
-        cur, refs, sr, bs, sub_bs, 1, False, (h, w), sr,
+        cur, refs, sr, bs, sub_bs, 1, False, grid_dims, sr,
         d, [x + sr for x in d], d, [y + sr for y in d], nvalid, interpret,
+        read_row0=read_row0, g_px0=g_px0, want_pred=want_pred, want_qpred=want_pred and vbs,
     )
-    return _assemble([plane], sr, vbs, h // bs, w // bs)
+    return _assemble([plane], sr, vbs, h // bs, w // bs, bs, sub_bs, want_pred)
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "bs", "sub_bs", "vbs", "interpret"))
-def full_search_pallas_fme(cur, refs_up, sr: int, bs: int, sub_bs: int, vbs: bool,
-                           nvalid=None, interpret: bool = False):
-    """Half-pel full search over FME-upsampled refs (nref, 2H-1, 2W-1).
+@functools.partial(jax.jit, static_argnames=("sr", "bs", "sub_bs", "vbs", "interpret",
+                                             "grid_dims", "want_pred", "wrap_row_pass"))
+def full_search_pallas_fme(cur, refs, sr: int, bs: int, sub_bs: int, vbs: bool,
+                           nvalid=None, interpret: bool = False,
+                           read_row0=0, g_px0=0, grid_dims=None, want_pred: bool = True,
+                           wrap_row_pass: bool = True):
+    """Half-pel full search over ORIGINAL refs (nref, bandh, W) — the parity
+    planes of the half-pel grid are computed directly from the pixels
+    (core/me.fme_parity_planes), never materializing the 2x upsample.
 
     ``sr`` is the config search range; the candidate grid is +-2*sr in
     half-pel units (the reference doubles the range under FME,
     Encoder.py:1649).  Each of the 4 parity planes is searched by the
     whole-pel kernel with its own static dx list / dy tables; plane winners
     combine lexicographically — bit-identical to the XLA FME search.
+    ``wrap_row_pass`` is quirk K17 (uint8 row sums wrap modulo 256; False
+    only for the synthetic all-128 initial reference).
+
+    Band support as in full_search_pallas; ``grid_dims`` is the full
+    UPSAMPLED grid (2H-1, 2W-1) and defaults to treating ``refs`` as whole
+    frames.
     """
     h, w = cur.shape
-    assert refs_up.shape[-2:] == (2 * h - 1, 2 * w - 1)
+    assert refs.shape[-1] == w
+    if grid_dims is None:
+        grid_dims = (2 * refs.shape[-2] - 1, 2 * w - 1)
+    planes4 = jax.vmap(lambda r: M.fme_parity_planes(r, jnp, wrap_row_pass=wrap_row_pass))(refs)
     D = sr
     grid_sr = 2 * sr
     planes = []
-    for py in (0, 1):
-        for px in (0, 1):
-            plane = refs_up[:, py::2, px::2]
-            ph, pw = plane.shape[-2:]
-            plane = jnp.pad(plane, ((0, 0), (0, h - ph), (0, w - pw)))
-            ks = list(range(-D, D + 1))
-            dx_all = [2 * k + px for k in ks]
-            keep = [i for i, dxv in enumerate(dx_all) if abs(dxv) <= grid_sr]
-            dx_list = [dx_all[i] for i in keep]
-            dxi_list = [dx_all[i] + grid_sr for i in keep]
-            dy_vals = [2 * k + py for k in ks]  # odd plane's k=D masked in-kernel
-            dyi_vals = [min(v + grid_sr, 2 * grid_sr) for v in dy_vals]
-            planes.append(
-                _plane_search(
-                    cur, plane, D, bs, sub_bs, 2, True, (2 * h - 1, 2 * w - 1), grid_sr,
-                    dx_list, dxi_list, dy_vals, dyi_vals, nvalid, interpret,
-                )
+    for pi, (py, px) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        plane = planes4[:, pi]
+        ks = list(range(-D, D + 1))
+        dx_all = [2 * k + px for k in ks]
+        keep = [i for i, dxv in enumerate(dx_all) if abs(dxv) <= grid_sr]
+        dx_list = [dx_all[i] for i in keep]
+        dxi_list = [dx_all[i] + grid_sr for i in keep]
+        dy_vals = [2 * k + py for k in ks]  # odd plane's k=D masked in-kernel
+        dyi_vals = [min(v + grid_sr, 2 * grid_sr) for v in dy_vals]
+        planes.append(
+            _plane_search(
+                cur, plane, D, bs, sub_bs, 2, True, grid_dims, grid_sr,
+                dx_list, dxi_list, dy_vals, dyi_vals, nvalid, interpret,
+                read_row0=read_row0, g_px0=g_px0,
+                want_pred=want_pred, want_qpred=want_pred and vbs,
             )
-    return _assemble(planes, grid_sr, vbs, h // bs, w // bs)
+        )
+    return _assemble(planes, grid_sr, vbs, h // bs, w // bs, bs, sub_bs, want_pred)

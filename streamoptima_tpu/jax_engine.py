@@ -114,26 +114,55 @@ class JaxCodec:
         s = self.sbs
         return quads.reshape(-1, 2, 2, s, s).swapaxes(2, 3).reshape(-1, self.bs, self.bs)
 
+    def _quads_px(self, band):
+        """(h, w) pixel band -> (nb, 4, sbs, sbs) quad blocks (Z order)."""
+        s = self.sbs
+        return band.reshape(self.nbr, 2, s, self.nbc, 2, s).transpose(0, 3, 1, 4, 2, 5).reshape(
+            self.nb, 4, s, s
+        )
+
     # ------------------------------------------------------------- search
+    def _use_pallas(self) -> bool:
+        mode = self.cfg.me_search
+        return mode == "pallas" or (mode == "auto" and jax.default_backend() == "tpu")
+
+    def _full_search_pallas(self, cur32, refs, fme, initial_refs):
+        """Pallas full search over the RAW reference stack — the kernel
+        builds FME parity planes itself and returns the winning prediction
+        pixels, so neither the 2x upsample nor any prediction gather runs
+        (both lower to ~2 GiB/s XLA gathers; measured 77 of 88 ms/frame at
+        720p VBS+FME).  Blocks with no valid candidate (FME frame edges,
+        Encoder.py:698) take the reference's mv=(0,0,0) all-128 fallback."""
+        from streamoptima_tpu.core import me_pallas
+
+        cfg = self.cfg
+        interp = jax.default_backend() != "tpu"
+        if fme:
+            s = me_pallas.full_search_pallas_fme(
+                cur32, refs, cfg.search_range, self.bs, self.sbs, cfg.vbs_enable,
+                interpret=interp, wrap_row_pass=not initial_refs,
+            )
+        else:
+            s = me_pallas.full_search_pallas(
+                cur32, refs.astype(jnp.int32), cfg.search_range, self.bs, self.sbs,
+                cfg.vbs_enable, interpret=interp,
+            )
+        pred_full = jnp.where(s["ok"][:, None, None], self._blockify(s["pred"]), 128)
+        pred_q = None
+        if cfg.vbs_enable:
+            pred_q = jnp.where(
+                s["sub_ok"][:, :, None, None], self._quads_px(s["pred_quads"]), 128
+            )
+        return s, pred_full, pred_q
+
     def _full_search(self, cur32, search_refs, fme):
         """Full-search dispatch (bit-identical results across kernels):
-        Pallas kernel for whole-pel search on TPU (fastest, core/me_pallas),
-        materialized candidate maps + argmin otherwise; "fused" selects the
-        streaming reduction (see CodecConfig.me_search)."""
+        materialized candidate maps + argmin by default, "fused" selects the
+        streaming reduction (see CodecConfig.me_search).  The Pallas kernel
+        path is dispatched earlier in _inter_step (it consumes raw refs)."""
         cfg = self.cfg
         sr = cfg.search_range * 2 if fme else cfg.search_range
-        mode = cfg.me_search
-        if mode in ("auto", "pallas") and jax.default_backend() == "tpu":
-            from streamoptima_tpu.core import me_pallas
-
-            if fme:
-                out = me_pallas.full_search_pallas_fme(cur32, search_refs, cfg.search_range, self.bs, self.sbs, cfg.vbs_enable)
-            else:
-                out = me_pallas.full_search_pallas(cur32, search_refs, sr, self.bs, self.sbs, cfg.vbs_enable)
-            if not cfg.vbs_enable:
-                out = {k: out[k] for k in ("mv", "sad", "ok")}
-            return out
-        search = M.full_search_fused if mode == "fused" else M.full_search_materialized
+        search = M.full_search_fused if cfg.me_search == "fused" else M.full_search_materialized
         return search(cur32, search_refs, sr, self.bs, self.sbs, 2 if fme else 1, fme, cfg.vbs_enable, jnp)
 
     def _fast_candidates(self, cur_blk, refs_pad, pad, dims, X, Y, n, mvp, fme):
@@ -313,19 +342,26 @@ class JaxCodec:
         rq = idct2_int(rescale(qtc_quads, _qpm1_vec(qps)[:, None]).astype(jnp.int32))
         return rf, rq
 
-    def _recon_inter(self, pred_refs, mv, split, sub_mv, qtc_full, qtc_quads, row_qps, fme):
+    def _recon_inter(self, pred_refs, mv, split, sub_mv, qtc_full, qtc_quads, row_qps, fme,
+                     preds=None):
         rf, rq = self._dequant(qtc_full, qtc_quads, row_qps)
-        pred_full = P.gather_predictions(mv, pred_refs, self.bx, self.by, self.bs, fme, jnp)
+        # native fixes quirk K18: the reconstruction uses the same FME bound
+        # as the residual path, so prediction always matches what the
+        # residual was computed against (better edge quality; the compat
+        # engine replicates the reference's mismatch instead).  That identity
+        # is also why encode can reuse the search kernel's preds here.
+        if preds is not None:
+            pred_full, pred_q = preds
+        else:
+            pred_full = P.gather_predictions(mv, pred_refs, self.bx, self.by, self.bs, fme, jnp)
+            pred_q = None
+            if self.cfg.vbs_enable:
+                pred_q = P.gather_predictions(
+                    sub_mv.reshape(-1, 3), pred_refs, self.qx.reshape(-1), self.qy.reshape(-1),
+                    self.sbs, fme, jnp,
+                ).reshape(self.nb, 4, self.sbs, self.sbs)
         full_blocks = P.wrap_uint8(pred_full + rf, jnp)
         if self.cfg.vbs_enable:
-            # native fixes quirk K18: the reconstruction uses the same FME
-            # bound as the residual path, so prediction always matches what
-            # the residual was computed against (better edge quality; the
-            # compat engine replicates the reference's mismatch instead)
-            pred_q = P.gather_predictions(
-                sub_mv.reshape(-1, 3), pred_refs, self.qx.reshape(-1), self.qy.reshape(-1),
-                self.sbs, fme, jnp,
-            ).reshape(self.nb, 4, self.sbs, self.sbs)
             quad_blocks = self._merge_quads(P.wrap_uint8(pred_q + rq, jnp))
             blocks = jnp.where(split[:, None, None], quad_blocks, full_blocks)
         else:
@@ -348,20 +384,28 @@ class JaxCodec:
         cfg = self.cfg
         fme = cfg.fme_enable
         cur32 = cur.astype(jnp.int32)
-        search_refs = self._prep_refs(refs, initial_refs)
-        if cfg.fast_me and cfg.parallel_mode != 1:
-            s = self._fast_search(cur32, search_refs, fme, zero_mvp=(cfg.parallel_mode == 2))
+        fast = cfg.fast_me and cfg.parallel_mode != 1
+        if not fast and self._use_pallas():
+            search_refs = None  # kernel consumes raw refs and returns preds
+            s, pred_full, pred_q = self._full_search_pallas(cur32, refs, fme, initial_refs)
         else:
-            s = self._full_search(cur32, search_refs, fme)
+            search_refs = self._prep_refs(refs, initial_refs)
+            if fast:
+                s = self._fast_search(cur32, search_refs, fme, zero_mvp=(cfg.parallel_mode == 2))
+            else:
+                s = self._full_search(cur32, search_refs, fme)
+            pred_full = P.gather_predictions(s["mv"], search_refs, self.bx, self.by, self.bs, fme, jnp)
+            pred_q = None
+            if cfg.vbs_enable:
+                pred_q = P.gather_predictions(
+                    s["sub_mv"].reshape(-1, 3), search_refs, self.qx.reshape(-1), self.qy.reshape(-1),
+                    self.sbs, fme, jnp,
+                ).reshape(self.nb, 4, self.sbs, self.sbs)
         mv = s["mv"]
         cur_blocks = self._blockify(cur32)
-        pred_full = P.gather_predictions(mv, search_refs, self.bx, self.by, self.bs, fme, jnp)
         res_full = cur_blocks - pred_full
         if cfg.vbs_enable:
             smv = s["sub_mv"]
-            pred_q = P.gather_predictions(
-                smv.reshape(-1, 3), search_refs, self.qx.reshape(-1), self.qy.reshape(-1), self.sbs, fme, jnp
-            ).reshape(self.nb, 4, self.sbs, self.sbs)
             res_quads = self._quads_of(cur_blocks) - pred_q
             sub_sad = s["sub_sad"]
         else:
@@ -372,7 +416,10 @@ class JaxCodec:
             res_full, res_quads, s["sad"], sub_sad, 1, row_qps,
             ok_full=s.get("ok"), ok_quads=s.get("sub_ok"),
         )
-        recon = self._recon_inter(search_refs, mv, split, smv, qtc_full, qtc_quads, row_qps, fme)
+        recon = self._recon_inter(
+            search_refs, mv, split, smv, qtc_full, qtc_quads, row_qps, fme,
+            preds=(pred_full, pred_q),
+        )
         return {
             "mv": mv, "split": split, "sub_mv": smv,
             "qtc_full": qtc_full, "qtc_quads": qtc_quads,

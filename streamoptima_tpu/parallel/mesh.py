@@ -96,6 +96,7 @@ class ShardedCodec:
         self.cfg = cfg
         self.mesh = mesh
         self.y = None if y_frames is None else np.asarray(y_frames, dtype=np.uint8)
+        self._frames_dev = None  # device-resident GOP-batched clip (lazy)
         self.ndata = mesh.devices.shape[0]
         self.ntile = mesh.devices.shape[1]
         self.h, self.w = cfg.height, cfg.width
@@ -228,11 +229,27 @@ class ShardedCodec:
         cur32 = cur_l.astype(jnp.int32)
         grid_dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
 
+        # Pallas needs an 8-aligned cur offset inside the band (sublane-
+        # aligned DMA starts); the ppermute halo rounds up to a multiple of 8
+        # on that path.  h_t is a multiple of bs (>= 16), so the all_gather
+        # path's offsets are always aligned.
+        halo8 = -(-(cfg.search_range + 1) // 8) * 8
+        use_pallas = cfg.me_search == "pallas" or (
+            cfg.me_search == "auto" and jax.default_backend() == "tpu"
+        )
+        halo = halo8 if (use_pallas and self.ntile > 1 and self.tile_comm == "halo") else cfg.search_range + 1
+        if self.ntile > 1 and self.tile_comm == "halo" and halo > self.h_t:
+            # the rounded halo no longer fits the tile band; the XLA path's
+            # sr+1 halo still does — fall back rather than fail
+            use_pallas = False
+            halo = cfg.search_range + 1
+
         if self.ntile == 1 or self.tile_comm == "all_gather":
             band = jax.lax.all_gather(refs_l, "tile", axis=1, tiled=True)  # (nref, h, w)
             origin_px = 0
             search_row_offset = scale * y0_px
             pred_origin = 0
+            read_row0 = y0_px  # pallas: cur row 0 inside the full frame
         else:
             # halo exchange: each tile only needs the neighbors' search_range
             # (+1 for half-pel interpolation) border rows — a ppermute of thin
@@ -240,7 +257,6 @@ class ShardedCodec:
             # tiles receive ppermute's zero fill; those rows are outside the
             # frame and every read of them is masked (validity uses global
             # coordinates via grid_dims/origin_row).
-            halo = cfg.search_range + 1
             assert halo <= self.h_t, "halo exceeds tile height; lower the tile count"
             perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
             perm_up = [(i + 1, i) for i in range(self.ntile - 1)]
@@ -250,34 +266,39 @@ class ShardedCodec:
             origin_px = y0_px - halo  # band row 0 in global pixel rows (traced)
             search_row_offset = scale * halo
             pred_origin = scale * origin_px
+            read_row0 = halo
 
-        if fme:
-            # refs are real uint8 reconstructions (every GOP opens intra), so
-            # the row-pass wrap (quirk K17) is always live
-            search_refs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(band)
-        else:
-            search_refs = band.astype(jnp.int32)
-
-        mode = cfg.me_search
-        if (
-            mode in ("auto", "pallas")
-            and self.ntile == 1
-            and jax.default_backend() == "tpu"
-        ):
-            # single-tile shards can use the Pallas kernels (no row offset)
+        if use_pallas:
+            # Pallas kernel on the RAW band: parity planes are computed
+            # in-kernel from the pixels (no upsample materialization) and the
+            # winning prediction pixels come back with the search — no XLA
+            # gathers anywhere on this path (measured 77 of 88 ms/frame at
+            # 720p VBS+FME before this).
             from streamoptima_tpu.core import me_pallas
 
+            interp = jax.default_backend() != "tpu"
             if fme:
                 s = me_pallas.full_search_pallas_fme(
-                    cur32, search_refs, cfg.search_range, self.bs, self.sbs, cfg.vbs_enable, nvalid=nvalid
+                    cur32, band, cfg.search_range, self.bs, self.sbs, cfg.vbs_enable,
+                    nvalid=nvalid, interpret=interp, read_row0=read_row0, g_px0=y0_px,
+                    grid_dims=grid_dims, wrap_row_pass=True,
                 )
             else:
                 s = me_pallas.full_search_pallas(
-                    cur32, search_refs, sr, self.bs, self.sbs, cfg.vbs_enable, nvalid=nvalid
+                    cur32, band.astype(jnp.int32), sr, self.bs, self.sbs, cfg.vbs_enable,
+                    nvalid=nvalid, interpret=interp, read_row0=read_row0, g_px0=y0_px,
+                    grid_dims=grid_dims,
                 )
+            search_refs = None
         else:
+            if fme:
+                # refs are real uint8 reconstructions (every GOP opens intra),
+                # so the row-pass wrap (quirk K17) is always live
+                search_refs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(band)
+            else:
+                search_refs = band.astype(jnp.int32)
             # auto => fused: the streaming reduction wins inside the GOP scan
-            search = M.full_search_materialized if mode == "materialized" else M.full_search_fused
+            search = M.full_search_materialized if cfg.me_search == "materialized" else M.full_search_fused
             s = search(
                 cur32, search_refs, sr, self.bs, self.sbs, scale, fme, cfg.vbs_enable, jnp,
                 row_offset=search_row_offset, nvalid=nvalid, grid_dims=grid_dims,
@@ -287,8 +308,15 @@ class ShardedCodec:
         by_g = self._by_local + y0_px
 
         cur_blocks = cur32.reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs)
-        pred_full = P.gather_predictions(mv, search_refs, self._bx, by_g, self.bs, fme, jnp,
-                                         grid_dims=grid_dims, origin_row=pred_origin)
+        if use_pallas:
+            pred_full = jnp.where(
+                ok[:, None, None],
+                s["pred"].reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs),
+                128,  # no valid candidate => mv=(0,0,0) all-128 FME fallback
+            )
+        else:
+            pred_full = P.gather_predictions(mv, search_refs, self._bx, by_g, self.bs, fme, jnp,
+                                             grid_dims=grid_dims, origin_row=pred_origin)
         res_full = cur_blocks - pred_full
 
         if cfg.vbs_enable:
@@ -296,10 +324,17 @@ class ShardedCodec:
             smv = s["sub_mv"]
             sub_sad = s["sub_sad"]
             sub_ok = s["sub_ok"]
-            pred_q = P.gather_predictions(
-                smv.reshape(-1, 3), search_refs, self._qx.reshape(-1), qy_g.reshape(-1), self.sbs, fme, jnp,
-                grid_dims=grid_dims, origin_row=pred_origin,
-            ).reshape(self.nb_t, 4, self.sbs, self.sbs)
+            if use_pallas:
+                sbs = self.sbs
+                pq = s["pred_quads"].reshape(self.nbr_t, 2, sbs, self.nbc, 2, sbs).transpose(
+                    0, 3, 1, 4, 2, 5
+                ).reshape(self.nb_t, 4, sbs, sbs)
+                pred_q = jnp.where(sub_ok[:, :, None, None], pq, 128)
+            else:
+                pred_q = P.gather_predictions(
+                    smv.reshape(-1, 3), search_refs, self._qx.reshape(-1), qy_g.reshape(-1), self.sbs, fme, jnp,
+                    grid_dims=grid_dims, origin_row=pred_origin,
+                ).reshape(self.nb_t, 4, self.sbs, self.sbs)
             quads = cur_blocks.reshape(-1, 2, self.sbs, 2, self.sbs).swapaxes(2, 3).reshape(-1, 4, self.sbs, self.sbs)
             res_quads = quads - pred_q
         else:
@@ -394,15 +429,21 @@ class ShardedCodec:
         gl = self.gl
         n_gops = math.ceil(n / gl)
         g_pad = math.ceil(n_gops / self.ndata) * self.ndata
-        frames_g = np.zeros((g_pad, gl, self.h, self.w), dtype=np.uint8)
-        flat = frames_g.reshape(-1, self.h, self.w)
-        flat[:n] = self.y[:n]
-        # pad by repeating the last real frame (padding output is dropped)
-        flat[n:] = self.y[n - 1]
+        if self._frames_dev is None or self._frames_dev.shape[0] != g_pad:
+            frames_g = np.zeros((g_pad, gl, self.h, self.w), dtype=np.uint8)
+            flat = frames_g.reshape(-1, self.h, self.w)
+            flat[:n] = self.y[:n]
+            # pad by repeating the last real frame (padding output is dropped)
+            flat[n:] = self.y[n - 1]
+            # one host->device upload for the whole clip; per-batch slices
+            # below are device ops (re-uploading every batch serializes the
+            # tunnel link against compute: measured 70+ ms per 8-frame batch,
+            # dominating the encode once the device side dropped to ~5 ms/f)
+            self._frames_dev = jax.device_put(jnp.asarray(frames_g))
         outs = []
         light_keys = ("size", "sqerr", "mae_sum") if fetch == "metrics" else ("recon", "size", "sqerr", "mae_sum")
         for b in range(g_pad // self.ndata):
-            batch = jnp.asarray(frames_g[b * self.ndata : (b + 1) * self.ndata])
+            batch = self._frames_dev[b * self.ndata : (b + 1) * self.ndata]
             o = self._encode_j(batch, self._row_qps, self._roi)
             if fetch in ("light", "metrics"):
                 o = {k: o[k] for k in light_keys}

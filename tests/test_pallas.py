@@ -1,5 +1,10 @@
 """Pallas full-search kernel: bit parity with the NumPy oracle (interpret
-mode on CPU; the same checks run compiled on TPU in the bench driver)."""
+mode on CPU; the same checks run compiled on TPU in the bench driver).
+
+Covers the round-2 kernel extensions: in-kernel prediction outputs (vs the
+gather_predictions oracle), the direct-parity-plane FME contract (raw refs
+in, no upsample), and halo-band search for row-sharded tiles
+(read_row0/g_px0/grid_dims — VERDICT.md round-1 item 3)."""
 import numpy as np
 import pytest
 
@@ -7,7 +12,55 @@ import jax
 import jax.numpy as jnp
 
 from streamoptima_tpu.core import me as M
-from streamoptima_tpu.core.me_pallas import full_search_pallas
+from streamoptima_tpu.core import pred as P
+from streamoptima_tpu.core.me_pallas import full_search_pallas, full_search_pallas_fme
+
+
+def _block_coords(h, w, bs):
+    nbr, nbc = h // bs, w // bs
+    ys, xs = np.meshgrid(np.arange(nbr) * bs, np.arange(nbc) * bs, indexing="ij")
+    return xs.reshape(-1), ys.reshape(-1)
+
+
+def _quad_coords(h, w, bs):
+    sbs = bs // 2
+    bx, by = _block_coords(h, w, bs)
+    offs = np.array([[0, 0], [0, 1], [1, 0], [1, 1]]) * sbs
+    qx = (bx[:, None] + offs[None, :, 1]).reshape(-1)
+    qy = (by[:, None] + offs[None, :, 0]).reshape(-1)
+    return qx, qy
+
+
+def _blockify(band, bs):
+    h, w = band.shape
+    return band.reshape(h // bs, bs, w // bs, bs).swapaxes(1, 2).reshape(-1, bs, bs)
+
+
+def _quadify(band, bs):
+    sbs = bs // 2
+    h, w = band.shape
+    return band.reshape(h // bs, 2, sbs, w // bs, 2, sbs).transpose(0, 3, 1, 4, 2, 5).reshape(
+        -1, 4, sbs, sbs
+    )
+
+
+def _check_preds(out, search_refs, h, w, bs, fme):
+    """Kernel pred bands == gather_predictions at the winning MVs (ok blocks;
+    !ok blocks take the mv=(0,0,0) all-128 fallback, verified too)."""
+    bx, by = _block_coords(h, w, bs)
+    g = P.gather_predictions(out["mv"], search_refs, jnp.asarray(bx), jnp.asarray(by), bs, fme, jnp)
+    pf = _blockify(np.asarray(out["pred"]), bs)
+    ok = np.asarray(out["ok"])
+    np.testing.assert_array_equal(np.asarray(g)[ok], pf[ok])
+    if fme and (~ok).any():
+        np.testing.assert_array_equal(np.asarray(g)[~ok], np.full(((~ok).sum(), bs, bs), 128))
+    qx, qy = _quad_coords(h, w, bs)
+    gq = P.gather_predictions(
+        out["sub_mv"].reshape(-1, 3), search_refs, jnp.asarray(qx), jnp.asarray(qy), bs // 2, fme, jnp
+    ).reshape(-1, 4, bs // 2, bs // 2)
+    pq = _quadify(np.asarray(out["pred_quads"]), bs)
+    sok = np.asarray(out["sub_ok"])
+    np.testing.assert_array_equal(np.asarray(gq)[sok], pq[sok])
 
 
 @pytest.mark.parametrize(
@@ -30,6 +83,7 @@ def test_pallas_matches_oracle(h, w, sr, nref, nvalid):
     )
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+    _check_preds(b, jnp.asarray(refs), h, w, 16, False)
 
 
 def test_pallas_translating_texture():
@@ -46,25 +100,114 @@ def test_pallas_translating_texture():
 
 
 @pytest.mark.parametrize(
-    "h,w,sr,nref,nvalid",
+    "h,w,sr,nref,nvalid,wrap",
     [
-        (64, 128, 4, 1, None),
-        (64, 128, 8, 2, 1),
+        (64, 128, 4, 1, None, True),
+        (64, 128, 8, 2, 1, False),
     ],
 )
-def test_pallas_fme_matches_oracle(h, w, sr, nref, nvalid):
-    """Half-pel (parity-plane) kernel vs the XLA oracle at double range."""
+def test_pallas_fme_matches_oracle(h, w, sr, nref, nvalid, wrap):
+    """Half-pel kernel (raw refs in; parity planes computed in-kernel) vs
+    the XLA oracle searching the materialized upsample at double range."""
     rng = np.random.default_rng(h + sr)
-    from streamoptima_tpu.core.me_pallas import full_search_pallas_fme
-
     cur = rng.integers(0, 256, (h, w)).astype(np.int32)
-    ups = np.stack([
-        M.fme_upsample(rng.integers(0, 256, (h, w)).astype(np.int32), np) for _ in range(nref)
-    ])
+    refs = rng.integers(0, 256, (nref, h, w)).astype(np.uint8)
+    ups = np.stack([M.fme_upsample(r if wrap else r.astype(np.int32), np) for r in refs])
     a = M.full_search_materialized(cur, ups, 2 * sr, 16, 8, 2, True, True, np, nvalid=nvalid)
     b = full_search_pallas_fme(
-        jnp.asarray(cur), jnp.asarray(ups), sr, 16, 8, True,
+        jnp.asarray(cur), jnp.asarray(refs), sr, 16, 8, True,
         nvalid=None if nvalid is None else jnp.int32(nvalid), interpret=True,
+        wrap_row_pass=wrap,
     )
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+    _check_preds(b, jnp.asarray(ups), h, w, 16, True)
+
+
+def test_parity_planes_match_upsample_slices():
+    rng = np.random.default_rng(3)
+    for wrap in (True, False):
+        f = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+        up = M.fme_upsample(f if wrap else f.astype(np.int32), np, wrap_row_pass=wrap)
+        planes = M.fme_parity_planes(f, np, wrap_row_pass=wrap)
+        for i, (py, px) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            sl = up[py::2, px::2]
+            exp = np.zeros((24, 40), np.int32)
+            exp[: sl.shape[0], : sl.shape[1]] = sl
+            np.testing.assert_array_equal(planes[i], exp, err_msg=f"plane {py}{px} wrap={wrap}")
+
+
+@pytest.mark.parametrize("fme", [False, True])
+def test_pallas_banded_matches_full_frame(fme):
+    """Halo-band search (read_row0/g_px0/grid_dims) == the matching slice of
+    the full-frame search, including preds — the contract the row-sharded
+    mesh encoder relies on."""
+    rng = np.random.default_rng(7)
+    h, w, bs, sr, nref = 64, 128, 16, 4, 2
+    nbc = w // bs
+    cur = rng.integers(0, 256, (h, w)).astype(np.int32)
+    refs = rng.integers(0, 256, (nref, h, w)).astype(np.uint8)
+    halo8, y0, h_t = 8, 16, 32
+    band = refs[:, y0 - halo8 : y0 + h_t + halo8, :]
+    cur_t = cur[y0 : y0 + h_t]
+    if fme:
+        full = full_search_pallas_fme(jnp.asarray(cur), jnp.asarray(refs), sr, bs, 8, True, interpret=True)
+        tile = full_search_pallas_fme(
+            jnp.asarray(cur_t), jnp.asarray(band), sr, bs, 8, True, interpret=True,
+            read_row0=halo8, g_px0=y0, grid_dims=(2 * h - 1, 2 * w - 1),
+        )
+    else:
+        full = full_search_pallas(jnp.asarray(cur), jnp.asarray(refs).astype(jnp.int32), sr, bs, 8, True, interpret=True)
+        tile = full_search_pallas(
+            jnp.asarray(cur_t), jnp.asarray(band).astype(jnp.int32), sr, bs, 8, True, interpret=True,
+            read_row0=halo8, g_px0=y0, grid_dims=(h, w),
+        )
+    sel = slice((y0 // bs) * nbc, ((y0 + h_t) // bs) * nbc)
+    for k in ("mv", "sad", "ok", "sub_mv", "sub_sad", "sub_ok"):
+        np.testing.assert_array_equal(np.asarray(full[k])[sel], np.asarray(tile[k]), err_msg=k)
+    for k in ("pred", "pred_quads"):
+        np.testing.assert_array_equal(np.asarray(full[k])[y0 : y0 + h_t], np.asarray(tile[k]), err_msg=k)
+
+
+@pytest.mark.parametrize("fme,vbs", [(False, False), (True, True)])
+def test_jax_engine_pallas_path_matches_xla(fme, vbs):
+    """The full engine step with me_search='pallas' (in-kernel preds, no
+    gathers) == me_search='materialized', bit for bit."""
+    import dataclasses
+
+    from conftest import synthetic_clip
+    from streamoptima_tpu.config import CodecConfig
+    from streamoptima_tpu.jax_engine import JaxCodec
+
+    clip = synthetic_clip(h=64, w=64, frames=4, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=4, search_range=4, qp=4, intra_dur=4,
+                      vbs_enable=vbs, fme_enable=fme, lam=0.015, n_ref_frames=2,
+                      me_search="materialized")
+    a = JaxCodec(cfg, clip).encode()
+    b = JaxCodec(dataclasses.replace(cfg, me_search="pallas"), clip).encode()
+    np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
+    assert a["residual size per frame"] == b["residual size per frame"]
+    for fa, fb in zip(a["MVS per Frame"], b["MVS per Frame"]):
+        assert fa == fb
+
+
+@pytest.mark.parametrize("tile_comm", ["halo", "all_gather"])
+def test_mesh_pallas_path_matches_xla(tile_comm):
+    """Sharded encode with the Pallas kernel on row-sharded tiles (halo bands,
+    VERDICT round-1 item 3) == the XLA fused path, bit for bit."""
+    import dataclasses
+
+    from conftest import synthetic_clip
+    from streamoptima_tpu.config import CodecConfig
+    from streamoptima_tpu.parallel import ShardedCodec, make_mesh
+
+    clip = synthetic_clip(h=64, w=64, frames=4, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=4, search_range=4, qp=4, intra_dur=2,
+                      vbs_enable=True, fme_enable=True, lam=0.015, me_search="fused")
+    mesh = make_mesh(cfg, tile=2)
+    a = ShardedCodec(cfg, mesh, clip, tile_comm=tile_comm).encode()
+    b = ShardedCodec(dataclasses.replace(cfg, me_search="pallas"), mesh, clip, tile_comm=tile_comm).encode()
+    np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
+    assert a["residual size per frame"] == b["residual size per frame"]
+    for fa, fb in zip(a["MVS per Frame"], b["MVS per Frame"]):
+        assert fa == fb
