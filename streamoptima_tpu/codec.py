@@ -42,10 +42,15 @@ class VideoCodec:
         else:
             from streamoptima_tpu.jax_engine import JaxCodec
 
+            self._dec_mesh = None
             if mesh is not None:
                 from streamoptima_tpu.parallel import ShardedCodec
 
                 self._enc = ShardedCodec(cfg, mesh, y_frames) if y_frames is not None else None
+                # sharded decode for GOP-regular streams (the only kind the
+                # mesh encoder produces); single-chip decoder kept as the
+                # fallback for foreign/promoted bitstreams
+                self._dec_mesh = self._enc if self._enc is not None else ShardedCodec(cfg, mesh)
             else:
                 self._enc = JaxCodec(cfg, y_frames) if y_frames is not None else None
             self._dec = JaxCodec(cfg)
@@ -62,7 +67,7 @@ class VideoCodec:
         t0 = time.perf_counter()
         pkg = self._enc.encode(**kw)
         pkg.setdefault("timing", {})["total_s"] = time.perf_counter() - t0
-        if compute_ssim and self._enc.y is not None and "reconstructed frames" in pkg:
+        if compute_ssim and self._enc.y is not None and pkg.get("reconstructed frames") is not None:
             pkg["SSIM per frame"] = [
                 metrics.ssim(self._enc.y[i], pkg["reconstructed frames"][i])
                 for i in range(len(pkg["reconstructed frames"]))
@@ -97,16 +102,24 @@ class VideoCodec:
             frame_types, residuals, qp_rows, mvs = (
                 p["frame_type_seq"], p["approx residual"], p["Qp_per_row_per_frame"], p["MVS per Frame"],
             )
-        frames = self._dec.decode(frame_types, residuals, qp_rows, mvs)
+        frames = self._run_decode(frame_types, residuals, qp_rows, mvs)
         self._decoded = np.stack([np.asarray(f) for f in frames])
         return self._decoded
 
     def decode_bitstream(self, mv_file, residual_file):
         """File-level decode (decode_bitstream twin, decoder.py:692-709)."""
         fts, mvs, qps, res = BS.read_bitstream(mv_file, residual_file, self.cfg)
-        frames = self._dec.decode(fts, res, qps, mvs)
+        frames = self._run_decode(fts, res, qps, mvs)
         self._decoded = np.stack([np.asarray(f) for f in frames])
         return self._decoded
+
+    def _run_decode(self, frame_types, residuals, qp_rows, mvs):
+        if getattr(self, "_dec_mesh", None) is not None:
+            try:
+                return self._dec_mesh.decode(frame_types, residuals, qp_rows, mvs)
+            except ValueError:
+                pass  # non-GOP-regular stream: single-chip decode below
+        return self._dec.decode(frame_types, residuals, qp_rows, mvs)
 
     def save_decoded_frames(self, path, overlay_path=None):
         """Write decoded Y frames as raw bytes (save_decoded_frames twin,

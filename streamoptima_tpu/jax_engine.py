@@ -478,14 +478,10 @@ class JaxCodec:
         """Second-pass per-row QPs from first-pass row bit shares
         (rc.two_pass_row_budgets; the README-promised consumer of the stats
         the reference computes then discards, Encoder.py:1627-1639)."""
-        row_bits = np.asarray(out["row_bits"], dtype=np.float64)
-        total = row_bits.sum()
-        if total <= 0:
-            return self.row_qps_by_type[ftype]
-        stats_pct = row_bits / total * 100.0
-        budgets = rc_mod.two_pass_row_budgets(self.cfg, stats_pct)
-        qps = rc_mod.row_qp_from_budgets(self.cfg, budgets, ftype)
-        return jnp.asarray(np.asarray(qps, dtype=np.int32))
+        qps = rc_mod.second_pass_row_qps(
+            self.cfg, np.asarray(out["row_bits"]), ftype, self.row_qps_by_type[ftype]
+        )
+        return jnp.asarray(qps)
 
     def encode(self, package: bool = True):
         """Encode the clip.  ``package=False`` skips the host-side conversion

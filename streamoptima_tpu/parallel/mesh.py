@@ -24,7 +24,9 @@ The sharded path always uses full-search ME (fast-ME's MVP chain is
 raster-sequential across the whole frame — it stays a single-chip feature,
 Encoder.py:719-742) and intra_mode 0 (mode 1's column chain crosses tiles).
 Scene-change promotion (RCFlag>1) consumes a per-frame scalar on the host and
-is likewise a single-chip engine feature.
+is likewise a single-chip engine feature.  Two-pass RC runs sharded via
+per-frame steps (see _encode_two_pass) and decode shards exactly like encode
+(see decode) — both bit-identical to the single-chip engine.
 
 Output parity: with parallel_mode=0, fast_me=False the sharded encoder is
 bit-identical to the single-chip JaxCodec (tested in tests/test_parallel.py).
@@ -57,30 +59,42 @@ def make_mesh(cfg: CodecConfig, devices=None, tile: int | None = None) -> Mesh:
     """Build a ("data", "tile") mesh over ``devices`` (default: all).
 
     ``tile`` must divide both the device count and the frame's block-row
-    count; by default the largest such divisor is chosen, remaining devices
-    go to GOP ("data") parallelism.
+    count, and the inter halo (search_range + 1 border rows) must fit the
+    per-tile band height; by default the largest such divisor is chosen,
+    remaining devices go to GOP ("data") parallelism.
     """
     devices = list(jax.devices() if devices is None else devices)
     n = len(devices)
     nbr = cfg.block_rows
+    halo = cfg.search_range + 1
+
+    def halo_fits(t: int) -> bool:
+        return t == 1 or halo <= (nbr // t) * cfg.block_size
+
     if tile is None:
         tile = 1
         for d in range(n, 0, -1):
-            if n % d == 0 and nbr % d == 0:
+            if n % d == 0 and nbr % d == 0 and halo_fits(d):
                 tile = d
                 break
     if n % tile or nbr % tile:
         raise ValueError(f"tile={tile} must divide device count {n} and block rows {nbr}")
+    if not halo_fits(tile):
+        raise ValueError(
+            f"tile={tile} leaves {(nbr // tile) * cfg.block_size} pixel rows per band, "
+            f"smaller than the search halo {halo}; lower the tile count"
+        )
     data = n // tile
     arr = np.asarray(devices).reshape(data, tile)
     return Mesh(arr, ("data", "tile"))
 
 
 class ShardedCodec:
-    """GOP- and row-sharded encoder over a 2D device mesh.
+    """GOP- and row-sharded encoder/decoder over a 2D device mesh.
 
-    Same package format as JaxCodec.encode(); decode stays on the single-chip
-    engine (it is >10x cheaper than encode).
+    Same package format as JaxCodec.encode(); ``decode`` shards the same way
+    (GOPs over "data", recon bands with ppermute halos over "tile") and is
+    bit-identical to the single-chip decoder for GOP-regular streams.
     """
 
     def __init__(self, cfg: CodecConfig, mesh: Mesh, y_frames=None, tile_comm: str = "halo"):
@@ -90,13 +104,19 @@ class ShardedCodec:
             "scene-change promotion consumes per-frame host scalars; use the single-chip engine"
         )
         assert cfg.parallel_mode == 0, "mesh sharding replaces the reference's ParallelModes"
-        assert not cfg.two_pass, "two-pass RC consumes per-frame host stats; use the single-chip engine"
+        assert not cfg.fast_me, (
+            "fast-ME's MVP chain is raster-sequential across the whole frame "
+            "(Encoder.py:719-742) — single-chip engine only; the sharded path "
+            "always full-searches"
+        )
         assert tile_comm in ("halo", "all_gather")
         self.tile_comm = tile_comm
         self.cfg = cfg
         self.mesh = mesh
         self.y = None if y_frames is None else np.asarray(y_frames, dtype=np.uint8)
         self._frames_dev = None  # device-resident GOP-batched clip (lazy)
+        self._decode_j = None  # jitted sharded decode (lazy)
+        self._fsteps = None  # jitted per-frame steps for two-pass RC (lazy)
         self.ndata = mesh.devices.shape[0]
         self.ntile = mesh.devices.shape[1]
         self.h, self.w = cfg.height, cfg.width
@@ -174,10 +194,10 @@ class ShardedCodec:
 
     def _intra_tile(self, cur_l, y0_blocks, row_qps_tile, roi_tile):
         """Intra-code the local band (zero communication; mode-0 search and
-        reconstruction never leave the 16-row band)."""
+        reconstruction never leave the 16-row band).  ``row_qps_tile`` is the
+        explicit (nbr_t,) per-row QP slice for THIS frame."""
         cfg = self.cfg
         work = cur_l.astype(jnp.int32)
-        row_qps_tile = row_qps_tile[0]  # intra table (native K9 fix)
         out = I.intra_search_mode0(work, self.bs, cfg.search_range, self.w, cfg.vbs_enable, jnp)
         res_full, res_quads = I.intra_residuals_mode0(work, out["mv"], out.get("sub_mv"), self.bs, jnp)
         if cfg.vbs_enable:
@@ -212,6 +232,7 @@ class ShardedCodec:
             "qtc_full": qtc_full, "qtc_quads": qtc_quads,
             "size": jax.lax.psum(lens.sum(), "tile"), "recon": recon,
             "mae_sum": jax.lax.psum(mae_pb.sum(), "tile"),
+            "row_bits": lens.reshape(self.nbr_t, self.nbc).sum(axis=1),
         }
 
     def _inter_tile(self, cur_l, refs_l, nvalid, y0_blocks, row_qps_tile, roi_tile):
@@ -221,7 +242,6 @@ class ShardedCodec:
         references; everything downstream touches only the local band.
         """
         cfg = self.cfg
-        row_qps_tile = row_qps_tile[1]  # inter table (native K9 fix)
         fme = cfg.fme_enable
         scale = 2 if fme else 1
         sr = cfg.search_range * 2 if fme else cfg.search_range
@@ -368,6 +388,7 @@ class ShardedCodec:
             "qtc_full": qtc_full, "qtc_quads": qtc_quads,
             "size": jax.lax.psum(lens.sum(), "tile"), "recon": recon,
             "mae_sum": jax.lax.psum(mae_pb.sum(), "tile"),
+            "row_bits": lens.reshape(self.nbr_t, self.nbc).sum(axis=1),
         }
 
     # -------------------------------------------------------- shard program
@@ -377,7 +398,7 @@ class ShardedCodec:
         cfg = self.cfg
         nref = cfg.n_ref_frames
         cur0 = frames_l[0]
-        out0 = self._intra_tile(cur0, y0_blocks, row_qps_tile, roi_tile)
+        out0 = self._intra_tile(cur0, y0_blocks, row_qps_tile[0], roi_tile)
         out0["sqerr"] = jax.lax.psum(
             jnp.sum((out0["recon"].astype(jnp.float32) - cur0.astype(jnp.float32)) ** 2), "tile"
         )
@@ -389,7 +410,7 @@ class ShardedCodec:
 
         def step(carry, cur):
             refs, nvalid = carry
-            out = self._inter_tile(cur, refs, nvalid, y0_blocks, row_qps_tile, roi_tile)
+            out = self._inter_tile(cur, refs, nvalid, y0_blocks, row_qps_tile[1], roi_tile)
             out["sqerr"] = jax.lax.psum(
                 jnp.sum((out["recon"].astype(jnp.float32) - cur.astype(jnp.float32)) ** 2), "tile"
             )
@@ -425,6 +446,8 @@ class ShardedCodec:
         """
         cfg = self.cfg
         assert self.y is not None, "construct with y_frames to encode"
+        if cfg.two_pass and cfg.rc_active:
+            return self._encode_two_pass(fetch)
         n = cfg.frames
         gl = self.gl
         n_gops = math.ceil(n / gl)
@@ -492,6 +515,387 @@ class ShardedCodec:
             "Qp_per_row_per_frame": [
                 (row_qps_host[ft] if cfg.rc_active else []) for ft in ftypes
             ],
+            "residual size per frame": sizes,
+            "reconstructed frames": recon,
+        }
+        if fetch not in ("light", "metrics"):
+            pkg["MVS per Frame"] = mvs_pf
+            pkg["approx residual"] = res_pf
+        return pkg
+
+    # -------------------------------------------------------------- decode
+    # GOP- and row-sharded decode (round-1 VERDICT item 4): same mesh layout
+    # as encode — the "data" axis decodes whole GOPs independently (every GOP
+    # opens intra, so no cross-GOP state), the "tile" axis reconstructs
+    # horizontal bands with a recon-halo ppermute per inter frame (the mirror
+    # of the encoder's search halo; decode needs only search_range+1 border
+    # rows for motion compensation).  Reference decode loop: decoder.py:487-545.
+
+    def _dequant_tile(self, qtc_full, qtc_quads, row_qps_tile, roi_tile):
+        qps = self._qps_blocks(row_qps_tile, roi_tile)
+        rf = idct2_int(rescale(qtc_full, qps).astype(jnp.int32))
+        rq = idct2_int(rescale(qtc_quads, rd.qp_minus_1(qps)[:, None]).astype(jnp.int32))
+        return rf, rq
+
+    def _merge_blocks(self, full_blocks, quad_blocks, split):
+        if self.cfg.vbs_enable:
+            qm = quad_blocks.reshape(-1, 2, 2, self.sbs, self.sbs).swapaxes(2, 3).reshape(
+                -1, self.bs, self.bs
+            )
+            blocks = jnp.where(split[:, None, None], qm, full_blocks)
+        else:
+            blocks = full_blocks
+        return blocks.reshape(self.nbr_t, self.nbc, self.bs, self.bs).swapaxes(1, 2).reshape(
+            self.h_t, self.w
+        )
+
+    def _intra_tile_decode(self, mv, split, smv, qtc_full, qtc_quads, row_qps_tile, roi_tile):
+        rf, rq = self._dequant_tile(qtc_full, qtc_quads, row_qps_tile, roi_tile)
+        return P.wrap_uint8(
+            I.intra_reconstruct_mode0(
+                rf, rq if self.cfg.vbs_enable else None, split, mv[:, 0], smv[:, :, 0],
+                self.h_t, self.w, self.bs, jnp,
+            ),
+            jnp,
+        )
+
+    def _inter_tile_decode(self, refs_l, y0_blocks, mv, split, smv,
+                           qtc_full, qtc_quads, row_qps_tile, roi_tile):
+        cfg = self.cfg
+        fme = cfg.fme_enable
+        scale = 2 if fme else 1
+        y0_px = y0_blocks * self.bs
+        grid_dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
+        if self.ntile == 1 or self.tile_comm == "all_gather":
+            band = jax.lax.all_gather(refs_l, "tile", axis=1, tiled=True)
+            pred_origin = 0
+        else:
+            halo = cfg.search_range + 1
+            perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
+            perm_up = [(i + 1, i) for i in range(self.ntile - 1)]
+            top = jax.lax.ppermute(refs_l[:, -halo:, :], "tile", perm_dn)
+            bot = jax.lax.ppermute(refs_l[:, :halo, :], "tile", perm_up)
+            band = jnp.concatenate([top, refs_l, bot], axis=1)
+            pred_origin = scale * (y0_px - halo)
+        if fme:
+            pred_refs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(band)
+        else:
+            pred_refs = band.astype(jnp.int32)
+        by_g = self._by_local + y0_px
+        rf, rq = self._dequant_tile(qtc_full, qtc_quads, row_qps_tile, roi_tile)
+        pred_full = P.gather_predictions(mv, pred_refs, self._bx, by_g, self.bs, fme, jnp,
+                                         grid_dims=grid_dims, origin_row=pred_origin)
+        full_blocks = P.wrap_uint8(pred_full + rf, jnp)
+        if cfg.vbs_enable:
+            qy_g = self._qy_local + y0_px
+            pred_q = P.gather_predictions(
+                smv.reshape(-1, 3), pred_refs, self._qx.reshape(-1), qy_g.reshape(-1),
+                self.sbs, fme, jnp, grid_dims=grid_dims, origin_row=pred_origin,
+            ).reshape(self.nb_t, 4, self.sbs, self.sbs)
+            quad_blocks = P.wrap_uint8(pred_q + rq, jnp)
+        else:
+            quad_blocks = None
+        return self._merge_blocks(full_blocks, quad_blocks, split)
+
+    def _decode_gop_local(self, gop, row_qps_g, roi_tile, y0_blocks):
+        """Decode one GOP's local band: intra frame 0, scan over inter frames
+        carrying the reconstruction-band FIFO (decoder.py:487-545 semantics:
+        refs reset at each intra, FIFO of n_ref_frames)."""
+        cfg = self.cfg
+        nref = cfg.n_ref_frames
+        nb_t = self.nb_t
+
+        def per_frame(i):
+            return (
+                gop["mv"][i].reshape(nb_t, 3),
+                gop["split"][i].reshape(nb_t),
+                gop["sub_mv"][i].reshape(nb_t, 4, 3),
+                gop["qtc_full"][i].reshape(nb_t, self.bs, self.bs),
+                gop["qtc_quads"][i].reshape(nb_t, 4, self.sbs, self.sbs),
+                row_qps_g[i],
+            )
+
+        mv0, split0, smv0, qf0, qq0, rqp0 = per_frame(0)
+        f0 = self._intra_tile_decode(mv0, split0, smv0, qf0, qq0, rqp0, roi_tile)
+        if self.gl == 1:
+            return f0[None]
+
+        refs0 = jnp.zeros((nref, self.h_t, self.w), dtype=jnp.uint8).at[0].set(f0)
+
+        def step(carry, xs):
+            refs, nvalid = carry
+            mv, split, smv, qf, qq, rqp = xs
+            f = self._inter_tile_decode(refs, y0_blocks, mv, split, smv, qf, qq, rqp, roi_tile)
+            full = nvalid >= nref
+            rolled = jnp.where(full, jnp.roll(refs, -1, axis=0), refs)
+            idx = jnp.minimum(nvalid, nref - 1)
+            new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, f[None], idx, axis=0)
+            return (new_refs, jnp.minimum(nvalid + 1, nref)), f
+
+        tail = tuple(
+            jnp.stack([per_frame(i)[j] for i in range(1, self.gl)]) for j in range(6)
+        )
+        (_, _), frames = jax.lax.scan(step, (refs0, jnp.int32(1)), tail)
+        return jnp.concatenate([f0[None], frames], axis=0)
+
+    def _decode_gops_shard(self, mv_g, split_g, smv_g, qf_g, qq_g, rqp_g, roi):
+        tile_idx = jax.lax.axis_index("tile")
+        y0_blocks = tile_idx * self.nbr_t
+        roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0_blocks, self.nbr_t, axis=0)
+        rqp_tile = jax.lax.dynamic_slice_in_dim(rqp_g, y0_blocks, self.nbr_t, axis=2)  # (G, gl, nbr_t)
+
+        def one(mv, split, smv, qf, qq, rqp):
+            gop = {"mv": mv, "split": split, "sub_mv": smv, "qtc_full": qf, "qtc_quads": qq}
+            return self._decode_gop_local(gop, rqp, roi_tile, y0_blocks)
+
+        return jax.vmap(one)(mv_g, split_g, smv_g, qf_g, qq_g, rqp_tile)
+
+    def _build_decode_j(self):
+        spec_blk = P_("data", None, "tile", None)
+        return jax.jit(
+            shard_map(
+                self._decode_gops_shard,
+                mesh=self.mesh,
+                in_specs=(
+                    P_("data", None, "tile", None, None),      # mv (G, gl, nbr, nbc, 3)
+                    spec_blk,                                   # split
+                    P_("data", None, "tile", None, None, None),  # sub_mv
+                    P_("data", None, "tile", None, None, None),  # qtc_full
+                    P_("data", None, "tile", None, None, None, None),  # qtc_quads
+                    P_("data", None, None),                     # row_qps (G, gl, nbr)
+                    P_(None, None),                             # roi
+                ),
+                out_specs=P_("data", None, "tile", None),
+                check_vma=False,
+            )
+        )
+
+    def decode(self, frame_types, residuals_per_frame, qp_rows_per_frame, mvs_per_frame):
+        """Sharded in-memory decode of list-structured packages (same
+        interchange as JaxCodec.decode).  Requires the GOP-regular frame-type
+        sequence the mesh encoder produces (intra iff i % intra_dur == 0 —
+        scene-change promotion breaks GOP independence; use the single-chip
+        decoder for such streams)."""
+        cfg = self.cfg
+        n = cfg.frames
+        gl = self.gl
+        for i, ft in enumerate(frame_types[:n]):
+            expect = 0 if i % gl == 0 else 1
+            if ft != expect:
+                raise ValueError(
+                    f"frame {i} has type {ft}, expected {expect}: the sharded decoder "
+                    "requires GOP-regular streams (intra every intra_dur frames); "
+                    "use the single-chip JaxCodec.decode for promoted streams"
+                )
+        n_gops = math.ceil(n / gl)
+        g_pad = math.ceil(n_gops / self.ndata) * self.ndata
+        nb = self.nbr * self.nbc
+        mv_g = np.zeros((g_pad, gl, nb, 3), np.int32)
+        split_g = np.zeros((g_pad, gl, nb), bool)
+        smv_g = np.zeros((g_pad, gl, nb, 4, 3), np.int32)
+        qf_g = np.zeros((g_pad, gl, nb, self.bs, self.bs), np.int32)
+        qq_g = np.zeros((g_pad, gl, nb, 4, self.sbs, self.sbs), np.int32)
+        rqp_g = np.full((g_pad, gl, self.nbr), cfg.qp, np.int32)
+        for i in range(n):
+            g, f = divmod(i, gl)
+            ft = frame_types[i]
+            mv, split, smv = jax_engine.list_to_mvs(mvs_per_frame[i], ft, nb)
+            qf, qq = jax_engine.list_to_res(residuals_per_frame[i], nb, self.bs, self.sbs)
+            if ft == 0:  # intra MVs are scalars; pack into component 0
+                mv_g[g, f, :, 0] = np.asarray(mv)
+                smv_g[g, f, :, :, 0] = np.asarray(smv)
+            else:
+                mv_g[g, f] = np.asarray(mv)
+                smv_g[g, f] = np.asarray(smv)
+            split_g[g, f] = np.asarray(split)
+            qf_g[g, f] = np.asarray(qf)
+            qq_g[g, f] = np.asarray(qq)
+            if cfg.rc_active and len(qp_rows_per_frame[i]):
+                rqp_g[g, f] = np.asarray(qp_rows_per_frame[i], np.int32)
+        if self._decode_j is None:
+            self._decode_j = self._build_decode_j()
+        shp = lambda a: a.reshape((g_pad, gl, self.nbr, self.nbc) + a.shape[3:])  # noqa: E731
+        outs = []
+        for b in range(g_pad // self.ndata):
+            sl = slice(b * self.ndata, (b + 1) * self.ndata)
+            o = self._decode_j(
+                jnp.asarray(shp(mv_g)[sl]), jnp.asarray(shp(split_g)[sl]),
+                jnp.asarray(shp(smv_g)[sl]), jnp.asarray(shp(qf_g)[sl]),
+                jnp.asarray(shp(qq_g)[sl]), jnp.asarray(rqp_g[sl]), self._roi,
+            )
+            outs.append(np.asarray(o))
+        recon = np.concatenate(outs, axis=0).reshape(g_pad * gl, self.h, self.w)
+        return [recon[i] for i in range(n)]
+
+    # ----------------------------------------------------- two-pass encode
+    # Per-frame sharded steps (round-1 VERDICT item 8): two-pass RC needs the
+    # first-pass row bits of EACH frame on the host before that frame's
+    # second pass, and the second-pass reconstruction before the next frame's
+    # first pass (the single-chip ordering, jax_engine.encode) — so the GOP
+    # scan unrolls into per-frame dispatches here.  The tile programs are the
+    # same _intra_tile/_inter_tile; the host math is rc.second_pass_row_qps,
+    # shared with JaxCodec, so mesh two-pass is bitwise identical to
+    # single-chip two-pass.
+
+    def _fstep_out_specs(self):
+        return {
+            "mv": P_("data", "tile", None, None),
+            "split": P_("data", "tile", None),
+            "sub_mv": P_("data", "tile", None, None, None),
+            "qtc_full": P_("data", "tile", None, None, None),
+            "qtc_quads": P_("data", "tile", None, None, None, None),
+            "size": P_("data"),
+            "sqerr": P_("data"),
+            "mae_sum": P_("data"),
+            "recon": P_("data", "tile", None),
+            "row_bits": P_("data", "tile"),
+        }
+
+    def _build_fsteps(self):
+        refs_spec = P_("data", None, "tile", None)
+
+        def finish(out, cur_l):
+            out["sqerr"] = jax.lax.psum(
+                jnp.sum((out["recon"].astype(jnp.float32) - cur_l.astype(jnp.float32)) ** 2), "tile"
+            )
+            row_bits = out["row_bits"]
+            g = self._grid_out(out)
+            g["row_bits"] = row_bits
+            return g
+
+        def intra_shard(cur_g, rqp_g, roi):
+            tile_idx = jax.lax.axis_index("tile")
+            y0b = tile_idx * self.nbr_t
+            roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0b, self.nbr_t, axis=0)
+
+            def one(cur_l, rqp):
+                rqp_t = jax.lax.dynamic_slice_in_dim(rqp, y0b, self.nbr_t, axis=0)
+                out = self._intra_tile(cur_l, y0b, rqp_t, roi_tile)
+                g = finish(out, cur_l)
+                nref = self.cfg.n_ref_frames
+                refs = jnp.zeros((nref, self.h_t, self.w), jnp.uint8).at[0].set(out["recon"])
+                return g, refs
+
+            return jax.vmap(one)(cur_g, rqp_g)
+
+        def inter_shard(cur_g, refs_g, nvalid, rqp_g, roi):
+            tile_idx = jax.lax.axis_index("tile")
+            y0b = tile_idx * self.nbr_t
+            roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0b, self.nbr_t, axis=0)
+            nref = self.cfg.n_ref_frames
+
+            def one(cur_l, refs_l, rqp):
+                rqp_t = jax.lax.dynamic_slice_in_dim(rqp, y0b, self.nbr_t, axis=0)
+                out = self._inter_tile(cur_l, refs_l, nvalid, y0b, rqp_t, roi_tile)
+                g = finish(out, cur_l)
+                full = nvalid >= nref
+                rolled = jnp.where(full, jnp.roll(refs_l, -1, axis=0), refs_l)
+                idx = jnp.minimum(nvalid, nref - 1)
+                new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, out["recon"][None], idx, axis=0)
+                return g, new_refs
+
+            return jax.vmap(one)(cur_g, refs_g, rqp_g)
+
+        intra_j = jax.jit(
+            shard_map(
+                intra_shard, mesh=self.mesh,
+                in_specs=(P_("data", "tile", None), P_("data", None), P_(None, None)),
+                out_specs=(self._fstep_out_specs(), refs_spec),
+                check_vma=False,
+            )
+        )
+        inter_j = jax.jit(
+            shard_map(
+                inter_shard, mesh=self.mesh,
+                in_specs=(P_("data", "tile", None), refs_spec, P_(), P_("data", None), P_(None, None)),
+                out_specs=(self._fstep_out_specs(), refs_spec),
+                check_vma=False,
+            )
+        )
+        return intra_j, inter_j
+
+    def _encode_two_pass(self, fetch: str = "full"):
+        """Two-pass rate-controlled sharded encode (GOPs stay data-parallel;
+        each frame runs pass 1 at the table QPs, the host reallocates row
+        budgets from the measured row bits, pass 2 re-encodes — README.md:13's
+        promised consumer of the stats the reference discards)."""
+        cfg = self.cfg
+        n, gl = cfg.frames, self.gl
+        n_gops = math.ceil(n / gl)
+        g_pad = math.ceil(n_gops / self.ndata) * self.ndata
+        if self._frames_dev is None or self._frames_dev.shape[0] != g_pad:
+            frames_g = np.zeros((g_pad, gl, self.h, self.w), dtype=np.uint8)
+            flat = frames_g.reshape(-1, self.h, self.w)
+            flat[:n] = self.y[:n]
+            flat[n:] = self.y[n - 1]
+            self._frames_dev = jax.device_put(jnp.asarray(frames_g))
+        if self._fsteps is None:
+            self._fsteps = self._build_fsteps()
+        intra_j, inter_j = self._fsteps
+        type_rows = np.asarray(self._row_qps)  # (2, nbr)
+        outs = []  # per (batch, frame): (grid_out, rqp2 (ndata, nbr))
+        nref = cfg.n_ref_frames
+        for b in range(g_pad // self.ndata):
+            refs = None
+            for f in range(gl):
+                cur = self._frames_dev[b * self.ndata : (b + 1) * self.ndata, f]
+                ftype = 0 if f == 0 else 1
+                rqp1 = jnp.asarray(np.broadcast_to(type_rows[ftype], (self.ndata, self.nbr)))
+                if ftype == 0:
+                    o1, _ = intra_j(cur, rqp1, self._roi)
+                else:
+                    o1, _ = inter_j(cur, refs, jnp.int32(min(f, nref)), rqp1, self._roi)
+                row_bits = np.asarray(o1["row_bits"])  # (ndata, nbr)
+                rqp2 = np.stack([
+                    rc_mod.second_pass_row_qps(cfg, row_bits[g], ftype, type_rows[ftype])
+                    for g in range(self.ndata)
+                ])
+                if ftype == 0:
+                    o2, refs = intra_j(cur, jnp.asarray(rqp2), self._roi)
+                else:
+                    o2, refs = inter_j(cur, refs, jnp.int32(min(f, nref)), jnp.asarray(rqp2), self._roi)
+                outs.append((o2, rqp2))
+        return self._package_two_pass(outs, g_pad, fetch)
+
+    def _package_two_pass(self, outs, g_pad, fetch):
+        cfg = self.cfg
+        n, gl = cfg.frames, self.gl
+        nb = self.nbr * self.nbc
+        mvs_pf, res_pf, psnr_pf, mae_pf, sizes, ftypes, qp_rows = [], [], [], [], [], [], []
+        recon = None if fetch == "metrics" else np.zeros((n, self.h, self.w), dtype=np.uint8)
+        for i in range(n):
+            g, f = divmod(i, gl)
+            batch, g_loc = divmod(g, self.ndata)
+            o, rqp2 = outs[batch * gl + f]
+            ftype = 0 if f == 0 else 1
+            ftypes.append(ftype)
+            qp_rows.append([int(q) for q in rqp2[g_loc]])
+            if fetch not in ("light", "metrics"):
+                per = {
+                    "mv": np.asarray(o["mv"][g_loc]).reshape(nb, 3),
+                    "split": np.asarray(o["split"][g_loc]).reshape(nb),
+                    "sub_mv": np.asarray(o["sub_mv"][g_loc]).reshape(nb, 4, 3),
+                    "qtc_full": np.asarray(o["qtc_full"][g_loc]).reshape(nb, self.bs, self.bs),
+                    "qtc_quads": np.asarray(o["qtc_quads"][g_loc]).reshape(nb, 4, self.sbs, self.sbs),
+                }
+                mvs_pf.append(jax_engine.mvs_to_list(per, ftype, nb))
+                res_pf.append(jax_engine.res_to_list(per, nb))
+            sizes.append(int(o["size"][g_loc]))
+            mse = float(o["sqerr"][g_loc]) / (self.h * self.w)
+            psnr_pf.append(float(10.0 * np.log10(255.0**2 / mse)) if mse > 0 else float("inf"))
+            mae_pf.append(float(o["mae_sum"][g_loc]) / nb)
+            if recon is not None:
+                recon[i] = np.asarray(o["recon"][g_loc])
+        pkg = {
+            "block size": self.bs,
+            "num frames": n,
+            "height in pixels": self.h,
+            "width in pixels": self.w,
+            "search range": cfg.search_range,
+            "PSNR per frame": psnr_pf,
+            "MAE per Frame": mae_pf,
+            "frame_type_seq": ftypes,
+            "Qp_per_row_per_frame": qp_rows,
             "residual size per frame": sizes,
             "reconstructed frames": recon,
         }

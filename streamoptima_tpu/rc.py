@@ -112,6 +112,19 @@ def two_pass_row_budgets(cfg, stats_pct):
     return frame_budget * shares
 
 
+def second_pass_row_qps(cfg, row_bits, frame_type: int, fallback):
+    """Second-pass per-row QPs from first-pass row bits (host math, shared by
+    the single-chip and sharded engines so two-pass is bitwise identical on
+    both).  ``fallback`` is returned when the frame spent no bits."""
+    row_bits = np.asarray(row_bits, dtype=np.float64)
+    total = row_bits.sum()
+    if total <= 0:
+        return np.asarray(fallback, dtype=np.int32)
+    stats_pct = row_bits / total * 100.0
+    budgets = two_pass_row_budgets(cfg, stats_pct)
+    return np.asarray(row_qp_from_budgets(cfg, budgets, frame_type), dtype=np.int32)
+
+
 def row_qp_from_budgets(cfg, budgets, frame_type: int = 0):
     """Pick a QP per row from explicit per-row budgets (two-pass second pass)."""
     table_idx = 0 if cfg.compat else frame_type

@@ -114,12 +114,13 @@ def test_halo_equals_all_gather(tile):
     _compare_packages(a, b)
 
 
-def test_sharded_rejects_two_pass():
+def test_sharded_accepts_two_pass():
+    """Two-pass RC became a sharded feature in round 2 (it was guarded off in
+    round 1); construction must succeed."""
     cfg = CodecConfig(height=64, width=64, frames=2, search_range=2, two_pass=True,
                       rc_flag=1, target_br="100 kbps",
                       qp_rate_tables=[[9000, 4000, 2000, 1100, 800, 600, 450, 350, 280, 230, 200, 180]] * 2)
-    with pytest.raises(AssertionError):
-        ShardedCodec(cfg, make_mesh(cfg))
+    ShardedCodec(cfg, make_mesh(cfg))
 
 
 def test_dryrun_multichip_fresh_process():
@@ -140,3 +141,71 @@ def test_dryrun_multichip_fresh_process():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun ok" in r.stdout
+
+
+def test_sharded_rejects_fast_me():
+    """fast-ME's MVP chain is single-chip only; the mesh must refuse rather
+    than silently full-search (round-1 ADVICE.md item 2)."""
+    cfg = CodecConfig(height=64, width=64, frames=2, search_range=2, fast_me=True)
+    with pytest.raises(AssertionError):
+        ShardedCodec(cfg, make_mesh(cfg))
+
+
+@pytest.mark.parametrize("h", [64, 128, 256])
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+@pytest.mark.parametrize("sr", [4, 16, 31])
+def test_make_mesh_halo_always_fits(h, ndev, sr):
+    """Property: every auto-selected mesh satisfies halo <= band height, so
+    the encoder never trips the trace-time halo assert (round-1 VERDICT
+    item 6: h=128, 8 devices, sr=16 used to pick tile=8 and crash)."""
+    cfg = CodecConfig(height=h, width=64, frames=2, search_range=sr)
+    mesh = make_mesh(cfg, devices=jax.devices()[:ndev])
+    tile = mesh.devices.shape[1]
+    assert tile == 1 or sr + 1 <= (cfg.block_rows // tile) * cfg.block_size
+    clip = synthetic_clip(h=h, w=64, frames=2)
+    pkg = ShardedCodec(cfg, mesh, clip).encode(fetch="metrics")
+    assert len(pkg["PSNR per frame"]) == 2
+
+
+@pytest.mark.parametrize("extra", [
+    dict(),
+    dict(vbs_enable=True, fme_enable=True, lam=0.015, n_ref_frames=2),
+    dict(rc_flag=1, target_br="640 kbps", frame_rate=30,
+         qp_rate_tables=[[99000, 60000, 40000, 26000, 17000, 11000, 7200, 4800, 3200, 2100, 1400, 950],
+                         [60000, 36000, 24000, 16000, 10000, 6600, 4400, 2900, 1900, 1300, 850, 560]]),
+], ids=["plain", "vbs_fme_nref2", "rc1"])
+def test_sharded_decode_matches_single_chip(extra):
+    """Sharded decode == single-chip decode == encoder reconstruction
+    (round-1 VERDICT item 4).  Reference decode loop: decoder.py:487-545."""
+    clip = synthetic_clip(h=64, w=64, frames=6, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=6, search_range=4, qp=4, intra_dur=3, **extra)
+    sc = ShardedCodec(cfg, make_mesh(cfg), clip)
+    pkg = sc.encode()
+    args = (pkg["frame_type_seq"], pkg["approx residual"], pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    sharded = np.stack([np.asarray(f) for f in sc.decode(*args)])
+    single = np.stack([np.asarray(f) for f in JaxCodec(cfg).decode(*args)])
+    np.testing.assert_array_equal(sharded, single)
+    np.testing.assert_array_equal(sharded, pkg["reconstructed frames"])
+
+
+def test_sharded_decode_rejects_promoted_stream():
+    cfg = CodecConfig(height=64, width=64, frames=4, search_range=2, intra_dur=2)
+    sc = ShardedCodec(cfg, make_mesh(cfg))
+    with pytest.raises(ValueError):
+        # frame 1 intra where the GOP structure says inter
+        sc.decode([0, 0, 0, 1], [[]] * 4, [[]] * 4, [[]] * 4)
+
+
+def test_sharded_two_pass_matches_single_chip():
+    """Mesh two-pass RC == single-chip two-pass, bitwise (round-1 VERDICT
+    item 8; README.md:13's promised consumer of the first-pass row stats)."""
+    clip = synthetic_clip(h=64, w=64, frames=6, motion=2)
+    tables = [[99000, 60000, 40000, 26000, 17000, 11000, 7200, 4800, 3200, 2100, 1400, 950],
+              [60000, 36000, 24000, 16000, 10000, 6600, 4400, 2900, 1900, 1300, 850, 560]]
+    cfg = CodecConfig(height=64, width=64, frames=6, search_range=4, qp=4, intra_dur=3,
+                      vbs_enable=True, lam=0.015, two_pass=True, rc_flag=1,
+                      target_br="640 kbps", frame_rate=30, qp_rate_tables=tables)
+    single = JaxCodec(cfg, clip).encode()
+    sharded = ShardedCodec(cfg, make_mesh(cfg), clip).encode()
+    _compare_packages(single, sharded)
+    assert single["Qp_per_row_per_frame"] == sharded["Qp_per_row_per_frame"]
