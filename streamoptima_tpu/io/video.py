@@ -60,7 +60,10 @@ class VideoManager:
         yuv = self.vid_frames_yuv444.astype(np.float32).transpose(0, 2, 3, 1)  # (n,h,w,3)
         yuv[..., 0] = yuv[..., 0].clip(16, 235) - 16
         yuv[..., 1:] = yuv[..., 1:].clip(16, 240) - 128
-        rgb = np.matmul(yuv, _CONV_MAT.T.astype(np.float32)).clip(0, 255).astype(np.uint8)
+        # float64 matrix exactly like the reference (video_manager.py:189-201:
+        # float32 pixels matmul a float64 matrix -> float64 accumulate; an
+        # all-float32 matmul rounds differently near the 0/255 clip edges)
+        rgb = np.matmul(yuv, _CONV_MAT.T).clip(0, 255).astype(np.uint8)
         self.vid_frames_rgb = rgb
         return rgb
 
