@@ -68,10 +68,15 @@ class VideoCodec:
         pkg = self._enc.encode(**kw)
         pkg.setdefault("timing", {})["total_s"] = time.perf_counter() - t0
         if compute_ssim and self._enc.y is not None and pkg.get("reconstructed frames") is not None:
-            pkg["SSIM per frame"] = [
-                metrics.ssim(self._enc.y[i], pkg["reconstructed frames"][i])
-                for i in range(len(pkg["reconstructed frames"]))
-            ]
+            recon = pkg["reconstructed frames"]
+            if self.cfg.compat:
+                pkg["SSIM per frame"] = [
+                    metrics.ssim(self._enc.y[i], recon[i]) for i in range(len(recon))
+                ]
+            else:
+                # one batched device call; the per-frame host scipy loop
+                # dominated fast 720p encodes (round-1 VERDICT item 10)
+                pkg["SSIM per frame"] = metrics.ssim_frames(self._enc.y[: len(recon)], recon)
         self._pkg = pkg
         return pkg
 
