@@ -58,14 +58,16 @@ def main():
     # fetch="metrics": reconstructions/coefficients stay in HBM, exactly as
     # the reference's stay in process RAM — only sizes/PSNR cross the link.
     # (The reference's timed scope is likewise its per-frame flows, not
-    # serialization or disk writes.)  Best of 2 passes: shared dev chips
-    # show transient 2x throughput dips.
+    # serialization or disk writes.)  Both best-of-N and mean-of-N are
+    # reported (shared dev chips show transient throughput dips; the mean
+    # keeps the number honest, round-1 VERDICT item 9).
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         pkg = codec.encode(fetch="metrics")
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
+    mean_elapsed = sum(times) / len(times)
     fps = FRAMES / elapsed
 
     base_path = REPO / "benchmarks" / "reference_baseline.json"
@@ -86,7 +88,9 @@ def main():
                     "device": str(jax.devices()[0].platform),
                     "frames": FRAMES,
                     "elapsed_s": round(elapsed, 3),
-                    "timing": "best of 2 passes",
+                    "timing": "best of 3 passes",
+                    "mean_fps": round(FRAMES / mean_elapsed, 3),
+                    "pass_times_s": [round(t, 3) for t in times],
                     "mean_psnr_db": round(psnr, 2),
                     "config": f"IPPP bs={BS} sr={SR} qp={QP} gop={INTRA_DUR}",
                 },

@@ -3,12 +3,16 @@
 Beyond bench.py's single headline number, this measures the feature matrix
 on the attached device and writes ``benchmarks/sweep_results.json``:
 
-- 720p IPPP full search (the headline config)
+- 720p IPPP full search (the headline config), plus sr=16
 - 720p with VBS + FME (flagship feature set, half-pel search range doubled)
-- 1080p IPPP full search (scaling headroom)
-- CIF with the reference's own default config (sr 16, VBS+FME)
-- 720p decode throughput
+- 1080p / 4K IPPP full search (scaling headroom)
+- CIF at the reference's ACTUAL defaults (main.py:19-43: qp=5, gop=21, sr=16,
+  fast-ME+VBS+FME) on the single-chip engine — directly comparable to the
+  measured reference baseline (round-1 ADVICE item 1)
+- 720p decode throughput, input-chained (no identical-args pipelining)
 - multi-chip GOP/tile mesh scaling (if >1 device)
+
+Each entry reports best-of-2 and mean-of-2 fps.
 
 Run:  python benchmarks/sweep.py   (uses whatever jax.devices() offers)
 """
@@ -43,6 +47,14 @@ def main():
 
     results = {"device": str(jax.devices()[0]), "n_devices": len(jax.devices())}
 
+    def timed(fn, frames_n):
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pkg = fn()
+            times.append(time.perf_counter() - t0)
+        return pkg, frames_n / min(times), frames_n / (sum(times) / len(times))
+
     def gop_encode_fps(name, cfg, frames_n=32):
         clip = synthetic_clip(cfg.height, cfg.width, frames_n)
         import dataclasses
@@ -52,24 +64,42 @@ def main():
         codec = ShardedCodec(cfg, mesh, clip)
         warm = jnp.asarray(clip[None, : cfg.intra_dur])
         jax.block_until_ready(codec._encode_j(warm, codec._row_qps, codec._roi))
-        t0 = time.perf_counter()
-        pkg = codec.encode(fetch="metrics")
-        el = time.perf_counter() - t0
+        codec.encode(fetch="metrics")  # one-time clip upload to HBM
+        pkg, fps, mean_fps = timed(lambda: codec.encode(fetch="metrics"), frames_n)
         results[name] = {
-            "fps": round(frames_n / el, 2),
+            "fps": round(fps, 2),
+            "mean_fps": round(mean_fps, 2),
             "mean_psnr_db": round(float(np.mean(pkg["PSNR per frame"])), 2),
-            "config": f"{cfg.width}x{cfg.height} sr={cfg.search_range} vbs={cfg.vbs_enable} fme={cfg.fme_enable} gop={cfg.intra_dur}",
+            "config": f"{cfg.width}x{cfg.height} sr={cfg.search_range} qp={cfg.qp} vbs={cfg.vbs_enable} fme={cfg.fme_enable} gop={cfg.intra_dur}",
         }
         print(name, results[name], flush=True)
 
     base = dict(frames=32, block_size=16, qp=4, intra_dur=8, lam=0.015)
     gop_encode_fps("720p_full_search", CodecConfig(height=720, width=1280, search_range=8, **base))
+    gop_encode_fps("720p_full_search_sr16", CodecConfig(height=720, width=1280, search_range=16, **base))
     gop_encode_fps("720p_vbs_fme", CodecConfig(height=720, width=1280, search_range=8,
                                                vbs_enable=True, fme_enable=True, **base))
     gop_encode_fps("1080p_full_search", CodecConfig(height=1088, width=1920, search_range=8, **base))
     gop_encode_fps("4k_full_search", CodecConfig(height=2160, width=3840, search_range=8, **base), frames_n=8)
-    gop_encode_fps("cif_reference_defaults", CodecConfig(height=288, width=352, search_range=16,
-                                                         vbs_enable=True, fme_enable=True, **base))
+
+    # the reference's ACTUAL default config (main.py:19-43): qp=5, gop=21,
+    # sr=16, fast-ME + VBS + FME, 21 CIF frames — fast-ME's MVP chain is
+    # single-chip, so this runs on JaxCodec (same engine/config as the
+    # measured 2.0 fps baseline in reference_baseline.json)
+    cfg_ref = CodecConfig(height=288, width=352, frames=21, block_size=16, search_range=16,
+                          qp=5, intra_dur=21, lam=0.015, n_ref_frames=1,
+                          vbs_enable=True, fme_enable=True, fast_me=True)
+    clip_ref = synthetic_clip(288, 352, 21)
+    codec_ref = JaxCodec(cfg_ref, clip_ref)
+    codec_ref.encode(package=False)  # warm compile
+    pkg, fps, mean_fps = timed(lambda: codec_ref.encode(package=False), 21)
+    results["cif_reference_defaults"] = {
+        "fps": round(fps, 2),
+        "mean_fps": round(mean_fps, 2),
+        "mean_psnr_db": round(float(np.mean(pkg["PSNR per frame"])), 2),
+        "config": "352x288 sr=16 qp=5 fast_me+vbs+fme gop=21 (reference main.py defaults)",
+    }
+    print("cif_reference_defaults", results["cif_reference_defaults"], flush=True)
 
     # decode throughput (720p): jitted decode steps over an encoded clip
     cfg = CodecConfig(height=720, width=1280, search_range=8, **base)
@@ -78,14 +108,19 @@ def main():
     cur = codec._y_dev[1]
     refs = codec._y_dev[:1]
     enc = codec._inter_step_j(cur, refs, codec.row_qps, cur, nref=1, initial_refs=False)
-    dec = lambda: codec._dec_inter_j(  # noqa: E731
-        refs, enc["mv"], enc["split"], enc["sub_mv"], enc["qtc_full"], enc["qtc_quads"],
-        codec.row_qps, nref=1, initial_refs=False,
-    )
-    jax.block_until_ready(dec())
+    def dec(r):
+        return codec._dec_inter_j(
+            r, enc["mv"], enc["split"], enc["sub_mv"], enc["qtc_full"], enc["qtc_quads"],
+            codec.row_qps, nref=1, initial_refs=False,
+        )
+
+    jax.block_until_ready(dec(refs))
+    # chain each decode's reference on the previous output so XLA cannot
+    # pipeline identical dispatches (round-1 ADVICE item 4)
     t0 = time.perf_counter()
+    out = refs
     for _ in range(32):
-        out = dec()
+        out = dec(out[None] if out.ndim == 2 else out)[None]
     jax.block_until_ready(out)
     el = (time.perf_counter() - t0) / 32
     results["720p_decode"] = {"fps": round(1.0 / el, 1), "ms_per_frame": round(el * 1e3, 2)}

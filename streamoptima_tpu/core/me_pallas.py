@@ -46,12 +46,32 @@ from streamoptima_tpu.core import me as M
 _INF32 = np.int32(2**31 - 1)
 
 
-def _band_rows(nbr: int, w: int) -> int:
-    """Block rows per program: largest divisor of nbr whose VMEM footprint
-    (cur band + ref band + f32/bf16 diff temporaries, ~12 B/px) stays inside
-    the 16 MB budget — 16 rows at 720p, 5 at 4K."""
-    target = max(1, min(16, (16 * 1280) // max(w, 1)))
-    for d in range(min(target, nbr), 0, -1):
+def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
+               want_qpred: bool = False, nd: int = 17) -> int:
+    """Block rows per program: largest divisor of nbr whose modeled scoped-
+    VMEM footprint stays under ~15 MB (the hardware limit is 16 MB).
+
+    Model (calibrated against Mosaic's actual scoped allocations):
+      scoped ~= const(w) + band_px * w * (A + B*nd)
+    where const(w) ~ w^2/4 per mask/aggregation 0/1 matrix (3.7 MB each at
+    4K), nd is the UNROLLED dx candidate count (each unrolled iteration keeps
+    ~1.5 B/px of live temporaries — an sr=16 whole-pel search uses ~2x the
+    working set of sr=8), and A covers cur/diff/ref plus the pred output and
+    mask buffers.  Measured fits: (w=3840, band_px=80, nd=17, pred) = 18.0M;
+    (w=1280, band_px=240, nd=33, pred) = 18.8M; (w=1280, band_px=240, nd=17,
+    pred+qpred) ~ 13M."""
+    budget = 15 * 2**20
+    if want_pred or want_qpred:
+        const = (w * w) // 2
+        a, b = (15.0, 1.5) if want_qpred else (9.0, 1.5)
+    else:
+        const = (w * w) // 4
+        a, b = 6.0, 1.2
+    if const >= budget:
+        return 1
+    cap_px = (budget - const) / (w * (a + b * nd))
+    cap = max(1, int(cap_px // bs))
+    for d in range(min(cap, 16, nbr), 0, -1):
         if nbr % d == 0:
             return d
     return 1
@@ -86,7 +106,7 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
     nd_x = len(dx_list)
     nbr, nbc = h // bs, w // bs
     nbr2, nbc2 = h // sub_bs, w // sub_bs
-    band = _band_rows(nbr, w)
+    band = _band_rows(nbr, w, bs, want_pred, want_qpred, max(nd_y, nd_x))
     band_px = band * bs
     nprog = nbr // band
     nbr2_b = band_px // sub_bs
@@ -132,19 +152,31 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         col_pair = agg(nbc, nbc2, 2)  # (nbc2, nbc)
         row_pair = agg(band, nbr2_b, 2).T  # (band, nbr2_b)
 
-        def expander(npx, nblk, group):
-            # (npx, nblk) 0/1 with [p, b] = (p // group == b): block-mask ->
-            # pixel-mask expansion runs on the MXU (see want_pred)
-            a = jax.lax.broadcasted_iota(jnp.int32, (npx, nblk), 0) // group
-            b = jax.lax.broadcasted_iota(jnp.int32, (npx, nblk), 1)
-            return (a == b).astype(jnp.bfloat16)
+        if want_pred or want_qpred:
+            # block-mask -> pixel-mask expansion matrices (MXU): one shared
+            # sub-block-granularity pair serves both the full-block and quad
+            # masks (full-block masks are first widened to quads by the tiny
+            # pair matrices) — the full-block pair would cost another w^2/4
+            # bytes of VMEM, which breaks the 4K budget
+            ai = jax.lax.broadcasted_iota(jnp.int32, (band_px, nbr2_b), 0) // sub_bs
+            bi = jax.lax.broadcasted_iota(jnp.int32, (band_px, nbr2_b), 1)
+            er_q = (ai == bi).astype(jnp.bfloat16)  # (band_px, nbr2_b)
+            aj = jax.lax.broadcasted_iota(jnp.int32, (nbc2, w), 1) // sub_bs
+            bj = jax.lax.broadcasted_iota(jnp.int32, (nbc2, w), 0)
+            ec_q = (aj == bj).astype(jnp.bfloat16)  # (nbc2, w)
+            # (nbr2_b, band) and (nbc, nbc2) 0/1 wideners for full-block masks
+            wr = jax.lax.broadcasted_iota(jnp.int32, (nbr2_b, band), 0) // 2
+            wrb = jax.lax.broadcasted_iota(jnp.int32, (nbr2_b, band), 1)
+            widen_r = (wr == wrb).astype(jnp.bfloat16)
+            wc = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbc2), 1) // 2
+            wcb = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbc2), 0)
+            widen_c = (wc == wcb).astype(jnp.bfloat16)
 
-        if want_pred:
-            er_f = expander(band_px, band, bs)  # (band_px, band)
-            ec_f = expander(w, nbc, bs).T  # (nbc, w) -- trace-time transpose
-        if want_qpred:
-            er_q = expander(band_px, nbr2_b, sub_bs)
-            ec_q = expander(w, nbc2, sub_bs).T
+        def expand_mask(m_q):
+            """(nbr2_b, nbc2) bf16 0/1 -> (band_px, w) f32 pixel mask
+            (Mosaic requires 32-bit matmul accumulators)."""
+            t = jnp.dot(er_q, m_q, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return jnp.dot(t, ec_q, preferred_element_type=jnp.float32)
 
         best = {
             "sad": jnp.full((band, nbc), _INF32, jnp.int32),
@@ -211,10 +243,7 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     qsad = jnp.where(upq, candq, qsad)
                     qsec = jnp.where(upq, sec, qsec)
                     if want_qpred:
-                        mq = jnp.dot(
-                            jnp.dot(er_q, upq.astype(jnp.bfloat16), preferred_element_type=jnp.float32).astype(jnp.bfloat16),
-                            ec_q, preferred_element_type=jnp.float32,
-                        )
+                        mq = expand_mask(upq.astype(jnp.bfloat16))
                         bpredq = jnp.where(mq > 0.5, win, bpredq)
                     px_f = (col_f * bs) * scale + dx
                     py_f = (row_f * bs + y0 + gpx) * scale + dy
@@ -228,10 +257,12 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     bsad = jnp.where(up, cand, bsad)
                     bsec = jnp.where(up, sec, bsec)
                     if want_pred:
-                        mf = jnp.dot(
-                            jnp.dot(er_f, up.astype(jnp.bfloat16), preferred_element_type=jnp.float32).astype(jnp.bfloat16),
-                            ec_f, preferred_element_type=jnp.float32,
-                        )
+                        upf = up.astype(jnp.bfloat16)
+                        up_wide = jnp.dot(
+                            jnp.dot(widen_r, upf, preferred_element_type=jnp.float32).astype(jnp.bfloat16),
+                            widen_c, preferred_element_type=jnp.float32,
+                        ).astype(jnp.bfloat16)  # (nbr2_b, nbc2)
+                        mf = expand_mask(up_wide)
                         bpredf = jnp.where(mf > 0.5, win, bpredf)
                 new = {"sad": bsad, "sec": bsec, "qsad": qsad, "qsec": qsec}
                 if want_pred:

@@ -370,13 +370,15 @@ class JaxCodec:
 
     def _recon_intra(self, mv, split, sub_mv, qtc_full, qtc_quads, row_qps):
         rf, rq = self._dequant(qtc_full, qtc_quads, row_qps)
+        sr = self.cfg.search_range
         if self.cfg.intra_mode == 1:
             # mode 1 = transpose of mode 0 (native-only; reference bug B2)
             frame = I.intra_reconstruct_mode0(
-                rf.swapaxes(-1, -2), rq.swapaxes(-1, -2), split, mv, sub_mv, self.w, self.h, self.bs, jnp
+                rf.swapaxes(-1, -2), rq.swapaxes(-1, -2), split, mv, sub_mv, self.w, self.h, self.bs, jnp,
+                sr=sr,
             ).T
         else:
-            frame = I.intra_reconstruct_mode0(rf, rq, split, mv, sub_mv, self.h, self.w, self.bs, jnp)
+            frame = I.intra_reconstruct_mode0(rf, rq, split, mv, sub_mv, self.h, self.w, self.bs, jnp, sr=sr)
         return P.wrap_uint8(frame, jnp)
 
     # ------------------------------------------------------------ steps
@@ -436,7 +438,9 @@ class JaxCodec:
             work = work.T
         canvas_w = cfg.intra_canvas[1] if cfg.intra_mode == 0 else cfg.intra_canvas[0]
         out = I.intra_search_mode0(work, self.bs, cfg.search_range, canvas_w, cfg.vbs_enable, jnp)
-        res_full, res_quads = I.intra_residuals_mode0(work, out["mv"], out.get("sub_mv"), self.bs, jnp)
+        res_full, res_quads = I.intra_residuals_mode0(
+            work, out["mv"], out.get("sub_mv"), self.bs, jnp, sr=cfg.search_range
+        )
         if cfg.intra_mode == 1:
             res_full = res_full.swapaxes(-1, -2)
             res_quads = None if res_quads is None else res_quads.swapaxes(-1, -2)

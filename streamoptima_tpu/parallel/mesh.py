@@ -199,7 +199,9 @@ class ShardedCodec:
         cfg = self.cfg
         work = cur_l.astype(jnp.int32)
         out = I.intra_search_mode0(work, self.bs, cfg.search_range, self.w, cfg.vbs_enable, jnp)
-        res_full, res_quads = I.intra_residuals_mode0(work, out["mv"], out.get("sub_mv"), self.bs, jnp)
+        res_full, res_quads = I.intra_residuals_mode0(
+            work, out["mv"], out.get("sub_mv"), self.bs, jnp, sr=cfg.search_range
+        )
         if cfg.vbs_enable:
             sub_sad = out["sub_sad"].reshape(self.nb_t, 4)
             smv = out["sub_mv"].reshape(self.nb_t, 4)
@@ -221,7 +223,7 @@ class ShardedCodec:
         recon = P.wrap_uint8(
             I.intra_reconstruct_mode0(
                 rf, rq if cfg.vbs_enable else None, split, out["mv"].reshape(-1),
-                smv, self.h_t, self.w, self.bs, jnp,
+                smv, self.h_t, self.w, self.bs, jnp, sr=cfg.search_range,
             ),
             jnp,
         )
@@ -554,7 +556,7 @@ class ShardedCodec:
         return P.wrap_uint8(
             I.intra_reconstruct_mode0(
                 rf, rq if self.cfg.vbs_enable else None, split, mv[:, 0], smv[:, :, 0],
-                self.h_t, self.w, self.bs, jnp,
+                self.h_t, self.w, self.bs, jnp, sr=self.cfg.search_range,
             ),
             jnp,
         )
