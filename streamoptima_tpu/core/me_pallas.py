@@ -62,7 +62,8 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
     pred+qpred) ~ 13M."""
     budget = 15 * 2**20
     if want_pred or want_qpred:
-        const = (w * w) // 2
+        n_quadratic = 1 + int(want_pred) + int(want_qpred)  # col_agg, ec_f, ec_q
+        const = n_quadratic * (w * w) // 4
         a, b = (15.0, 1.5) if want_qpred else (9.0, 1.5)
     else:
         const = (w * w) // 4
@@ -152,31 +153,33 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         col_pair = agg(nbc, nbc2, 2)  # (nbc2, nbc)
         row_pair = agg(band, nbr2_b, 2).T  # (band, nbr2_b)
 
-        if want_pred or want_qpred:
-            # block-mask -> pixel-mask expansion matrices (MXU): one shared
-            # sub-block-granularity pair serves both the full-block and quad
-            # masks (full-block masks are first widened to quads by the tiny
-            # pair matrices) — the full-block pair would cost another w^2/4
-            # bytes of VMEM, which breaks the 4K budget
-            ai = jax.lax.broadcasted_iota(jnp.int32, (band_px, nbr2_b), 0) // sub_bs
-            bi = jax.lax.broadcasted_iota(jnp.int32, (band_px, nbr2_b), 1)
-            er_q = (ai == bi).astype(jnp.bfloat16)  # (band_px, nbr2_b)
-            aj = jax.lax.broadcasted_iota(jnp.int32, (nbc2, w), 1) // sub_bs
-            bj = jax.lax.broadcasted_iota(jnp.int32, (nbc2, w), 0)
-            ec_q = (aj == bj).astype(jnp.bfloat16)  # (nbc2, w)
-            # (nbr2_b, band) and (nbc, nbc2) 0/1 wideners for full-block masks
-            wr = jax.lax.broadcasted_iota(jnp.int32, (nbr2_b, band), 0) // 2
-            wrb = jax.lax.broadcasted_iota(jnp.int32, (nbr2_b, band), 1)
-            widen_r = (wr == wrb).astype(jnp.bfloat16)
-            wc = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbc2), 1) // 2
-            wcb = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbc2), 0)
-            widen_c = (wc == wcb).astype(jnp.bfloat16)
+        def expander_rows(npx, nblk, group):
+            # (npx, nblk) 0/1 with [p, b] = (p // group == b)
+            a = jax.lax.broadcasted_iota(jnp.int32, (npx, nblk), 0) // group
+            b = jax.lax.broadcasted_iota(jnp.int32, (npx, nblk), 1)
+            return (a == b).astype(jnp.bfloat16)
 
-        def expand_mask(m_q):
-            """(nbr2_b, nbc2) bf16 0/1 -> (band_px, w) f32 pixel mask
+        def expander_cols(nblk, npx, group):
+            # (nblk, npx) 0/1 with [b, p] = (p // group == b) — built directly
+            # in its matmul orientation (a runtime transpose materializes)
+            a = jax.lax.broadcasted_iota(jnp.int32, (nblk, npx), 1) // group
+            b = jax.lax.broadcasted_iota(jnp.int32, (nblk, npx), 0)
+            return (a == b).astype(jnp.bfloat16)
+
+        # block-mask -> pixel-mask expansion matrices (MXU; Mosaic cannot
+        # reshape across lanes so the expansion must be matmuls)
+        if want_pred:
+            er_f = expander_rows(band_px, band, bs)
+            ec_f = expander_cols(nbc, w, bs)
+        if want_qpred:
+            er_q = expander_rows(band_px, nbr2_b, sub_bs)
+            ec_q = expander_cols(nbc2, w, sub_bs)
+
+        def expand_mask(m, er, ec):
+            """(R, C) bf16 0/1 block mask -> (band_px, w) f32 pixel mask
             (Mosaic requires 32-bit matmul accumulators)."""
-            t = jnp.dot(er_q, m_q, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-            return jnp.dot(t, ec_q, preferred_element_type=jnp.float32)
+            t = jnp.dot(er, m, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return jnp.dot(t, ec, preferred_element_type=jnp.float32)
 
         best = {
             "sad": jnp.full((band, nbc), _INF32, jnp.int32),
@@ -243,7 +246,7 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     qsad = jnp.where(upq, candq, qsad)
                     qsec = jnp.where(upq, sec, qsec)
                     if want_qpred:
-                        mq = expand_mask(upq.astype(jnp.bfloat16))
+                        mq = expand_mask(upq.astype(jnp.bfloat16), er_q, ec_q)
                         bpredq = jnp.where(mq > 0.5, win, bpredq)
                     px_f = (col_f * bs) * scale + dx
                     py_f = (row_f * bs + y0 + gpx) * scale + dy
@@ -257,12 +260,7 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     bsad = jnp.where(up, cand, bsad)
                     bsec = jnp.where(up, sec, bsec)
                     if want_pred:
-                        upf = up.astype(jnp.bfloat16)
-                        up_wide = jnp.dot(
-                            jnp.dot(widen_r, upf, preferred_element_type=jnp.float32).astype(jnp.bfloat16),
-                            widen_c, preferred_element_type=jnp.float32,
-                        ).astype(jnp.bfloat16)  # (nbr2_b, nbc2)
-                        mf = expand_mask(up_wide)
+                        mf = expand_mask(up.astype(jnp.bfloat16), er_f, ec_f)
                         bpredf = jnp.where(mf > 0.5, win, bpredf)
                 new = {"sad": bsad, "sec": bsec, "qsad": qsad, "qsec": qsec}
                 if want_pred:
