@@ -83,16 +83,16 @@ def main():
     gop_encode_fps("4k_full_search", CodecConfig(height=2160, width=3840, search_range=8, **base), frames_n=8)
 
     # the reference's ACTUAL default config (main.py:19-43): qp=5, gop=21,
-    # sr=16, fast-ME + VBS + FME, 21 CIF frames — fast-ME's MVP chain is
-    # single-chip, so this runs on JaxCodec (same engine/config as the
-    # measured 2.0 fps baseline in reference_baseline.json)
+    # sr=16, fast-ME + VBS + FME, 21 CIF frames — the MVP chain runs as the
+    # Jacobi fixpoint inside the GOP scan (bit-identical to the sequential
+    # chain, test_parallel.py), so the whole clip is one device program
     cfg_ref = CodecConfig(height=288, width=352, frames=21, block_size=16, search_range=16,
                           qp=5, intra_dur=21, lam=0.015, n_ref_frames=1,
                           vbs_enable=True, fme_enable=True, fast_me=True)
     clip_ref = synthetic_clip(288, 352, 21)
-    codec_ref = JaxCodec(cfg_ref, clip_ref)
-    codec_ref.encode(package=False)  # warm compile
-    pkg, fps, mean_fps = timed(lambda: codec_ref.encode(package=False), 21)
+    codec_ref = ShardedCodec(cfg_ref, make_mesh(cfg_ref, devices=jax.devices()[:1]), clip_ref)
+    codec_ref.encode(fetch="metrics")  # warm compile + clip upload
+    pkg, fps, mean_fps = timed(lambda: codec_ref.encode(fetch="metrics"), 21)
     results["cif_reference_defaults"] = {
         "fps": round(fps, 2),
         "mean_fps": round(mean_fps, 2),

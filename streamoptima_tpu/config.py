@@ -70,6 +70,17 @@ class CodecConfig:
     # per-frame jitted step otherwise, "fused" (streaming reduction) inside
     # GOP-scan/sharded programs.  All bit-identical (core/me.py).
     me_search: str = "auto"
+    # fast-ME MVP chain solver: the reference's chain (Encoder.py:719-742,
+    # MVP = previous block's MV in raster order) is inherently sequential.
+    # "scan" runs it as a lax.scan (one step per block — latency-bound on
+    # TPU); "fixpoint" solves the same recurrence mv[i] = f_i(mv[i-1]) by
+    # Jacobi iteration: evaluate EVERY block against its guessed MVP in one
+    # batched pass, re-derive the guesses, repeat until unchanged.  Any
+    # fixpoint of the chain equations equals forward substitution (unique by
+    # induction on i), so the result is bit-identical; convergence takes
+    # O(#MV-discontinuities) sweeps instead of #blocks steps.  "auto" =>
+    # fixpoint.
+    fast_me_chain: str = "auto"
 
     def __post_init__(self) -> None:
         if self.height % self.block_size or self.width % self.block_size:
@@ -87,6 +98,8 @@ class CodecConfig:
             raise ValueError("engine must be 'jax' or 'compat'")
         if self.me_search not in ("auto", "materialized", "fused", "pallas"):
             raise ValueError("me_search must be 'auto', 'materialized', 'fused' or 'pallas'")
+        if self.fast_me_chain not in ("auto", "scan", "fixpoint"):
+            raise ValueError("fast_me_chain must be 'auto', 'scan' or 'fixpoint'")
         if self.two_pass:
             if self.engine != "jax":
                 raise ValueError("two_pass is a native-engine feature (the reference only gathers "

@@ -465,3 +465,93 @@ def argmin_displacement(sads, valid, sr: int, ref_axis: bool, xp):
         axis=-1,
     ).astype(xp.int32)
     return mv, best_sad.astype(xp.int32), any_valid
+
+
+# --------------------------------------------------------------- fast ME
+def fast_candidates(cur_blk, refs_pad, pad, dims, X, Y, n, mvp, fme, nvalid=None):
+    """SADs of the 3x3 window around ``mvp`` for one block; returns the
+    winner with fast-ME semantics (Encoder.py:719-742): strict improvement
+    in (ref, dx, dy) scan order, quirk-K7 candidate bound, fallback to the
+    MVP itself when nothing is valid (K8).
+
+    ``refs_pad``: reference stack padded by ``pad`` on each side (pad >= the
+    3x3 window region for both block sizes, so valid candidates' slices are
+    never clamped); ``dims`` the unpadded (H, W); ``X, Y`` the block origin
+    in search coordinates (x2 under FME).  ``nvalid`` masks unpopulated
+    slots of a fixed-size reference FIFO (the sharded engine's GOP scan
+    carries all n_ref_frames slots from frame 1).  One small dynamic_slice
+    per block — under vmap this is the batched Jacobi sweep's only gather.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    H, W = dims
+    nref = refs_pad.shape[0]
+    d = jnp.arange(-1, 2)
+    dx = mvp[0] + d  # (3,)
+    dy = mvp[1] + d
+    px = X + dx
+    py = Y + dy
+    okx = (px >= 0) & (px < W - n) & (px + 2 * n >= 0) & (px + 2 * n < W - n)
+    oky = (py >= 0) & (py < H - n) & (py + 2 * n >= 0) & (py + 2 * n < H - n)
+    valid = oky[:, None] & okx[None, :]  # (dy, dx) -> note loops dx outer
+    step = 2 if fme else 1
+    size = step * (n - 1) + 3
+    region = jax.lax.dynamic_slice(
+        refs_pad, (0, Y + mvp[1] - 1 + pad, X + mvp[0] - 1 + pad), (nref, size, size)
+    )
+    wins = []
+    for dyi in range(3):
+        row_w = []
+        for dxi in range(3):
+            row_w.append(region[:, dyi : dyi + step * (n - 1) + 1 : step, dxi : dxi + step * (n - 1) + 1 : step])
+        wins.append(jnp.stack(row_w, axis=1))
+    win = jnp.stack(wins, axis=1)  # (nref, dyi, dxi, n, n)
+    sads = jnp.abs(win.astype(jnp.int32) - cur_blk[None, None, None]).sum(axis=(-2, -1))
+    ok = valid[None]
+    if nvalid is not None:
+        ok = ok & (jnp.arange(nref)[:, None, None] < nvalid)
+    sads = jnp.where(ok, sads, _INF32)
+    # scan order (ref, dx, dy): strict improvement => first minimal in that order
+    order = sads.transpose(0, 2, 1).reshape(-1)  # ref-major, dx, dy
+    k = jnp.argmin(order)  # first occurrence of min (ties -> first)
+    best = order[k]
+    ref_i = k // 9
+    dxi = (k % 9) // 3
+    dyi = k % 3
+    any_ok = best != _INF32
+    mv = jnp.where(
+        any_ok,
+        jnp.stack([mvp[0] + dxi - 1, mvp[1] + dyi - 1, ref_i]).astype(jnp.int32),
+        jnp.stack([mvp[0], mvp[1], mvp[2]]).astype(jnp.int32),  # fallback: mvp itself (K8)
+    )
+    sad = jnp.where(any_ok, best, _INF32)
+    return mv, sad
+
+
+def fast_sweep(cur_b, bx, by, refs_pad, pad, dims, n, fme, guesses, nvalid=None):
+    """One Jacobi sweep of the fast-ME MVP chain: evaluate EVERY block's 3x3
+    search against its guessed MVP in a single batched pass.  The chain
+    recurrence mv[i] = f_i(mv[i-1]) (raster order, mv[-1] = 0) has a unique
+    solution, so iterating sweep + shift(guesses) to a fixpoint reproduces
+    the sequential scan bit-exactly — see JaxCodec._fast_search_fixpoint /
+    ShardedCodec for the loops (single-chip and cross-tile)."""
+    import jax
+
+    return jax.vmap(
+        lambda cb, x, y, g: fast_candidates(cb, refs_pad, pad, dims, x, y, n, g, fme, nvalid=nvalid)
+    )(cur_b, bx, by, guesses)
+
+
+def fast_quads_sweep(cur_q, qx, qy, refs_pad, pad, dims, sbs, fme, guesses, nvalid=None):
+    """Batched VBS sub-block fast-ME: the four quads of block i all use the
+    block-level MVP (= block i-1's MV) and never feed the chain — one pass
+    at the converged guesses (Encoder.py:549-560 ordering)."""
+    import jax
+
+    return jax.vmap(
+        jax.vmap(
+            lambda cb, x, y, g: fast_candidates(cb, refs_pad, pad, dims, x, y, sbs, g, fme, nvalid=nvalid),
+            in_axes=(0, 0, 0, None),
+        )
+    )(cur_q, qx, qy, guesses)

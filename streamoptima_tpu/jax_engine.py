@@ -166,56 +166,13 @@ class JaxCodec:
         return search(cur32, search_refs, sr, self.bs, self.sbs, 2 if fme else 1, fme, cfg.vbs_enable, jnp)
 
     def _fast_candidates(self, cur_blk, refs_pad, pad, dims, X, Y, n, mvp, fme):
-        """SADs of the 3x3 window around mvp for one block; returns winner
-        with fast-ME semantics (strict improvement, (ref, dx, dy) scan
-        order; quirk K7 bound; fallback to mvp when nothing valid).
-
-        ``refs_pad``: refs padded by ``pad`` on each side; ``dims`` the
-        unpadded (H, W).  One small dynamic_slice replaces the per-step
-        giant gather (the MVP chain runs 3600 sequential scan steps at 720p;
-        gather per step was ~100us, 10x the slice).  Valid candidates read
-        identical pixels (pad >= region size, so their slice is never
-        clamped); invalid ones are masked before the argmin either way.
-        """
-        H, W = dims
-        nref = refs_pad.shape[0]
-        d = jnp.arange(-1, 2)
-        dx = mvp[0] + d  # (3,)
-        dy = mvp[1] + d
-        px = X + dx
-        py = Y + dy
-        okx = (px >= 0) & (px < W - n) & (px + 2 * n >= 0) & (px + 2 * n < W - n)
-        oky = (py >= 0) & (py < H - n) & (py + 2 * n >= 0) & (py + 2 * n < H - n)
-        valid = oky[:, None] & okx[None, :]  # (dy, dx) -> note loops dx outer
-        step = 2 if fme else 1
-        size = step * (n - 1) + 3
-        region = jax.lax.dynamic_slice(
-            refs_pad, (0, Y + mvp[1] - 1 + pad, X + mvp[0] - 1 + pad), (nref, size, size)
-        )
-        wins = []
-        for dyi in range(3):
-            row_w = []
-            for dxi in range(3):
-                row_w.append(region[:, dyi : dyi + step * (n - 1) + 1 : step, dxi : dxi + step * (n - 1) + 1 : step])
-            wins.append(jnp.stack(row_w, axis=1))
-        win = jnp.stack(wins, axis=1)  # (nref, dyi, dxi, n, n)
-        sads = jnp.abs(win - cur_blk[None, None, None]).sum(axis=(-2, -1))  # (nref, dyi, dxi)
-        sads = jnp.where(valid[None], sads, np.int32(2**31 - 1))
-        # scan order (ref, dx, dy): strict improvement => first minimal in that order
-        order = sads.transpose(0, 2, 1).reshape(-1)  # ref-major, dx, dy
-        k = jnp.argmin(order)  # first occurrence of min (ties -> first)
-        best = order[k]
-        ref_i = k // 9
-        dxi = (k % 9) // 3
-        dyi = k % 3
-        any_ok = best != np.int32(2**31 - 1)
-        mv = jnp.where(
-            any_ok,
-            jnp.stack([mvp[0] + dxi - 1, mvp[1] + dyi - 1, ref_i]).astype(jnp.int32),
-            jnp.stack([mvp[0], mvp[1], mvp[2]]).astype(jnp.int32),  # fallback: mvp itself (K8)
-        )
-        sad = jnp.where(any_ok, best, np.int32(2**31 - 1))
-        return mv, sad
+        """One block's 3x3 fast-ME step (shared kernel: core/me.py
+        fast_candidates — strict improvement in (ref, dx, dy) scan order,
+        quirk K7 bound, K8 fallback to the MVP itself).  One small
+        dynamic_slice replaces the per-step giant gather (the MVP chain runs
+        3600 sequential scan steps at 720p; gather per step was ~100us, 10x
+        the slice)."""
+        return M.fast_candidates(cur_blk, refs_pad, pad, dims, X, Y, n, mvp, fme)
 
     def _fast_search_zero_mvp(self, cur32, search_refs, fme):
         """Vectorized fast ME for the chain-free mvp=(0,0,0) case (the
@@ -277,16 +234,96 @@ class JaxCodec:
             outs["sub_ok"] = sok.reshape(self.nb, 4)
         return outs
 
+    def _fast_search_fixpoint(self, cur32, search_refs, fme):
+        """Fast-ME MVP chain solved by Jacobi fixpoint iteration.
+
+        The reference's recurrence (Encoder.py:719-742) is
+        ``mv[i] = f_i(mv[i-1])`` in raster order with ``mv[-1] = 0`` — the
+        sub-block searches consume the block-level MVP but never feed the
+        chain, so only the full-block MVs are coupled.  Instead of a
+        #blocks-step lax.scan (latency-bound: each step is ~10 us of
+        serialized work on TPU), iterate on the whole MV *vector*:
+
+            m   <- f(g)          (every block batched — one vmapped pass)
+            g'  <- shift(m)      (g'[i] = m[i-1], g'[0] = 0)
+
+        until ``g' == g``.  At that point ``m[i] = f_i(m[i-1])`` for every i
+        and ``m[0] = f_0(0)`` — exactly the forward-substitution solution,
+        which is unique by induction, so the fixpoint is bit-identical to
+        the scan.  Convergence needs one sweep per prefix block in the worst
+        case (the loop is bounded by nb+1), but real content converges in
+        O(#MV-field discontinuities) sweeps: wherever the previous sweep's
+        guess already equals the true predecessor MV (smooth motion), the
+        block is correct immediately.  Each sweep is a single batched
+        9-candidate search (uint8 window gather + SAD), so the whole solve
+        is a handful of parallel passes instead of thousands of dependent
+        steps."""
+        cfg = self.cfg
+        scale = 2 if fme else 1
+        cur_b = self._blockify(cur32)
+        n = self.bs
+        step_px = 2 if fme else 1
+        pad = step_px * (n - 1) + 3
+        dims = search_refs.shape[-2:]
+        # values are pixel-range ([0,255] even after the ceil-average FME
+        # upsample), so gather uint8 windows: the vmapped dynamic_slice is
+        # the sweep's only HBM-bound op and this quarters its traffic
+        refs_pad = jnp.pad(search_refs, ((0, 0), (pad, pad), (pad, pad))).astype(jnp.uint8)
+        X = (self.bx * scale).astype(jnp.int32)
+        Y = (self.by * scale).astype(jnp.int32)
+
+        def eval_blocks(cb, x, y, g):
+            return M.fast_sweep(cb, x, y, refs_pad, pad, dims, n, fme, g)
+
+        def guesses_of(m):
+            return jnp.concatenate([jnp.zeros((1, 3), jnp.int32), m[:-1]], axis=0)
+
+        def body(state):
+            g, _, _, _, it = state
+            m, s = eval_blocks(cur_b, X, Y, g)
+            g2 = guesses_of(m)
+            return (g2, m, s, jnp.any(g2 != g), it + 1)
+
+        def cond(state):
+            _, _, _, changed, it = state
+            return jnp.logical_and(changed, it <= self.nb)
+
+        init = (
+            jnp.zeros((self.nb, 3), jnp.int32),
+            jnp.zeros((self.nb, 3), jnp.int32),
+            jnp.zeros((self.nb,), jnp.int32),
+            jnp.asarray(True),
+            jnp.asarray(0, jnp.int32),
+        )
+        g_fin, mv, sad, _, _ = jax.lax.while_loop(cond, body, init)
+        outs = {"mv": mv, "sad": sad, "ok": sad != np.int32(2**31 - 1)}
+        if cfg.vbs_enable:
+            # quads use the block-level MVP (= predecessor block's MV) and
+            # never feed the chain — one batched pass at the converged MVPs
+            cur_q = self._quads_of(cur_b)
+            smv, ssad = M.fast_quads_sweep(
+                cur_q, (self.qx * scale).astype(jnp.int32), (self.qy * scale).astype(jnp.int32),
+                refs_pad, pad, dims, self.sbs, fme, g_fin,
+            )
+            outs["sub_mv"] = smv
+            outs["sub_sad"] = ssad
+            outs["sub_ok"] = ssad != np.int32(2**31 - 1)
+        return outs
+
     def _fast_search(self, cur32, search_refs, fme, zero_mvp: bool):
-        """Sequential MVP chain as a lax.scan over blocks (native twin of
-        Encoder.py:549-581); reports true SADs (quirk K6 fixed).  NOTE: the
-        chain is raster-sequential — 3600 scan steps at 720p dominate its
-        cost on TPU, where exhaustive full search is an order of magnitude
-        FASTER than this "fast" heuristic.  The chain-free zero-MVP variant
-        dispatches to the fully vectorized path instead."""
+        """Fast-ME dispatch (all variants bit-identical): the chain-free
+        zero-MVP case (ParallelMode-2 worker semantics) goes to the fully
+        vectorized path; the real MVP chain is solved by Jacobi fixpoint
+        sweeps by default (see _fast_search_fixpoint) or, under
+        fast_me_chain="scan", by the literal lax.scan twin of
+        Encoder.py:549-581 (kept as the semantics oracle — raster-sequential,
+        ~10 us/block of serialized latency on TPU).  Both report true SADs
+        (quirk K6 fixed)."""
         cfg = self.cfg
         if zero_mvp:
             return self._fast_search_zero_mvp(cur32, search_refs, fme)
+        if cfg.fast_me_chain != "scan":
+            return self._fast_search_fixpoint(cur32, search_refs, fme)
         scale = 2 if fme else 1
         cur_b = self._blockify(cur32)
         cur_q = self._quads_of(cur_b) if cfg.vbs_enable else None

@@ -20,16 +20,18 @@ instead of the reference's dependency-breaking approximations:
   version of the reference's block/row-level modes 1-2 (which vmap already
   covers on a single chip).
 
-The sharded path always uses full-search ME (fast-ME's MVP chain is
-raster-sequential across the whole frame — it stays a single-chip feature,
-Encoder.py:719-742) and intra_mode 0 (mode 1's column chain crosses tiles).
-Scene-change promotion (RCFlag>1) consumes a per-frame scalar on the host and
-is likewise a single-chip engine feature.  Two-pass RC runs sharded via
-per-frame steps (see _encode_two_pass) and decode shards exactly like encode
-(see decode) — both bit-identical to the single-chip engine.
+Fast-ME (the raster-sequential MVP chain, Encoder.py:719-742) runs sharded
+too: the chain is solved as a global Jacobi fixpoint — each sweep evaluates
+every tile's blocks in parallel and passes one (3,)-vector per tile boundary
+over ICI (_fast_tile_fixpoint) — bit-identical to the single-chip chain.
+intra_mode 0 only (mode 1's column chain crosses tiles).  Scene-change
+promotion (RCFlag>1) consumes a per-frame scalar on the host and stays a
+single-chip engine feature.  Two-pass RC runs sharded via per-frame steps
+(see _encode_two_pass) and decode shards exactly like encode (see decode) —
+both bit-identical to the single-chip engine.
 
-Output parity: with parallel_mode=0, fast_me=False the sharded encoder is
-bit-identical to the single-chip JaxCodec (tested in tests/test_parallel.py).
+Output parity: with parallel_mode=0 the sharded encoder is bit-identical to
+the single-chip JaxCodec (tested in tests/test_parallel.py).
 """
 from __future__ import annotations
 
@@ -104,11 +106,10 @@ class ShardedCodec:
             "scene-change promotion consumes per-frame host scalars; use the single-chip engine"
         )
         assert cfg.parallel_mode == 0, "mesh sharding replaces the reference's ParallelModes"
-        assert not cfg.fast_me, (
-            "fast-ME's MVP chain is raster-sequential across the whole frame "
-            "(Encoder.py:719-742) — single-chip engine only; the sharded path "
-            "always full-searches"
-        )
+        # fast-ME is supported: the raster-sequential MVP chain
+        # (Encoder.py:719-742) is solved as a global Jacobi fixpoint with a
+        # per-sweep ppermute of each tile's last MV — see _fast_tile_fixpoint.
+        # Bit-identical to the single-chip chain (test_parallel.py).
         assert tile_comm in ("halo", "all_gather")
         self.tile_comm = tile_comm
         self.cfg = cfg
@@ -237,7 +238,87 @@ class ShardedCodec:
             "row_bits": lens.reshape(self.nbr_t, self.nbc).sum(axis=1),
         }
 
-    def _inter_tile(self, cur_l, refs_l, nvalid, y0_blocks, row_qps_tile, roi_tile):
+    def _fast_tile_fixpoint(self, cur32, search_refs, nvalid, y0_px, fme, g0=None):
+        """Fast-ME MVP chain on the mesh: global Jacobi fixpoint.
+
+        The reference's recurrence mv[i] = f_i(mv[i-1]) runs in raster order
+        across the WHOLE frame (Encoder.py:719-742) — it crosses tile
+        boundaries, which is why round 1 guarded fast-ME off the mesh.  The
+        Jacobi solve removes the obstacle: every sweep each tile evaluates
+        only its local blocks against guessed MVPs (core/me.py fast_sweep),
+        then hands its LAST block's MV to the next tile with a single
+        (3,)-vector ppermute — tile 0's seed is ppermute's zero fill, which
+        is exactly the chain's mv[-1] = 0.  Convergence is checked globally
+        (psum), so all tiles leave the while_loop together; at the fixpoint
+        the chain equations hold across the whole frame, giving the
+        bit-exact forward-substitution solution (unique by induction).
+        search_refs must be the FULL-height reference stack (all_gather) —
+        the MVP walk is unbounded so halo bands cannot serve it.
+
+        ``g0`` warm-starts the iteration (motion fields are temporally
+        coherent, so the previous frame's converged guesses land most blocks
+        on their true MVP immediately — measured ~4x fewer sweeps than a
+        zero start).  ANY start converges to the same unique fixpoint, so
+        warm-starting cannot change the result."""
+        cfg = self.cfg
+        scale = 2 if fme else 1
+        n = self.bs
+        step_px = 2 if fme else 1
+        pad = step_px * (n - 1) + 3
+        dims = search_refs.shape[-2:]
+        inf32 = np.int32(2**31 - 1)
+        # pixel-range values ([0,255] even after the ceil-average upsample):
+        # gather uint8 windows to quarter the sweep's HBM traffic
+        refs_pad = jnp.pad(search_refs, ((0, 0), (pad, pad), (pad, pad))).astype(jnp.uint8)
+        cur_b = cur32.reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(
+            -1, self.bs, self.bs
+        )
+        X = (self._bx * scale).astype(jnp.int32)
+        Y = ((self._by_local + y0_px) * scale).astype(jnp.int32)
+        perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
+        nb_total = self.nbr * self.nbc
+
+        def body(state):
+            g, _, _, _, it = state
+            m, sad = M.fast_sweep(cur_b, X, Y, refs_pad, pad, dims, n, fme, g, nvalid=nvalid)
+            seed = jax.lax.ppermute(m[-1], "tile", perm_dn)  # tile 0: zeros = mv[-1]
+            g2 = jnp.concatenate([seed[None], m[:-1]], axis=0)
+            # convergence over the WHOLE mesh, not just this tile group: the
+            # ppermute above is one SPMD collective shared by every device,
+            # so the while trip count must be uniform mesh-wide — "data"
+            # groups whose GOP converged first keep sweeping (idempotent: a
+            # fixpoint stays fixed) until the slowest group is done.  A
+            # tile-only psum deadlocks the collective rendezvous.
+            changed = jax.lax.psum(jnp.any(g2 != g).astype(jnp.int32), ("data", "tile")) > 0
+            return (g2, m, sad, changed, it + 1)
+
+        def cond(state):
+            return jnp.logical_and(state[3], state[4] <= nb_total)
+
+        init = (
+            jnp.zeros((self.nb_t, 3), jnp.int32) if g0 is None else g0,
+            jnp.zeros((self.nb_t, 3), jnp.int32),
+            jnp.zeros((self.nb_t,), jnp.int32),
+            jnp.asarray(True),
+            jnp.asarray(0, jnp.int32),
+        )
+        g_fin, mv, sad, _, _ = jax.lax.while_loop(cond, body, init)
+        outs = {"mv": mv, "sad": sad, "ok": sad != inf32, "g_fin": g_fin}
+        if cfg.vbs_enable:
+            cur_q = cur_b.reshape(-1, 2, self.sbs, 2, self.sbs).swapaxes(2, 3).reshape(
+                -1, 4, self.sbs, self.sbs
+            )
+            qx = (self._qx * scale).astype(jnp.int32)
+            qy = ((self._qy_local + y0_px) * scale).astype(jnp.int32)
+            smv, ssad = M.fast_quads_sweep(
+                cur_q, qx, qy, refs_pad, pad, dims, self.sbs, fme, g_fin, nvalid=nvalid
+            )
+            outs["sub_mv"] = smv
+            outs["sub_sad"] = ssad
+            outs["sub_ok"] = ssad != inf32
+        return outs
+
+    def _inter_tile(self, cur_l, refs_l, nvalid, y0_blocks, row_qps_tile, roi_tile, g0=None):
         """Inter-code the local band against the FIFO of reference bands.
 
         One all_gather over the "tile" ICI axis rebuilds the full-height
@@ -259,6 +340,16 @@ class ShardedCodec:
         use_pallas = cfg.me_search == "pallas" or (
             cfg.me_search == "auto" and jax.default_backend() == "tpu"
         )
+        # fast-ME replaces the search kernel entirely (3x3 around the MVP,
+        # Encoder.py:719-742) — full-height refs + global Jacobi chain solve
+        use_pallas = use_pallas and not cfg.fast_me
+        if cfg.fast_me:
+            # the MVP walk is unbounded (each block's window recenters on its
+            # predecessor's MV), so halo bands can't serve it: always rebuild
+            # the full-height reference stack
+            force_all_gather = True
+        else:
+            force_all_gather = False
         halo = halo8 if (use_pallas and self.ntile > 1 and self.tile_comm == "halo") else cfg.search_range + 1
         if self.ntile > 1 and self.tile_comm == "halo" and halo > self.h_t:
             # the rounded halo no longer fits the tile band; the XLA path's
@@ -266,7 +357,7 @@ class ShardedCodec:
             use_pallas = False
             halo = cfg.search_range + 1
 
-        if self.ntile == 1 or self.tile_comm == "all_gather":
+        if force_all_gather or self.ntile == 1 or self.tile_comm == "all_gather":
             band = jax.lax.all_gather(refs_l, "tile", axis=1, tiled=True)  # (nref, h, w)
             origin_px = 0
             search_row_offset = scale * y0_px
@@ -312,6 +403,14 @@ class ShardedCodec:
                     grid_dims=grid_dims,
                 )
             search_refs = None
+        elif cfg.fast_me:
+            # refs are real uint8 reconstructions (every GOP opens intra),
+            # so the row-pass wrap (quirk K17) is always live
+            if fme:
+                search_refs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(band)
+            else:
+                search_refs = band.astype(jnp.int32)
+            s = self._fast_tile_fixpoint(cur32, search_refs, nvalid, y0_px, fme, g0=g0)
         else:
             if fme:
                 # refs are real uint8 reconstructions (every GOP opens intra),
@@ -326,6 +425,7 @@ class ShardedCodec:
                 row_offset=search_row_offset, nvalid=nvalid, grid_dims=grid_dims,
                 valid_row_offset=scale * y0_px,
             )
+        g_next = s.pop("g_fin", None)  # fast-ME: warm start for the next frame
         mv, sad, ok = s["mv"], s["sad"], s["ok"]
         by_g = self._by_local + y0_px
 
@@ -385,13 +485,16 @@ class ShardedCodec:
         else:
             blocks = full_blocks
         recon = blocks.reshape(self.nbr_t, self.nbc, self.bs, self.bs).swapaxes(1, 2).reshape(self.h_t, self.w)
-        return {
+        out = {
             "mv": mv, "split": split, "sub_mv": smv,
             "qtc_full": qtc_full, "qtc_quads": qtc_quads,
             "size": jax.lax.psum(lens.sum(), "tile"), "recon": recon,
             "mae_sum": jax.lax.psum(mae_pb.sum(), "tile"),
             "row_bits": lens.reshape(self.nbr_t, self.nbc).sum(axis=1),
         }
+        if g_next is not None:
+            out["g_next"] = g_next  # fast-ME warm start (dropped by _grid_out)
+        return out
 
     # -------------------------------------------------------- shard program
     def _encode_gop_local(self, frames_l, row_qps_tile, roi_tile, y0_blocks):
@@ -409,10 +512,16 @@ class ShardedCodec:
             return jax.tree.map(lambda a: a[None], self._grid_out(out0))
 
         refs0 = jnp.zeros((nref, self.h_t, self.w), dtype=jnp.uint8).at[0].set(out0["recon"])
+        # fast-ME: the converged Jacobi guesses ride the scan carry so each
+        # frame warm-starts from the previous frame's MV field (temporal
+        # coherence => ~4x fewer sweeps; the fixpoint is unique so the warm
+        # start cannot change results)
+        g0 = jnp.zeros((self.nb_t, 3), jnp.int32) if cfg.fast_me else None
 
         def step(carry, cur):
-            refs, nvalid = carry
-            out = self._inter_tile(cur, refs, nvalid, y0_blocks, row_qps_tile[1], roi_tile)
+            refs, nvalid, g = carry
+            out = self._inter_tile(cur, refs, nvalid, y0_blocks, row_qps_tile[1], roi_tile, g0=g)
+            g_next = out.pop("g_next", None)
             out["sqerr"] = jax.lax.psum(
                 jnp.sum((out["recon"].astype(jnp.float32) - cur.astype(jnp.float32)) ** 2), "tile"
             )
@@ -421,9 +530,9 @@ class ShardedCodec:
             rolled = jnp.where(full, jnp.roll(refs, -1, axis=0), refs)
             idx = jnp.minimum(nvalid, nref - 1)
             new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, out["recon"][None], idx, axis=0)
-            return (new_refs, jnp.minimum(nvalid + 1, nref)), self._grid_out(out)
+            return (new_refs, jnp.minimum(nvalid + 1, nref), g_next), self._grid_out(out)
 
-        (_, _), outs = jax.lax.scan(step, (refs0, jnp.int32(1)), frames_l[1:])
+        (_, _, _), outs = jax.lax.scan(step, (refs0, jnp.int32(1), g0), frames_l[1:])
         out0g = self._grid_out(out0)
         return jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], axis=0), out0g, outs)
 

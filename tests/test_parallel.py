@@ -47,6 +47,12 @@ CASES = [
         frame_rate=30,
         qp_rate_tables=[[99000, 60000, 40000, 26000, 17000, 11000, 7200, 4800, 3200, 2100, 1400, 950], [60000, 36000, 24000, 16000, 10000, 6600, 4400, 2900, 1900, 1300, 850, 560]],
     ),
+    # fast-ME: the raster-sequential MVP chain crosses tile boundaries; the
+    # mesh solves it as a global Jacobi fixpoint (ppermute of each tile's
+    # last MV per sweep) — must stay bit-identical to the single-chip chain
+    dict(fast_me=True),
+    dict(fast_me=True, vbs_enable=True, fme_enable=True, lam=0.015),
+    dict(fast_me=True, n_ref_frames=3),
 ]
 
 
@@ -143,12 +149,20 @@ def test_dryrun_multichip_fresh_process():
     assert "dryrun ok" in r.stdout
 
 
-def test_sharded_rejects_fast_me():
-    """fast-ME's MVP chain is single-chip only; the mesh must refuse rather
-    than silently full-search (round-1 ADVICE.md item 2)."""
-    cfg = CodecConfig(height=64, width=64, frames=2, search_range=2, fast_me=True)
-    with pytest.raises(AssertionError):
-        ShardedCodec(cfg, make_mesh(cfg))
+def test_sharded_fast_me_warm_start_parity():
+    """The GOP scan warm-starts each frame's Jacobi solve from the previous
+    frame's converged guesses; the fixpoint is unique, so a long GOP with a
+    discontinuous motion field must still match the single-chip chain
+    bit-for-bit (this exercises many warm-started solves in one scan)."""
+    rng = np.random.default_rng(5)
+    clip = rng.integers(0, 256, size=(8, 128, 64), dtype=np.uint8)  # noise: worst case
+    cfg = CodecConfig(height=128, width=64, frames=8, block_size=16, search_range=4,
+                      qp=2, intra_dur=8, fast_me=True, n_ref_frames=2)
+    single = JaxCodec(cfg, clip).encode()
+    mesh = make_mesh(cfg)  # nbr=8, 8 devices -> tile=8
+    assert mesh.devices.shape[1] > 1
+    sharded = ShardedCodec(cfg, mesh, clip).encode()
+    _compare_packages(single, sharded)
 
 
 @pytest.mark.parametrize("h", [64, 128, 256])
