@@ -101,30 +101,54 @@ def main():
     }
     print("cif_reference_defaults", results["cif_reference_defaults"], flush=True)
 
-    # decode throughput (720p): jitted decode steps over an encoded clip
-    cfg = CodecConfig(height=720, width=1280, search_range=8, **base)
-    clip = synthetic_clip(720, 1280, 8)
-    codec = JaxCodec(cfg, clip)
-    cur = codec._y_dev[1]
-    refs = codec._y_dev[:1]
-    enc = codec._inter_step_j(cur, refs, codec.row_qps, cur, nref=1, initial_refs=False)
-    def dec(r):
-        return codec._dec_inter_j(
-            r, enc["mv"], enc["split"], enc["sub_mv"], enc["qtc_full"], enc["qtc_quads"],
-            codec.row_qps, nref=1, initial_refs=False,
-        )
+    # decode throughput (720p): jitted decode steps over an encoded frame's
+    # real MVs/residuals.  "pallas" entries use the compact fetch kernel
+    # (one banded DMA per distinct transmitted MV, me_pallas.pred_fetch_
+    # compact) exactly as JaxCodec.decode dispatches it; the plain entry is
+    # the XLA gather step.  Each decode chains on the previous output so XLA
+    # cannot pipeline identical dispatches (round-1 ADVICE item 4).
+    def decode_bench(name, vbs, fme, pallas):
+        cfg = CodecConfig(height=720, width=1280, search_range=8,
+                          vbs_enable=vbs, fme_enable=fme, **base)
+        clip = synthetic_clip(720, 1280, 8)
+        codec = JaxCodec(cfg, clip)
+        cur = codec._y_dev[1]
+        refs = codec._y_dev[:1]
+        enc = codec._inter_step_j(cur, refs, codec.row_qps, cur, nref=1, initial_refs=False)
+        if pallas:
+            tab = codec._fetch_table(enc["mv"], enc["sub_mv"])
+            assert tab is not None, "encoded MVs must fit the fetch kernel"
 
-    jax.block_until_ready(dec(refs))
-    # chain each decode's reference on the previous output so XLA cannot
-    # pipeline identical dispatches (round-1 ADVICE item 4)
-    t0 = time.perf_counter()
-    out = refs
-    for _ in range(32):
-        out = dec(out[None] if out.ndim == 2 else out)[None]
-    jax.block_until_ready(out)
-    el = (time.perf_counter() - t0) / 32
-    results["720p_decode"] = {"fps": round(1.0 / el, 1), "ms_per_frame": round(el * 1e3, 2)}
-    print("720p_decode", results["720p_decode"], flush=True)
+            def dec(r):
+                return codec._dec_inter_pallas_j(
+                    r, enc["mv"], enc["split"], enc["sub_mv"], enc["qtc_full"],
+                    enc["qtc_quads"], codec.row_qps, tab, nref=1, initial_refs=False,
+                )
+        else:
+            def dec(r):
+                return codec._dec_inter_j(
+                    r, enc["mv"], enc["split"], enc["sub_mv"], enc["qtc_full"],
+                    enc["qtc_quads"], codec.row_qps, nref=1, initial_refs=False,
+                )
+
+        jax.block_until_ready(dec(refs))
+        els = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = refs
+            for _ in range(32):
+                out = dec(out[None] if out.ndim == 2 else out)[None]
+            jax.block_until_ready(out)
+            els.append((time.perf_counter() - t0) / 32)
+        el, el_mean = min(els), sum(els) / len(els)
+        results[name] = {"fps": round(1.0 / el, 1), "mean_fps": round(1.0 / el_mean, 1),
+                         "ms_per_frame": round(el * 1e3, 2)}
+        print(name, results[name], flush=True)
+
+    decode_bench("720p_decode", False, False, pallas=False)
+    decode_bench("720p_decode_pallas", False, False, pallas=True)
+    decode_bench("720p_decode_vbs_fme", True, True, pallas=False)
+    decode_bench("720p_decode_vbs_fme_pallas", True, True, pallas=True)
 
     if len(jax.devices()) > 1:
         import dataclasses

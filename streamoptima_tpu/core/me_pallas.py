@@ -310,7 +310,7 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
             pl.BlockSpec((nd_y,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((nd_y,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((band_px, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # shifted ref planes, HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # shifted ref planes, HBM
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -471,3 +471,217 @@ def full_search_pallas_fme(cur, refs, sr: int, bs: int, sub_bs: int, vbs: bool,
             )
         )
     return _assemble(planes, grid_sr, vbs, h // bs, w // bs, bs, sub_bs, want_pred)
+
+
+
+# ----------------------------------------------------------- pred fetch
+def mv_codes(mv3, nbr, nbc, xp=jnp):
+    """(nb, 3) MVs -> (nbr, nbc) packed codes (ref<<16)|((dx+128)<<8)|(dy+128)."""
+    c = (mv3[:, 2] << 16) | ((mv3[:, 0] + 128) << 8) | (mv3[:, 1] + 128)
+    return c.reshape(nbr, nbc)
+
+
+def sub_mv_codes(sub_mv, nbr, nbc, xp=jnp):
+    """(nb, 4, 3) quad-order sub MVs -> (2nbr, 2nbc) raster packed codes."""
+    c = (sub_mv[:, :, 2] << 16) | ((sub_mv[:, :, 0] + 128) << 8) | (sub_mv[:, :, 1] + 128)
+    return c.reshape(nbr, nbc, 2, 2).transpose(0, 2, 1, 3).reshape(2 * nbr, 2 * nbc)
+
+
+FETCH_BUCKETS = (64, 256, 512)
+
+
+def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool):
+    """HOST side of the decode prediction fetch: the distinct transmitted MVs
+    of one frame -> a (5, ncand_pad) int32 DMA table for pred_fetch_compact.
+
+    Decode is the inverse problem of search: the encoder must SWEEP every
+    candidate, but the decoder is TOLD the winners — and the bitstream is host
+    data, so the candidate set (typically tens of distinct MVs on coherent
+    content) is known before the step is dispatched.  Each row describes one
+    whole-pel window DMA in the (parity-)plane stack built by
+    pred_fetch_compact:
+
+      [0] plane-stack leading index (ref under whole-pel; ref*4 + parity
+          plane (dy%2)*2 + (dx%2) under FME — a half-pel displacement d
+          strides CONTIGUOUSLY through its parity plane as k = (d - d%2)/2)
+      [1] row shift mod 8 (which of the 8 pre-shifted planes to read, so
+          every DMA start stays sublane-aligned)
+      [2] 8-aligned plane row offset (row shift - [1])
+      [3] plane column offset (column shift + pad, >= 0)
+      [4] the packed MV code (ref<<16)|((dx+128)<<8)|(dy+128) matched against
+          the per-block code maps — -1 on padding rows (matches nothing; the
+          window is fetched and discarded)
+
+    Returns (table, pad) or None when the frame has more distinct MVs than
+    the largest bucket (the XLA gather path is then the better program
+    anyway).  ncand is padded up to a FETCH_BUCKETS size so recompiles are
+    bounded by the bucket count, not the per-frame MV diversity.
+    """
+    rows = [mv_np.reshape(-1, 3)]
+    if vbs:
+        rows.append(smv_np.reshape(-1, 3))
+    allmv = np.unique(np.concatenate(rows, axis=0), axis=0).astype(np.int64)
+    if allmv.shape[0] > FETCH_BUCKETS[-1]:
+        return None
+    dx, dy, rf = allmv[:, 0], allmv[:, 1], allmv[:, 2]
+    if fme:
+        pad = sr + 1
+        pyp, pxp = dy % 2, dx % 2
+        ky, kx = (dy - pyp) // 2, (dx - pxp) // 2
+        lead = rf * 4 + pyp * 2 + pxp
+        t, c0 = ky + pad, kx + pad
+    else:
+        pad = sr
+        lead = rf
+        t, c0 = dy + pad, dx + pad
+    assert (t >= 0).all() and (c0 >= 0).all(), "MV outside the padded plane"
+    code = (rf << 16) | ((dx + 128) << 8) | (dy + 128)
+    kk = t % 8
+    tab = np.stack([lead, kk, t - kk, c0, code]).astype(np.int32)
+    ncand = tab.shape[1]
+    npad = next(b for b in FETCH_BUCKETS if ncand <= b)
+    padcols = np.zeros((5, npad - ncand), np.int32)
+    padcols[4] = -1
+    return np.ascontiguousarray(np.concatenate([tab, padcols], axis=1)), pad
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "bs", "sub_bs", "vbs", "fme",
+                                             "interpret", "wrap_row_pass"))
+def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
+                       vbs: bool, fme: bool, interpret: bool = False,
+                       wrap_row_pass: bool = True):
+    """Decode-side prediction fetch: one banded DMA per DISTINCT transmitted
+    MV instead of one XLA element-gather per pixel (the decode hot spot:
+    ~11 ms/frame at 720p VBS+FME, ~0.34 GB/s effective).
+
+    mv (nb, 3) / sub_mv (nb, 4, 3): transmitted MVs; refs (nref, h, w) RAW
+    reconstructions; table/pad from build_fetch_table on the same MVs.  For
+    each candidate the kernel DMAs its (band, w) window rows from the padded
+    (parity-)plane stack and keeps them wherever the per-block code map
+    equals the candidate's code (block mask -> pixel mask via two 0/1 MXU
+    matmuls).  Under FME the parity planes come straight from the raw refs
+    (core/me.fme_parity_planes) — the (2H-1, 2W-1) upsample is never built.
+
+    Returns (pred_full (h, w), pred_quads (h, w)) int16 pixel planes holding
+    each (sub-)block's window at its own position.  Exact for case-A blocks
+    and, whole-pel, case-C too (the plane padding IS the reference's
+    zero-fill, Encoder.py:750-768); the FME case-B margin fallback
+    (Encoder.py:447) is the caller's block-level mask.  Dispatch only frames
+    that pass JaxCodec._pallas_decodable.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nref, h, w = refs.shape
+    nbr, nbc = h // bs, w // bs
+    nbr2, nbc2 = 2 * nbr, 2 * nbc
+    codes_f = mv_codes(mv, nbr, nbc)
+    codes_q = sub_mv_codes(sub_mv, nbr, nbc) if vbs else jnp.full((nbr2, nbc2), -2, jnp.int32)
+    if fme:
+        planes = jax.vmap(lambda r: M.fme_parity_planes(r, jnp, wrap_row_pass=wrap_row_pass))(refs)
+        planes = planes.reshape(nref * 4, h, w)
+    else:
+        planes = refs.astype(jnp.int32)
+    ncand = table.shape[1]
+    band = _band_rows(nbr, w, bs, True, vbs, nd=1)
+    band_px = band * bs
+    nprog = nbr // band
+    nbr2_b = band_px // sub_bs
+
+    Wp = -(-(w + 2 * pad) // 128) * 128  # DMA slice width must be 128-aligned
+    planes_p = jnp.pad(planes.astype(jnp.int16), ((0, 0), (pad, pad + 8), (pad, Wp - w - pad)))
+    Hp = h + 2 * pad
+    shift = jnp.stack([planes_p[:, k : k + Hp, :] for k in range(8)], axis=1)
+    cf = codes_f.reshape(nprog, band, nbc)
+    cq = codes_q.reshape(nprog, nbr2_b, nbc2)
+
+    def kernel(nc_ref, tab_ref, cf_ref, cq_ref, planes_hbm, predf_ref, predq_ref, band_vmem, dma_sem):
+        prog = pl.program_id(0)
+        y0 = prog * band_px
+        codes = cf_ref[0]
+        codesq = cq_ref[0]
+
+        def expander_rows(npx, nblk, group):
+            a = jax.lax.broadcasted_iota(jnp.int32, (npx, nblk), 0) // group
+            b = jax.lax.broadcasted_iota(jnp.int32, (npx, nblk), 1)
+            return (a == b).astype(jnp.bfloat16)
+
+        def expander_cols(nblk, npx, group):
+            a = jax.lax.broadcasted_iota(jnp.int32, (nblk, npx), 1) // group
+            b = jax.lax.broadcasted_iota(jnp.int32, (nblk, npx), 0)
+            return (a == b).astype(jnp.bfloat16)
+
+        er_f = expander_rows(band_px, band, bs)
+        ec_f = expander_cols(nbc, w, bs)
+        if vbs:
+            er_q = expander_rows(band_px, nbr2_b, sub_bs)
+            ec_q = expander_cols(nbc2, w, sub_bs)
+
+        def expand_mask(m, er, ec):
+            t = jnp.dot(er, m, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return jnp.dot(t, ec, preferred_element_type=jnp.float32)
+
+        predf_ref[0] = jnp.zeros((band_px, w), jnp.int16)
+        predq_ref[0] = jnp.zeros((band_px, w), jnp.int16)
+
+        def body(ci, carry):
+            lead = tab_ref[0, ci]
+            kk = tab_ref[1, ci]
+            row8 = tab_ref[2, ci]
+            c0 = tab_ref[3, ci]
+            cand = tab_ref[4, ci]
+            start8 = pl.multiple_of(y0 + row8, 8)
+            dma = pltpu.make_async_copy(
+                planes_hbm.at[lead, kk, pl.ds(start8, band_px), :],
+                band_vmem, dma_sem,
+            )
+            dma.start()
+            dma.wait()
+            # column shift: DMA lane starts/shapes must be 128-aligned and
+            # dynamic_rotate is 32-bit-only and per-tile, but the offset is
+            # bounded (c0 in [0, 2*pad]) — select among the 2*pad+1 STATIC
+            # lane slices (the same slice form the search kernel streams)
+            rows = band_vmem[...]
+            win = rows[:, 0:w]
+            for d in range(1, 2 * pad + 1):
+                win = jnp.where(c0 == d, rows[:, d : d + w], win)
+            mf = (codes == cand).astype(jnp.bfloat16)
+            predf_ref[0] = jnp.where(expand_mask(mf, er_f, ec_f) > 0.5, win, predf_ref[0])
+            if vbs:
+                mq = (codesq == cand).astype(jnp.bfloat16)
+                predq_ref[0] = jnp.where(expand_mask(mq, er_q, ec_q) > 0.5, win, predq_ref[0])
+            return carry
+
+        # trip count is the REAL candidate count (the table is padded up to
+        # a bucket size only to bound recompiles)
+        jax.lax.fori_loop(0, nc_ref[0], body, jnp.int32(0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((5, ncand), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, band, nbc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbr2_b, nbc2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, band_px, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band_px, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((band_px, Wp), jnp.int16),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    predf, predq = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nprog, band_px, w), jnp.int16),
+            jax.ShapeDtypeStruct((nprog, band_px, w), jnp.int16),
+        ],
+        interpret=interpret,
+    )(jnp.sum(table[4] != -1).astype(jnp.int32).reshape(1), table, cf, cq, shift)
+    return predf.reshape(h, w), predq.reshape(h, w)

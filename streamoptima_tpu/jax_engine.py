@@ -86,6 +86,9 @@ class JaxCodec:
         self._inter_step_j = jax.jit(self._inter_step, static_argnames=("nref", "initial_refs"))
         self._intra_step_j = jax.jit(self._intra_step)
         self._dec_inter_j = jax.jit(self._decode_inter_step, static_argnames=("nref", "initial_refs"))
+        self._dec_inter_pallas_j = jax.jit(
+            self._decode_inter_pallas_step, static_argnames=("nref", "initial_refs")
+        )
         self._dec_intra_j = jax.jit(self._decode_intra_step)
 
     # ----------------------------------------------------------- utilities
@@ -511,6 +514,102 @@ class JaxCodec:
         pred_refs = self._prep_refs(refs, initial_refs)
         return self._recon_inter(pred_refs, mv, split, sub_mv, qtc_full, qtc_quads, row_qps, self.cfg.fme_enable)
 
+    def _decode_inter_pallas_step(self, refs, mv, split, sub_mv, qtc_full, qtc_quads, row_qps,
+                                  table, nref: int, initial_refs: bool):
+        """Decode an inter frame with the Pallas prediction-fetch kernel
+        (core/me_pallas.pred_fetch_compact): the per-block XLA element
+        gathers — the decode hot spot once everything else is fused — become
+        one banded DMA per DISTINCT transmitted MV (``table``, built on the
+        host from the bitstream by me_pallas.build_fetch_table), and under
+        FME the (2H-1, 2W-1) upsample is never materialized (parity planes
+        are computed directly from the raw refs).
+
+        The kernel serves case-A windows exactly and, whole-pel, case C too
+        (the zero-padded plane IS the reference's zero-padding,
+        handle_boundary_conditions Encoder.py:750-768); case B (the FME
+        margin check, Encoder.py:447) is an MV-only predicate applied here at
+        block granularity.  The decode loop dispatches this step only when
+        the host-visible MVs satisfy the kernel's bounds (_pallas_decodable)
+        and fit a table bucket; anything else takes _decode_inter_step.
+        """
+        from streamoptima_tpu.core import me_pallas
+
+        cfg = self.cfg
+        fme = cfg.fme_enable
+        pad = cfg.search_range + 1 if fme else cfg.search_range
+        interp = jax.default_backend() != "tpu"
+        sub_mv_k = sub_mv if cfg.vbs_enable else jnp.zeros((self.nb, 4, 3), jnp.int32)
+        predf, predq = me_pallas.pred_fetch_compact(
+            mv, sub_mv_k, refs, table, pad, self.bs, self.sbs, cfg.vbs_enable, fme,
+            interpret=interp, wrap_row_pass=not initial_refs,
+        )
+        pred_full = self._blockify(predf.astype(jnp.int32))
+        pred_q = self._quads_px(predq.astype(jnp.int32)) if cfg.vbs_enable else None
+        if fme:
+            # case-B fallback: margin = the block's own size on the native
+            # path (K18 fix — decode matches the residual-time prediction)
+            H2, W2 = 2 * self.h - 1, 2 * self.w - 1
+
+            def valid2(mv3, xs, ys, n):
+                px = 2 * xs + mv3[..., 0]
+                py = 2 * ys + mv3[..., 1]
+                return (
+                    (px + 2 * n >= 0) & (px + 2 * n < W2 - n)
+                    & (py + 2 * n >= 0) & (py + 2 * n < H2 - n)
+                )
+
+            pred_full = jnp.where(valid2(mv, self.bx, self.by, self.bs)[:, None, None], pred_full, 128)
+            if pred_q is not None:
+                v2q = valid2(sub_mv, self.qx, self.qy, self.sbs)
+                pred_q = jnp.where(v2q[:, :, None, None], pred_q, 128)
+        return self._recon_inter(None, mv, split, sub_mv, qtc_full, qtc_quads, row_qps, fme,
+                                 preds=(pred_full, pred_q))
+
+    def _fetch_table(self, mv, smv):
+        """Host dispatch for the Pallas decode path: this frame's DMA table
+        as a device array, or None when the MVs don't fit the kernel (the
+        frame then takes the XLA gather step)."""
+        if not self._use_pallas():
+            return None
+        from streamoptima_tpu.core import me_pallas
+
+        mv_np, smv_np = np.asarray(mv), np.asarray(smv)
+        if not self._pallas_decodable(mv_np, smv_np):
+            return None
+        t = me_pallas.build_fetch_table(
+            mv_np, smv_np, self.cfg.search_range, self.cfg.fme_enable, self.cfg.vbs_enable
+        )
+        return None if t is None else jnp.asarray(t[0])
+
+    def _pallas_decodable(self, mv_np, smv_np) -> bool:
+        """Host predicate: this frame's transmitted MVs fit the fetch
+        kernel.  Whole-pel needs only |d| <= sr (cases A and C both come out
+        of the zero-padded plane); FME additionally needs every block case
+        A-or-B (primary bounds valid — case C reads a stride-1 window of the
+        upsampled frame, XLA path).  Well-formed full-search streams always
+        pass; fast-ME MVP chains can exceed sr."""
+        cfg = self.cfg
+        fme = cfg.fme_enable
+        bound = min(2 * cfg.search_range if fme else cfg.search_range, 126)
+        allmv = np.concatenate([mv_np.reshape(-1, 3), smv_np.reshape(-1, 3)]) \
+            if cfg.vbs_enable else mv_np.reshape(-1, 3)
+        if np.abs(allmv[:, :2]).max(initial=0) > bound:
+            return False
+        if not fme:
+            return True
+        bx, by = np.asarray(self.bx), np.asarray(self.by)
+        H2, W2 = 2 * self.h - 1, 2 * self.w - 1
+
+        def valid1(mv3, xs, ys, n):
+            px = 2 * xs + mv3[..., 0]
+            py = 2 * ys + mv3[..., 1]
+            return (px >= 0) & (px < W2 - n) & (py >= 0) & (py < H2 - n)
+
+        ok = valid1(mv_np, bx, by, self.bs).all()
+        if cfg.vbs_enable:
+            ok = ok and valid1(smv_np, np.asarray(self.qx), np.asarray(self.qy), self.sbs).all()
+        return bool(ok)
+
     def _decode_intra_step(self, mv, split, sub_mv, qtc_full, qtc_quads, row_qps):
         return self._recon_intra(mv, split, sub_mv, qtc_full, qtc_quads, row_qps)
 
@@ -620,10 +719,16 @@ class JaxCodec:
                 else jnp.full(self.nbr, cfg.qp, dtype=jnp.int32)
             )
             if cfg.parallel_mode == 1:
-                f = self._dec_inter_j(
-                    jnp.stack([jnp.full((self.h, self.w), 128, dtype=jnp.uint8)]),
-                    mv, split, smv, qf, qq, row_qps, nref=1, initial_refs=True,
-                )
+                ref128 = jnp.stack([jnp.full((self.h, self.w), 128, dtype=jnp.uint8)])
+                tab = self._fetch_table(mv, smv)
+                if tab is not None:
+                    f = self._dec_inter_pallas_j(
+                        ref128, mv, split, smv, qf, qq, row_qps, tab, nref=1, initial_refs=True
+                    )
+                else:
+                    f = self._dec_inter_j(
+                        ref128, mv, split, smv, qf, qq, row_qps, nref=1, initial_refs=True
+                    )
                 out_frames.append(np.asarray(f))
                 continue
             if frame_types[i] == 0:
@@ -634,14 +739,24 @@ class JaxCodec:
                     use, use_init = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)], True
                 else:
                     use, use_init = refs, initial
-                f = self._dec_inter_j(jnp.stack(use), mv, split, smv, qf, qq, row_qps, nref=len(use), initial_refs=use_init)
-            out_frames.append(np.asarray(f))
+                tab = self._fetch_table(mv, smv)
+                if tab is not None:
+                    f = self._dec_inter_pallas_j(
+                        jnp.stack(use), mv, split, smv, qf, qq, row_qps, tab,
+                        nref=len(use), initial_refs=use_init,
+                    )
+                else:
+                    f = self._dec_inter_j(
+                        jnp.stack(use), mv, split, smv, qf, qq, row_qps,
+                        nref=len(use), initial_refs=use_init,
+                    )
+            out_frames.append(f)
             if i < cfg.frames - 1:
                 if len(refs) >= cfg.n_ref_frames:
                     refs.pop(0)
-                refs.append(jnp.asarray(out_frames[-1]))
+                refs.append(f)  # stays on device: no D2H/H2D round trip per frame
                 initial = False
-        return out_frames
+        return [np.asarray(f) for f in out_frames]
 
     # ----------------------------------------------- interchange helpers
     def _mvs_to_list(self, out, ftype):

@@ -1,0 +1,139 @@
+"""Decode-side Pallas prediction fetch (core/me_pallas.pred_fetch_compact).
+
+The kernel must be bit-identical to pred.gather_predictions (the decoder's
+reference gather, decoder.py:97-211 semantics): exactly on every block
+whole-pel (cases A and C — the plane zero-padding IS the reference's
+zero-fill), and on case-A blocks under FME (case B is the caller's 128 mask,
+case C falls back to the XLA step via JaxCodec._pallas_decodable).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from streamoptima_tpu import CodecConfig
+from streamoptima_tpu.core import me_pallas as MP
+from streamoptima_tpu.core import me as M
+from streamoptima_tpu.core import pred as P
+from streamoptima_tpu.jax_engine import JaxCodec
+
+from conftest import synthetic_clip
+
+
+def _grids(h, w, bs, sbs):
+    nbr, nbc = h // bs, w // bs
+    by, bx = np.meshgrid(np.arange(nbr) * bs, np.arange(nbc) * bs, indexing="ij")
+    bx, by = bx.reshape(-1), by.reshape(-1)
+    qx = np.stack([bx + dx for dy in (0, sbs) for dx in (0, sbs)], 1)
+    qy = np.stack([by + dy for dy in (0, sbs) for dx in (0, sbs)], 1)
+    return bx, by, qx, qy
+
+
+def _plane(blocks, xs, ys, n, h, w):
+    out = np.zeros((h, w), np.int64)
+    for i in range(len(blocks)):
+        out[ys[i]:ys[i] + n, xs[i]:xs[i] + n] = blocks[i]
+    return out
+
+
+@pytest.mark.parametrize("fme", [False, True])
+def test_fetch_matches_gather(fme):
+    rng = np.random.default_rng(7)
+    h, w, bs, sbs, nref, sr = 48, 64, 16, 8, 2, 4
+    refs = rng.integers(0, 256, (nref, h, w), dtype=np.uint8).astype(np.int32)
+    bx, by, qx, qy = _grids(h, w, bs, sbs)
+    nb = len(bx)
+    bound = 2 * sr if fme else sr
+
+    def rand_mv(n):
+        mv = np.zeros((n, 3), np.int32)
+        mv[:, 0] = rng.integers(-bound, bound + 1, n)
+        mv[:, 1] = rng.integers(-bound, bound + 1, n)
+        mv[:, 2] = rng.integers(0, nref, n)
+        return mv
+
+    mv = rand_mv(nb)
+    smv = np.stack([rand_mv(nb) for _ in range(4)], 1)
+    tab, pad = MP.build_fetch_table(mv, smv, sr, fme, True)
+    predf, predq = MP.pred_fetch_compact(
+        jnp.asarray(mv), jnp.asarray(smv), jnp.asarray(refs), jnp.asarray(tab),
+        pad, bs, sbs, True, fme, interpret=True, wrap_row_pass=True,
+    )
+    predf, predq = np.asarray(predf).astype(np.int64), np.asarray(predq).astype(np.int64)
+
+    stack = np.stack([M.fme_upsample(r, np, wrap_row_pass=True) for r in refs]) if fme else refs
+    exp_f = _plane(P.gather_predictions(mv, stack, bx, by, bs, fme, np), bx, by, bs, h, w)
+    exp_q = _plane(
+        P.gather_predictions(smv.reshape(-1, 3), stack, qx.reshape(-1), qy.reshape(-1), sbs, fme, np),
+        qx.reshape(-1), qy.reshape(-1), sbs, h, w,
+    )
+    if not fme:
+        np.testing.assert_array_equal(predf, exp_f)
+        np.testing.assert_array_equal(predq, exp_q)
+        return
+
+    # FME: compare on case-A blocks only
+    H2, W2 = 2 * h - 1, 2 * w - 1
+
+    def caseA(mv3, xs, ys, n):
+        px, py = 2 * xs + mv3[:, 0], 2 * ys + mv3[:, 1]
+        v1 = (px >= 0) & (px < W2 - n) & (py >= 0) & (py < H2 - n)
+        v2 = (px + 2 * n >= 0) & (px + 2 * n < W2 - n) & (py + 2 * n >= 0) & (py + 2 * n < H2 - n)
+        return v1 & v2
+
+    a_f = caseA(mv, bx, by, bs)
+    a_q = caseA(smv.reshape(-1, 3), qx.reshape(-1), qy.reshape(-1), sbs)
+    assert a_f.sum() and a_q.sum(), "degenerate draw: no case-A blocks"
+    maskf = np.repeat(np.repeat(a_f.reshape(h // bs, w // bs), bs, 0), bs, 1)
+    maskq = _plane(a_q.astype(np.int64), qx.reshape(-1), qy.reshape(-1), sbs, h, w) > 0
+    np.testing.assert_array_equal(np.where(maskf, predf, 0), np.where(maskf, exp_f, 0))
+    np.testing.assert_array_equal(np.where(maskq, predq, 0), np.where(maskq, exp_q, 0))
+
+
+def test_fetch_table_buckets_and_reject():
+    rng = np.random.default_rng(0)
+    mv = np.zeros((9000, 3), np.int32)
+    smv = np.zeros((2, 4, 3), np.int32)
+    t, pad = MP.build_fetch_table(mv[:4], smv, 8, False, True)
+    assert t.shape == (5, MP.FETCH_BUCKETS[0]) and pad == 8
+    assert int((t[4] != -1).sum()) == 1  # one distinct MV
+    # > largest bucket -> None (XLA fallback)
+    mv[:, 0] = rng.integers(-60, 61, 9000)
+    mv[:, 1] = rng.integers(-60, 61, 9000)
+    mv[:, 2] = rng.integers(0, 4, 9000)
+    if len(np.unique(mv, axis=0)) > MP.FETCH_BUCKETS[-1]:
+        assert MP.build_fetch_table(mv, smv, 60, False, False) is None
+
+
+@pytest.mark.parametrize("fme,vbs", [(False, False), (True, True)])
+def test_decode_pallas_dispatch_roundtrip(fme, vbs):
+    """JaxCodec.decode with me_search='pallas' must reproduce the encoder's
+    reconstructions bit-exactly through the fetch-kernel decode step."""
+    clip = synthetic_clip(h=64, w=64, frames=5, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=5, qp=4, intra_dur=4, search_range=4,
+                      vbs_enable=vbs, fme_enable=fme, engine="jax", me_search="pallas")
+    codec = JaxCodec(cfg, clip)
+    pkg = codec.encode()
+    # the dispatch predicate must accept well-formed full-search streams
+    mv, split, smv = codec._list_to_mvs(pkg["MVS per Frame"][1], 1)
+    assert codec._fetch_table(mv, smv) is not None
+    dec = codec.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                       pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i, (d, r) in enumerate(zip(dec, pkg["reconstructed frames"])):
+        np.testing.assert_array_equal(np.asarray(d), r, err_msg=f"frame {i}")
+
+
+def test_decode_dispatch_rejects_oversized_mv():
+    """Fast-ME chains can exceed the search range; the dispatch must refuse
+    (and the XLA step still decodes them)."""
+    clip = synthetic_clip(h=64, w=64, frames=3, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=3, qp=4, intra_dur=4, search_range=4,
+                      vbs_enable=False, fme_enable=False, engine="jax", me_search="pallas")
+    codec = JaxCodec(cfg, clip)
+    mv = np.zeros((codec.nb, 3), np.int32)
+    mv[0, 0] = 9  # beyond sr=4
+    smv = np.zeros((codec.nb, 4, 3), np.int32)
+    assert not codec._pallas_decodable(mv, smv)
+    assert codec._pallas_decodable(np.zeros((codec.nb, 3), np.int32), smv)
