@@ -490,7 +490,44 @@ def sub_mv_codes(sub_mv, nbr, nbc, xp=jnp):
 FETCH_BUCKETS = (64, 256, 512)
 
 
-def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool):
+def fetch_decodable(mv_np, smv_np, sr: int, fme: bool, vbs: bool,
+                    h: int, w: int, bs: int, sub_bs: int) -> bool:
+    """Host predicate: a frame's transmitted MVs fit pred_fetch_compact.
+
+    Whole-pel needs only |d| <= sr (cases A and C both come out of the
+    zero-padded plane); FME additionally needs every block case A-or-B
+    (primary bounds valid in FRAME-global coordinates — case C reads a
+    stride-1 window of the upsampled frame, which only the XLA gather path
+    serves).  Well-formed full-search streams always pass; fast-ME MVP
+    chains can exceed sr.  |d| <= 126 guards the 8-bit code packing.
+    """
+    bound = min(2 * sr if fme else sr, 126)
+    allmv = np.concatenate([mv_np.reshape(-1, 3), smv_np.reshape(-1, 3)]) \
+        if vbs else mv_np.reshape(-1, 3)
+    if np.abs(allmv[:, :2]).max(initial=0) > bound:
+        return False
+    if not fme:
+        return True
+    nbr, nbc = h // bs, w // bs
+    ys, xs = np.meshgrid(np.arange(nbr) * bs, np.arange(nbc) * bs, indexing="ij")
+    bx, by = xs.reshape(-1), ys.reshape(-1)
+    H2, W2 = 2 * h - 1, 2 * w - 1
+
+    def valid1(mv3, xs_, ys_, n):
+        px = 2 * xs_ + mv3[..., 0]
+        py = 2 * ys_ + mv3[..., 1]
+        return (px >= 0) & (px < W2 - n) & (py >= 0) & (py < H2 - n)
+
+    ok = valid1(mv_np.reshape(-1, 3), bx, by, bs).all()
+    if vbs:
+        offs = np.array([[0, 0], [0, 1], [1, 0], [1, 1]]) * sub_bs
+        qx = bx[:, None] + offs[None, :, 1]
+        qy = by[:, None] + offs[None, :, 0]
+        ok = ok and valid1(smv_np.reshape(-1, 4, 3), qx, qy, sub_bs).all()
+    return bool(ok)
+
+
+def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 0):
     """HOST side of the decode prediction fetch: the distinct transmitted MVs
     of one frame -> a (5, ncand_pad) int32 DMA table for pred_fetch_compact.
 
@@ -516,6 +553,11 @@ def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool):
     the largest bucket (the XLA gather path is then the better program
     anyway).  ncand is padded up to a FETCH_BUCKETS size so recompiles are
     bounded by the bucket count, not the per-frame MV diversity.
+
+    ``row0``: STATIC plane-row offset of the consumer's first block row
+    inside the reference band, folded into [1]/[2] here because it need not
+    be 8-aligned (row-tiled mesh decode passes its halo height; any traced
+    8-aligned remainder rides pred_fetch_compact's ``read_row0``).
     """
     rows = [mv_np.reshape(-1, 3)]
     if vbs:
@@ -534,6 +576,7 @@ def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool):
         pad = sr
         lead = rf
         t, c0 = dy + pad, dx + pad
+    t = t + row0
     assert (t >= 0).all() and (c0 >= 0).all(), "MV outside the padded plane"
     code = (rf << 16) | ((dx + 128) << 8) | (dy + 128)
     kk = t % 8
@@ -549,7 +592,7 @@ def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool):
                                              "interpret", "wrap_row_pass"))
 def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
                        vbs: bool, fme: bool, interpret: bool = False,
-                       wrap_row_pass: bool = True):
+                       wrap_row_pass: bool = True, read_row0=0):
     """Decode-side prediction fetch: one banded DMA per DISTINCT transmitted
     MV instead of one XLA element-gather per pixel (the decode hot spot:
     ~11 ms/frame at 720p VBS+FME, ~0.34 GB/s effective).
@@ -568,18 +611,26 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
     zero-fill, Encoder.py:750-768); the FME case-B margin fallback
     (Encoder.py:447) is the caller's block-level mask.  Dispatch only frames
     that pass JaxCodec._pallas_decodable.
+
+    Row-tiled mesh bands: ``refs`` may be TALLER than the mv grid (halo
+    rows); the consumer's first block row sits at plane row (table's static
+    ``row0``) + ``read_row0`` (traced, must be a multiple of 8 — the mesh's
+    tile origins are block-aligned).  The band's parity planes equal slices
+    of the frame's parity planes because the band origin is whole-pel.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nref, h, w = refs.shape
-    nbr, nbc = h // bs, w // bs
+    nref, bandh, w = refs.shape
+    nbc = w // bs
+    nbr = mv.shape[0] // nbc
+    h = nbr * bs
     nbr2, nbc2 = 2 * nbr, 2 * nbc
     codes_f = mv_codes(mv, nbr, nbc)
     codes_q = sub_mv_codes(sub_mv, nbr, nbc) if vbs else jnp.full((nbr2, nbc2), -2, jnp.int32)
     if fme:
         planes = jax.vmap(lambda r: M.fme_parity_planes(r, jnp, wrap_row_pass=wrap_row_pass))(refs)
-        planes = planes.reshape(nref * 4, h, w)
+        planes = planes.reshape(nref * 4, bandh, w)
     else:
         planes = refs.astype(jnp.int32)
     ncand = table.shape[1]
@@ -590,13 +641,18 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
 
     Wp = -(-(w + 2 * pad) // 128) * 128  # DMA slice width must be 128-aligned
     planes_p = jnp.pad(planes.astype(jnp.int16), ((0, 0), (pad, pad + 8), (pad, Wp - w - pad)))
-    Hp = h + 2 * pad
+    Hp = bandh + 2 * pad
     shift = jnp.stack([planes_p[:, k : k + Hp, :] for k in range(8)], axis=1)
     cf = codes_f.reshape(nprog, band, nbc)
     cq = codes_q.reshape(nprog, nbr2_b, nbc2)
+    scalars = jnp.stack([
+        jnp.sum(table[4] != -1).astype(jnp.int32),
+        jnp.asarray(read_row0, jnp.int32),
+    ]).reshape(2)
 
     def kernel(nc_ref, tab_ref, cf_ref, cq_ref, planes_hbm, predf_ref, predq_ref, band_vmem, dma_sem):
         prog = pl.program_id(0)
+        rr0 = nc_ref[1]  # traced band-row origin (8-aligned by contract)
         y0 = prog * band_px
         codes = cf_ref[0]
         codesq = cq_ref[0]
@@ -630,7 +686,7 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
             row8 = tab_ref[2, ci]
             c0 = tab_ref[3, ci]
             cand = tab_ref[4, ci]
-            start8 = pl.multiple_of(y0 + row8, 8)
+            start8 = pl.multiple_of(y0 + row8 + rr0, 8)
             dma = pltpu.make_async_copy(
                 planes_hbm.at[lead, kk, pl.ds(start8, band_px), :],
                 band_vmem, dma_sem,
@@ -660,7 +716,7 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
         num_scalar_prefetch=0,
         grid=(nprog,),
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((5, ncand), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, band, nbc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nbr2_b, nbc2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -683,5 +739,5 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
             jax.ShapeDtypeStruct((nprog, band_px, w), jnp.int16),
         ],
         interpret=interpret,
-    )(jnp.sum(table[4] != -1).astype(jnp.int32).reshape(1), table, cf, cq, shift)
+    )(scalars, table, cf, cq, shift)
     return predf.reshape(h, w), predq.reshape(h, w)

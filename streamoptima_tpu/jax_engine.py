@@ -582,33 +582,15 @@ class JaxCodec:
         return None if t is None else jnp.asarray(t[0])
 
     def _pallas_decodable(self, mv_np, smv_np) -> bool:
-        """Host predicate: this frame's transmitted MVs fit the fetch
-        kernel.  Whole-pel needs only |d| <= sr (cases A and C both come out
-        of the zero-padded plane); FME additionally needs every block case
-        A-or-B (primary bounds valid — case C reads a stride-1 window of the
-        upsampled frame, XLA path).  Well-formed full-search streams always
-        pass; fast-ME MVP chains can exceed sr."""
+        """Host predicate: this frame's transmitted MVs fit the fetch kernel
+        (me_pallas.fetch_decodable — shared with the mesh decoder)."""
+        from streamoptima_tpu.core import me_pallas
+
         cfg = self.cfg
-        fme = cfg.fme_enable
-        bound = min(2 * cfg.search_range if fme else cfg.search_range, 126)
-        allmv = np.concatenate([mv_np.reshape(-1, 3), smv_np.reshape(-1, 3)]) \
-            if cfg.vbs_enable else mv_np.reshape(-1, 3)
-        if np.abs(allmv[:, :2]).max(initial=0) > bound:
-            return False
-        if not fme:
-            return True
-        bx, by = np.asarray(self.bx), np.asarray(self.by)
-        H2, W2 = 2 * self.h - 1, 2 * self.w - 1
-
-        def valid1(mv3, xs, ys, n):
-            px = 2 * xs + mv3[..., 0]
-            py = 2 * ys + mv3[..., 1]
-            return (px >= 0) & (px < W2 - n) & (py >= 0) & (py < H2 - n)
-
-        ok = valid1(mv_np, bx, by, self.bs).all()
-        if cfg.vbs_enable:
-            ok = ok and valid1(smv_np, np.asarray(self.qx), np.asarray(self.qy), self.sbs).all()
-        return bool(ok)
+        return me_pallas.fetch_decodable(
+            mv_np, smv_np, cfg.search_range, cfg.fme_enable, cfg.vbs_enable,
+            self.h, self.w, self.bs, self.sbs,
+        )
 
     def _decode_intra_step(self, mv, split, sub_mv, qtc_full, qtc_quads, row_qps):
         return self._recon_intra(mv, split, sub_mv, qtc_full, qtc_quads, row_qps)

@@ -117,6 +117,7 @@ class ShardedCodec:
         self.y = None if y_frames is None else np.asarray(y_frames, dtype=np.uint8)
         self._frames_dev = None  # device-resident GOP-batched clip (lazy)
         self._decode_j = None  # jitted sharded decode (lazy)
+        self._decode_fetch_j = None  # table-driven Pallas-fetch variant (lazy)
         self._fsteps = None  # jitted per-frame steps for two-pass RC (lazy)
         self.ndata = mesh.devices.shape[0]
         self.ntile = mesh.devices.shape[1]
@@ -708,10 +709,77 @@ class ShardedCodec:
             quad_blocks = None
         return self._merge_blocks(full_blocks, quad_blocks, split)
 
-    def _decode_gop_local(self, gop, row_qps_g, roi_tile, y0_blocks):
+    def _inter_tile_decode_fetch(self, refs_l, y0_blocks, mv, split, smv,
+                                 qtc_full, qtc_quads, row_qps_tile, roi_tile, tab):
+        """Tile inter decode through the compact prediction-fetch kernel
+        (me_pallas.pred_fetch_compact): one banded DMA per distinct
+        transmitted MV of the FRAME (the host builds one table for the whole
+        frame — shard-uniform, so every tile runs the same program; windows
+        no tile's blocks match cost only their DMA).  Halo mode folds the
+        static halo height into the table's row offsets; all_gather mode
+        rides the kernel's traced ``read_row0`` (tile origins are
+        block-aligned, hence sublane-aligned).  Mirrors decoder.py:97-211
+        exactly like _inter_tile_decode, which remains the XLA fallback."""
+        from streamoptima_tpu.core import me_pallas
+
+        cfg = self.cfg
+        fme = cfg.fme_enable
+        pad = cfg.search_range + 1 if fme else cfg.search_range
+        y0_px = y0_blocks * self.bs
+        if self.ntile == 1 or self.tile_comm == "all_gather":
+            band = jax.lax.all_gather(refs_l, "tile", axis=1, tiled=True)
+            rr0 = y0_px
+        else:
+            halo = cfg.search_range + 1
+            perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
+            perm_up = [(i + 1, i) for i in range(self.ntile - 1)]
+            top = jax.lax.ppermute(refs_l[:, -halo:, :], "tile", perm_dn)
+            bot = jax.lax.ppermute(refs_l[:, :halo, :], "tile", perm_up)
+            band = jnp.concatenate([top, refs_l, bot], axis=1)
+            rr0 = 0  # the halo is static: folded into the table's row0
+        smv_k = smv if cfg.vbs_enable else jnp.zeros((self.nb_t, 4, 3), jnp.int32)
+        predf, predq = me_pallas.pred_fetch_compact(
+            mv, smv_k, band, tab, pad, self.bs, self.sbs, cfg.vbs_enable, fme,
+            interpret=jax.default_backend() != "tpu", wrap_row_pass=True, read_row0=rr0,
+        )
+        pred_full = predf.astype(jnp.int32).reshape(
+            self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs)
+        if cfg.vbs_enable:
+            pred_q = predq.astype(jnp.int32).reshape(
+                self.nbr_t, 2, self.sbs, self.nbc, 2, self.sbs
+            ).transpose(0, 3, 1, 4, 2, 5).reshape(self.nb_t, 4, self.sbs, self.sbs)
+        else:
+            pred_q = None
+        if fme:
+            # case-B margin fallback in GLOBAL coordinates (native margin =
+            # the block's own size, matching the residual-time prediction)
+            H2, W2 = 2 * self.h - 1, 2 * self.w - 1
+            by_g = self._by_local + y0_px
+
+            def valid2(mv3, xs, ys, n):
+                px = 2 * xs + mv3[..., 0]
+                py = 2 * ys + mv3[..., 1]
+                return (
+                    (px + 2 * n >= 0) & (px + 2 * n < W2 - n)
+                    & (py + 2 * n >= 0) & (py + 2 * n < H2 - n)
+                )
+
+            pred_full = jnp.where(valid2(mv, self._bx, by_g, self.bs)[:, None, None], pred_full, 128)
+            if pred_q is not None:
+                qy_g = self._qy_local + y0_px
+                v2q = valid2(smv, self._qx, qy_g, self.sbs)
+                pred_q = jnp.where(v2q[:, :, None, None], pred_q, 128)
+        rf, rq = self._dequant_tile(qtc_full, qtc_quads, row_qps_tile, roi_tile)
+        full_blocks = P.wrap_uint8(pred_full + rf, jnp)
+        quad_blocks = P.wrap_uint8(pred_q + rq, jnp) if cfg.vbs_enable else None
+        return self._merge_blocks(full_blocks, quad_blocks, split)
+
+    def _decode_gop_local(self, gop, row_qps_g, roi_tile, y0_blocks, tabs=None):
         """Decode one GOP's local band: intra frame 0, scan over inter frames
         carrying the reconstruction-band FIFO (decoder.py:487-545 semantics:
-        refs reset at each intra, FIFO of n_ref_frames)."""
+        refs reset at each intra, FIFO of n_ref_frames).  ``tabs``
+        (gl, 5, B): per-frame fetch tables — switches the inter step to the
+        Pallas fetch kernel (frame 0's row is unused)."""
         cfg = self.cfg
         nref = cfg.n_ref_frames
         nb_t = self.nb_t
@@ -735,8 +803,13 @@ class ShardedCodec:
 
         def step(carry, xs):
             refs, nvalid = carry
-            mv, split, smv, qf, qq, rqp = xs
-            f = self._inter_tile_decode(refs, y0_blocks, mv, split, smv, qf, qq, rqp, roi_tile)
+            if tabs is None:
+                mv, split, smv, qf, qq, rqp = xs
+                f = self._inter_tile_decode(refs, y0_blocks, mv, split, smv, qf, qq, rqp, roi_tile)
+            else:
+                mv, split, smv, qf, qq, rqp, tab = xs
+                f = self._inter_tile_decode_fetch(refs, y0_blocks, mv, split, smv, qf, qq,
+                                                  rqp, roi_tile, tab)
             full = nvalid >= nref
             rolled = jnp.where(full, jnp.roll(refs, -1, axis=0), refs)
             idx = jnp.minimum(nvalid, nref - 1)
@@ -746,36 +819,43 @@ class ShardedCodec:
         tail = tuple(
             jnp.stack([per_frame(i)[j] for i in range(1, self.gl)]) for j in range(6)
         )
+        if tabs is not None:
+            tail = tail + (tabs[1:],)
         (_, _), frames = jax.lax.scan(step, (refs0, jnp.int32(1)), tail)
         return jnp.concatenate([f0[None], frames], axis=0)
 
-    def _decode_gops_shard(self, mv_g, split_g, smv_g, qf_g, qq_g, rqp_g, roi):
+    def _decode_gops_shard(self, mv_g, split_g, smv_g, qf_g, qq_g, rqp_g, roi, tab_g=None):
         tile_idx = jax.lax.axis_index("tile")
         y0_blocks = tile_idx * self.nbr_t
         roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0_blocks, self.nbr_t, axis=0)
         rqp_tile = jax.lax.dynamic_slice_in_dim(rqp_g, y0_blocks, self.nbr_t, axis=2)  # (G, gl, nbr_t)
 
-        def one(mv, split, smv, qf, qq, rqp):
+        def one(mv, split, smv, qf, qq, rqp, tabs=None):
             gop = {"mv": mv, "split": split, "sub_mv": smv, "qtc_full": qf, "qtc_quads": qq}
-            return self._decode_gop_local(gop, rqp, roi_tile, y0_blocks)
+            return self._decode_gop_local(gop, rqp, roi_tile, y0_blocks, tabs=tabs)
 
-        return jax.vmap(one)(mv_g, split_g, smv_g, qf_g, qq_g, rqp_tile)
+        if tab_g is None:
+            return jax.vmap(one)(mv_g, split_g, smv_g, qf_g, qq_g, rqp_tile)
+        return jax.vmap(one)(mv_g, split_g, smv_g, qf_g, qq_g, rqp_tile, tab_g)
 
-    def _build_decode_j(self):
+    def _build_decode_j(self, with_tables: bool = False):
         spec_blk = P_("data", None, "tile", None)
+        in_specs = (
+            P_("data", None, "tile", None, None),      # mv (G, gl, nbr, nbc, 3)
+            spec_blk,                                   # split
+            P_("data", None, "tile", None, None, None),  # sub_mv
+            P_("data", None, "tile", None, None, None),  # qtc_full
+            P_("data", None, "tile", None, None, None, None),  # qtc_quads
+            P_("data", None, None),                     # row_qps (G, gl, nbr)
+            P_(None, None),                             # roi
+        )
+        if with_tables:
+            in_specs = in_specs + (P_("data", None, None, None),)  # tables (G, gl, 5, B)
         return jax.jit(
             shard_map(
                 self._decode_gops_shard,
                 mesh=self.mesh,
-                in_specs=(
-                    P_("data", None, "tile", None, None),      # mv (G, gl, nbr, nbc, 3)
-                    spec_blk,                                   # split
-                    P_("data", None, "tile", None, None, None),  # sub_mv
-                    P_("data", None, "tile", None, None, None),  # qtc_full
-                    P_("data", None, "tile", None, None, None, None),  # qtc_quads
-                    P_("data", None, None),                     # row_qps (G, gl, nbr)
-                    P_(None, None),                             # roi
-                ),
+                in_specs=in_specs,
                 out_specs=P_("data", None, "tile", None),
                 check_vma=False,
             )
@@ -823,17 +903,62 @@ class ShardedCodec:
             qq_g[g, f] = np.asarray(qq)
             if cfg.rc_active and len(qp_rows_per_frame[i]):
                 rqp_g[g, f] = np.asarray(qp_rows_per_frame[i], np.int32)
-        if self._decode_j is None:
-            self._decode_j = self._build_decode_j()
+        # Pallas fetch path: one host-built DMA table per inter frame (the
+        # frame's distinct MVs; shard-uniform).  Any frame outside the
+        # kernel's bounds sends the WHOLE call down the XLA gather path —
+        # the clip is one jitted program, so dispatch is all-or-nothing.
+        tab_g = None
+        use_fetch = cfg.me_search == "pallas" or (
+            cfg.me_search == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_fetch and gl > 1:
+            from streamoptima_tpu.core import me_pallas
+
+            row0 = (cfg.search_range + 1) if (self.ntile > 1 and self.tile_comm == "halo") else 0
+            tabs = {}
+            for g in range(g_pad):
+                for f in range(1, gl):
+                    t = None
+                    if me_pallas.fetch_decodable(
+                        mv_g[g, f], smv_g[g, f], cfg.search_range, cfg.fme_enable,
+                        cfg.vbs_enable, self.h, self.w, self.bs, self.sbs,
+                    ):
+                        t = me_pallas.build_fetch_table(
+                            mv_g[g, f], smv_g[g, f], cfg.search_range, cfg.fme_enable,
+                            cfg.vbs_enable, row0=row0,
+                        )
+                    if t is None:
+                        tabs = None
+                        break
+                    tabs[(g, f)] = t[0]
+                if tabs is None:
+                    break
+            if tabs:
+                B = max(t.shape[1] for t in tabs.values())
+                tab_g = np.zeros((g_pad, gl, 5, B), np.int32)
+                tab_g[:, :, 4, :] = -1  # trip count sees only real candidates
+                for (g, f), t in tabs.items():
+                    tab_g[g, f, :, : t.shape[1]] = t
+        if tab_g is not None:
+            if self._decode_fetch_j is None:
+                self._decode_fetch_j = self._build_decode_j(with_tables=True)
+            dec_j = self._decode_fetch_j
+        else:
+            if self._decode_j is None:
+                self._decode_j = self._build_decode_j()
+            dec_j = self._decode_j
         shp = lambda a: a.reshape((g_pad, gl, self.nbr, self.nbc) + a.shape[3:])  # noqa: E731
         outs = []
         for b in range(g_pad // self.ndata):
             sl = slice(b * self.ndata, (b + 1) * self.ndata)
-            o = self._decode_j(
+            args = (
                 jnp.asarray(shp(mv_g)[sl]), jnp.asarray(shp(split_g)[sl]),
                 jnp.asarray(shp(smv_g)[sl]), jnp.asarray(shp(qf_g)[sl]),
                 jnp.asarray(shp(qq_g)[sl]), jnp.asarray(rqp_g[sl]), self._roi,
             )
+            if tab_g is not None:
+                args = args + (jnp.asarray(tab_g[sl]),)
+            o = dec_j(*args)
             outs.append(np.asarray(o))
         recon = np.concatenate(outs, axis=0).reshape(g_pad * gl, self.h, self.w)
         return [recon[i] for i in range(n)]

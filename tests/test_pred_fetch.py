@@ -137,3 +137,23 @@ def test_decode_dispatch_rejects_oversized_mv():
     smv = np.zeros((codec.nb, 4, 3), np.int32)
     assert not codec._pallas_decodable(mv, smv)
     assert codec._pallas_decodable(np.zeros((codec.nb, 3), np.int32), smv)
+
+
+@pytest.mark.parametrize("tile_comm,fme", [("halo", False), ("halo", True),
+                                           ("all_gather", True)])
+def test_sharded_decode_fetch_matches_single_chip(tile_comm, fme):
+    """Mesh decode through the Pallas fetch kernel (me_search='pallas',
+    per-frame host tables, halo/all_gather bands) == encoder reconstruction
+    == XLA-path mesh decode."""
+    from streamoptima_tpu.parallel import ShardedCodec, make_mesh
+
+    clip = synthetic_clip(h=64, w=64, frames=6, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=6, search_range=4, qp=4, intra_dur=3,
+                      vbs_enable=fme, fme_enable=fme, me_search="pallas")
+    sc = ShardedCodec(cfg, make_mesh(cfg), clip, tile_comm=tile_comm)
+    pkg = sc.encode()
+    args = (pkg["frame_type_seq"], pkg["approx residual"],
+            pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    sharded = np.stack([np.asarray(f) for f in sc.decode(*args)])
+    assert sc._decode_fetch_j is not None, "decode fell back to the XLA path"
+    np.testing.assert_array_equal(sharded, pkg["reconstructed frames"])
