@@ -80,6 +80,35 @@ def main():
         ref_fps = base["p720_inter"]["fps"]
         vs = fps / ref_fps
     psnr = float(np.mean(pkg["PSNR per frame"]))
+
+    # decode rider: chained inter decode through the Pallas prediction-fetch
+    # kernel (the production JaxCodec.decode dispatch), one sync at the end
+    dcodec = JaxCodec(cfg, clip[:8])
+    enc1 = dcodec._inter_step_j(dcodec._y_dev[1], dcodec._y_dev[:1], dcodec.row_qps,
+                                dcodec._y_dev[1], nref=1, initial_refs=False)
+    tab = dcodec._fetch_table(enc1["mv"], enc1["sub_mv"])
+
+    def dec(r):
+        if tab is not None:
+            return dcodec._dec_inter_pallas_j(
+                r, enc1["mv"], enc1["split"], enc1["sub_mv"], enc1["qtc_full"],
+                enc1["qtc_quads"], dcodec.row_qps, tab, nref=1, initial_refs=False)
+        return dcodec._dec_inter_j(
+            r, enc1["mv"], enc1["split"], enc1["sub_mv"], enc1["qtc_full"],
+            enc1["qtc_quads"], dcodec.row_qps, nref=1, initial_refs=False)
+
+    out = dcodec._y_dev[:1]
+    jax.block_until_ready(dec(out))
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = dcodec._y_dev[:1]
+        for _ in range(FRAMES):
+            out = dec(out)[None]
+        jax.block_until_ready(out)
+        dts.append((time.perf_counter() - t0) / FRAMES)
+    decode_fps = 1.0 / min(dts)
+
     print(
         json.dumps(
             {
@@ -95,6 +124,8 @@ def main():
                     "mean_fps": round(FRAMES / mean_elapsed, 3),
                     "pass_times_s": [round(t, 3) for t in times],
                     "mean_psnr_db": round(psnr, 2),
+                    "decode_fps": round(decode_fps, 1),
+                    "decode_path": "pallas-fetch" if tab is not None else "xla-gather",
                     "config": f"IPPP bs={BS} sr={SR} qp={QP} gop={INTRA_DUR}",
                 },
             }

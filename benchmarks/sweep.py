@@ -80,7 +80,11 @@ def main():
     gop_encode_fps("720p_vbs_fme", CodecConfig(height=720, width=1280, search_range=8,
                                                vbs_enable=True, fme_enable=True, **base))
     gop_encode_fps("1080p_full_search", CodecConfig(height=1088, width=1920, search_range=8, **base))
+    gop_encode_fps("1080p_vbs_fme", CodecConfig(height=1088, width=1920, search_range=8,
+                                                vbs_enable=True, fme_enable=True, **base))
     gop_encode_fps("4k_full_search", CodecConfig(height=2160, width=3840, search_range=8, **base), frames_n=8)
+    gop_encode_fps("4k_vbs_fme", CodecConfig(height=2160, width=3840, search_range=8,
+                                             vbs_enable=True, fme_enable=True, **base), frames_n=8)
 
     # the reference's ACTUAL default config (main.py:19-43): qp=5, gop=21,
     # sr=16, fast-ME + VBS + FME, 21 CIF frames — the MVP chain runs as the

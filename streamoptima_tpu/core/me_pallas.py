@@ -491,7 +491,7 @@ FETCH_BUCKETS = (64, 256, 512)
 
 
 def fetch_decodable(mv_np, smv_np, sr: int, fme: bool, vbs: bool,
-                    h: int, w: int, bs: int, sub_bs: int) -> bool:
+                    h: int, w: int, bs: int, sub_bs: int, nref: int | None = None) -> bool:
     """Host predicate: a frame's transmitted MVs fit pred_fetch_compact.
 
     Whole-pel needs only |d| <= sr (cases A and C both come out of the
@@ -505,6 +505,12 @@ def fetch_decodable(mv_np, smv_np, sr: int, fme: bool, vbs: bool,
     allmv = np.concatenate([mv_np.reshape(-1, 3), smv_np.reshape(-1, 3)]) \
         if vbs else mv_np.reshape(-1, 3)
     if np.abs(allmv[:, :2]).max(initial=0) > bound:
+        return False
+    # corrupt streams: an out-of-range ref index would drive an out-of-
+    # bounds DMA in the kernel (the XLA gather path clamps instead)
+    if allmv[:, 2].min(initial=0) < 0 or (
+        nref is not None and allmv[:, 2].max(initial=0) >= nref
+    ):
         return False
     if not fme:
         return True

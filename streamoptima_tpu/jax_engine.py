@@ -565,7 +565,7 @@ class JaxCodec:
         return self._recon_inter(None, mv, split, sub_mv, qtc_full, qtc_quads, row_qps, fme,
                                  preds=(pred_full, pred_q))
 
-    def _fetch_table(self, mv, smv):
+    def _fetch_table(self, mv, smv, nref: int | None = None):
         """Host dispatch for the Pallas decode path: this frame's DMA table
         as a device array, or None when the MVs don't fit the kernel (the
         frame then takes the XLA gather step)."""
@@ -574,14 +574,14 @@ class JaxCodec:
         from streamoptima_tpu.core import me_pallas
 
         mv_np, smv_np = np.asarray(mv), np.asarray(smv)
-        if not self._pallas_decodable(mv_np, smv_np):
+        if not self._pallas_decodable(mv_np, smv_np, nref=nref):
             return None
         t = me_pallas.build_fetch_table(
             mv_np, smv_np, self.cfg.search_range, self.cfg.fme_enable, self.cfg.vbs_enable
         )
         return None if t is None else jnp.asarray(t[0])
 
-    def _pallas_decodable(self, mv_np, smv_np) -> bool:
+    def _pallas_decodable(self, mv_np, smv_np, nref: int | None = None) -> bool:
         """Host predicate: this frame's transmitted MVs fit the fetch kernel
         (me_pallas.fetch_decodable — shared with the mesh decoder)."""
         from streamoptima_tpu.core import me_pallas
@@ -589,7 +589,7 @@ class JaxCodec:
         cfg = self.cfg
         return me_pallas.fetch_decodable(
             mv_np, smv_np, cfg.search_range, cfg.fme_enable, cfg.vbs_enable,
-            self.h, self.w, self.bs, self.sbs,
+            self.h, self.w, self.bs, self.sbs, nref=nref,
         )
 
     def _decode_intra_step(self, mv, split, sub_mv, qtc_full, qtc_quads, row_qps):
@@ -702,7 +702,7 @@ class JaxCodec:
             )
             if cfg.parallel_mode == 1:
                 ref128 = jnp.stack([jnp.full((self.h, self.w), 128, dtype=jnp.uint8)])
-                tab = self._fetch_table(mv, smv)
+                tab = self._fetch_table(mv, smv, nref=1)
                 if tab is not None:
                     f = self._dec_inter_pallas_j(
                         ref128, mv, split, smv, qf, qq, row_qps, tab, nref=1, initial_refs=True
@@ -721,7 +721,7 @@ class JaxCodec:
                     use, use_init = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)], True
                 else:
                     use, use_init = refs, initial
-                tab = self._fetch_table(mv, smv)
+                tab = self._fetch_table(mv, smv, nref=len(use))
                 if tab is not None:
                     f = self._dec_inter_pallas_j(
                         jnp.stack(use), mv, split, smv, qf, qq, row_qps, tab,

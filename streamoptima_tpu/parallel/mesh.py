@@ -922,6 +922,7 @@ class ShardedCodec:
                     if me_pallas.fetch_decodable(
                         mv_g[g, f], smv_g[g, f], cfg.search_range, cfg.fme_enable,
                         cfg.vbs_enable, self.h, self.w, self.bs, self.sbs,
+                        nref=cfg.n_ref_frames,
                     ):
                         t = me_pallas.build_fetch_table(
                             mv_g[g, f], smv_g[g, f], cfg.search_range, cfg.fme_enable,

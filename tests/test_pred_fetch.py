@@ -157,3 +157,19 @@ def test_sharded_decode_fetch_matches_single_chip(tile_comm, fme):
     sharded = np.stack([np.asarray(f) for f in sc.decode(*args)])
     assert sc._decode_fetch_j is not None, "decode fell back to the XLA path"
     np.testing.assert_array_equal(sharded, pkg["reconstructed frames"])
+
+
+def test_decode_dispatch_rejects_bad_ref_index():
+    """Corrupt streams with out-of-range ref indices must not reach the
+    fetch kernel (they would drive out-of-bounds DMAs; the XLA gather path
+    clamps instead)."""
+    cfg = CodecConfig(height=64, width=64, frames=3, qp=4, intra_dur=4, search_range=4,
+                      vbs_enable=False, fme_enable=False, engine="jax", me_search="pallas")
+    codec = JaxCodec(cfg, synthetic_clip(h=64, w=64, frames=3))
+    mv = np.zeros((codec.nb, 3), np.int32)
+    smv = np.zeros((codec.nb, 4, 3), np.int32)
+    assert codec._pallas_decodable(mv, smv, nref=1)
+    mv[5, 2] = 2  # ref index beyond the 1-deep FIFO
+    assert not codec._pallas_decodable(mv, smv, nref=1)
+    mv[5, 2] = -1
+    assert not codec._pallas_decodable(mv, smv, nref=4)
