@@ -47,7 +47,7 @@ _INF32 = np.int32(2**31 - 1)
 
 
 def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
-               want_qpred: bool = False, nd: int = 17) -> int:
+               want_qpred: bool = False, nd: int = 17, budget_mb: float = 15.0) -> int:
     """Block rows per program: largest divisor of nbr whose modeled scoped-
     VMEM footprint stays under ~15 MB (the hardware limit is 16 MB).
 
@@ -60,7 +60,7 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
     mask buffers.  Measured fits: (w=3840, band_px=80, nd=17, pred) = 18.0M;
     (w=1280, band_px=240, nd=33, pred) = 18.8M; (w=1280, band_px=240, nd=17,
     pred+qpred) ~ 13M."""
-    budget = 15 * 2**20
+    budget = int(budget_mb * 2**20)
     if want_pred or want_qpred:
         n_quadratic = 1 + int(want_pred) + int(want_qpred)  # col_agg, ec_f, ec_q
         const = n_quadratic * (w * w) // 4
@@ -75,6 +75,28 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
     for d in range(min(cap, 16, nbr), 0, -1):
         if nbr % d == 0:
             return d
+    return 1
+
+
+def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd: int) -> int:
+    """Column tiles for very wide frames.  The w^2/4-byte aggregation/
+    expansion matrices leave no scoped VMEM at 4K with prediction output —
+    _band_rows collapses to one block row per program and every matmul goes
+    16 rows thin.  Split the frame into 128-aligned column tiles until a
+    >=4-row band fits again (measured: 4K VBS+FME 4.5 -> ~2x with ncol=2).
+    ncol == 1 reproduces the untiled program exactly."""
+    if not (want_pred or want_qpred):
+        return 1
+    for ncol in (1, 2, 3, 4, 5, 6):
+        w_t = w // ncol
+        if w % ncol or w_t % 128:
+            continue
+        # tiled programs run a reduced budget: the calibration points behind
+        # the VMEM model are untiled, and the tiled layout measured ~2.4 MB
+        # over model at (w_t=1920, band=9) — headroom, not precision
+        b = 15.0 if ncol == 1 else 12.0
+        if _band_rows(nbr, w_t, bs, want_pred, want_qpred, nd, budget_mb=b) >= min(4, nbr):
+            return ncol
     return 1
 
 
@@ -107,12 +129,19 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
     nd_x = len(dx_list)
     nbr, nbc = h // bs, w // bs
     nbr2, nbc2 = h // sub_bs, w // sub_bs
-    band = _band_rows(nbr, w, bs, want_pred, want_qpred, max(nd_y, nd_x))
+    ncol = _col_tiles(w, nbr, bs, want_pred, want_qpred, max(nd_y, nd_x))
+    w_t = w // ncol
+    nbc_t, nbc2_t = w_t // bs, w_t // sub_bs
+    band = _band_rows(nbr, w_t, bs, want_pred, want_qpred, max(nd_y, nd_x),
+                      budget_mb=15.0 if ncol == 1 else 12.0)
     band_px = band * bs
     nprog = nbr // band
     nbr2_b = band_px // sub_bs
 
-    Wp = -(-(w + 2 * ksr) // 128) * 128  # DMA slice width must be 128-aligned
+    # per-tile DMA slice: 128-aligned width w_t + 2*ksr rounded up; the plane
+    # is padded so the LAST tile's slice stays in bounds
+    wtp = -(-(w_t + 2 * ksr) // 128) * 128
+    Wp = (ncol - 1) * w_t + wtp  # == old full-width pad when ncol == 1
     refs_p = jnp.pad(refs.astype(jnp.int16), ((0, 0), (ksr, ksr + 8), (ksr, Wp - w - ksr)))
     Hp = bandh + 2 * ksr
     refs_shift = jnp.stack([refs_p[:, k : k + Hp, :] for k in range(8)], axis=1)
@@ -128,15 +157,18 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         band_vmem, dma_sem = out_refs[-2], out_refs[-1]
         outs = out_refs[:-2]
         prog = pl.program_id(0)
+        ctile = pl.program_id(1)  # column tile (always 0 when ncol == 1)
         y0 = prog * band_px  # cur-local pixel row of this band's first row
         cf32 = cur_ref[...].astype(jnp.float32)
         nvv = sc_ref[0, 0]
         rr0 = sc_ref[0, 1]  # read offset of cur row 0 inside the plane band
         gpx = sc_ref[0, 2]  # global frame pixel row of cur row 0
 
-        col_sub = jax.lax.broadcasted_iota(jnp.int32, (1, nbc2), 1)  # sub-col idx
+        # tile-local block-col iotas + the tile's global block-col offset
+        # (validity is evaluated in GLOBAL frame coordinates)
+        col_sub = jax.lax.broadcasted_iota(jnp.int32, (1, nbc2_t), 1) + ctile * nbc2_t
         row_sub = jax.lax.broadcasted_iota(jnp.int32, (nbr2_b, 1), 0)
-        col_f = jax.lax.broadcasted_iota(jnp.int32, (1, nbc), 1)
+        col_f = jax.lax.broadcasted_iota(jnp.int32, (1, nbc_t), 1) + ctile * nbc_t
         row_f = jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
 
         # 0/1 aggregation matrices: the blocked sums run on the MXU (Mosaic
@@ -148,9 +180,9 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
             b = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
             return (a == b).astype(jnp.float32)
 
-        col_agg = agg(nbc2, w, sub_bs).astype(jnp.bfloat16)  # (w, nbc2)
+        col_agg = agg(nbc2_t, w_t, sub_bs).astype(jnp.bfloat16)  # (w_t, nbc2_t)
         row_agg = agg(nbr2_b, band_px, sub_bs).T  # (nbr2_b, band_px)
-        col_pair = agg(nbc, nbc2, 2)  # (nbc2, nbc)
+        col_pair = agg(nbc_t, nbc2_t, 2)  # (nbc2_t, nbc_t)
         row_pair = agg(band, nbr2_b, 2).T  # (band, nbr2_b)
 
         def expander_rows(npx, nblk, group):
@@ -170,10 +202,10 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         # reshape across lanes so the expansion must be matmuls)
         if want_pred:
             er_f = expander_rows(band_px, band, bs)
-            ec_f = expander_cols(nbc, w, bs)
+            ec_f = expander_cols(nbc_t, w_t, bs)
         if want_qpred:
             er_q = expander_rows(band_px, nbr2_b, sub_bs)
-            ec_q = expander_cols(nbc2, w, sub_bs)
+            ec_q = expander_cols(nbc2_t, w_t, sub_bs)
 
         def expand_mask(m, er, ec):
             """(R, C) bf16 0/1 block mask -> (band_px, w) f32 pixel mask
@@ -182,15 +214,15 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
             return jnp.dot(t, ec, preferred_element_type=jnp.float32)
 
         best = {
-            "sad": jnp.full((band, nbc), _INF32, jnp.int32),
-            "sec": jnp.full((band, nbc), _INF32, jnp.int32),
-            "qsad": jnp.full((nbr2_b, nbc2), _INF32, jnp.int32),
-            "qsec": jnp.full((nbr2_b, nbc2), _INF32, jnp.int32),
+            "sad": jnp.full((band, nbc_t), _INF32, jnp.int32),
+            "sec": jnp.full((band, nbc_t), _INF32, jnp.int32),
+            "qsad": jnp.full((nbr2_b, nbc2_t), _INF32, jnp.int32),
+            "qsec": jnp.full((nbr2_b, nbc2_t), _INF32, jnp.int32),
         }
         if want_pred:
-            best["predf"] = jnp.zeros((band_px, w), jnp.int16)
+            best["predf"] = jnp.zeros((band_px, w_t), jnp.int16)
         if want_qpred:
-            best["predq"] = jnp.zeros((band_px, w), jnp.int16)
+            best["predq"] = jnp.zeros((band_px, w_t), jnp.int16)
 
         def one_ref(refi, best):
             ref_ok = refi < nvv
@@ -205,11 +237,14 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                 # a multiple of 8)
                 kk = jax.lax.rem(kyi, 8)
                 start8 = pl.multiple_of(rr0 + y0 + (kyi // 8) * 8, 8)
-                dma = pltpu.make_async_copy(
-                    refs_hbm.at[refi, kk, pl.ds(start8, band_px), :],
-                    band_vmem,
-                    dma_sem,
-                )
+                if ncol == 1:
+                    src = refs_hbm.at[refi, kk, pl.ds(start8, band_px), :]
+                else:
+                    # w_t is 128-aligned by _col_tiles, so the lane start is
+                    # provably tile-aligned
+                    c0 = pl.multiple_of(ctile * w_t, 128)
+                    src = refs_hbm.at[refi, kk, pl.ds(start8, band_px), pl.ds(c0, wtp)]
+                dma = pltpu.make_async_copy(src, band_vmem, dma_sem)
                 dma.start()
                 dma.wait()
                 rows = band_vmem[...]
@@ -220,7 +255,7 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                 for kxi in range(nd_x):
                     dx = dx_list[kxi]  # static original-grid displacement
                     dxi = dxi_list[kxi]
-                    win = rows[:, kxi : kxi + w]
+                    win = rows[:, kxi : kxi + w_t]
                     # abs in f32 (Mosaic has no vector integer abs); exact
                     # for |diff| <= 255, and exact in bf16 too (ints <= 256)
                     diff = jnp.abs(win.astype(jnp.float32) - cf32).astype(jnp.bfloat16)
@@ -274,10 +309,10 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         for refi in range(nref):  # static unroll: nref is small
             best = one_ref(refi, best)
 
-        outs[0][0] = best["sad"]
-        outs[1][0] = best["sec"]
-        outs[2][0] = best["qsad"]
-        outs[3][0] = best["qsec"]
+        outs[0][0, 0] = best["sad"]
+        outs[1][0, 0] = best["sec"]
+        outs[2][0, 0] = best["qsad"]
+        outs[3][0, 0] = best["qsec"]
         i = 4
         if want_pred:
             outs[i][0] = best["predf"]
@@ -285,36 +320,40 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         if want_qpred:
             outs[i][0] = best["predq"]
 
-    out_specs = [  # 3D blocks: trailing dims equal the array dims (tileable)
-        pl.BlockSpec((1, band, nbc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, band, nbc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nbr2_b, nbc2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nbr2_b, nbc2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    # 4D blocks for the small outputs: Mosaic requires the trailing two BLOCK
+    # dims be (8, 128)-divisible or equal to the array dims — a column tile's
+    # (band, nbc_t) lane count is neither, so give each (row, col) program its
+    # own leading cell and keep the trailing dims full
+    out_specs = [
+        pl.BlockSpec((1, 1, band, nbc_t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, band, nbc_t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nbr2_b, nbc2_t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nbr2_b, nbc2_t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((nprog, band, nbc), jnp.int32),
-        jax.ShapeDtypeStruct((nprog, band, nbc), jnp.int32),
-        jax.ShapeDtypeStruct((nprog, nbr2_b, nbc2), jnp.int32),
-        jax.ShapeDtypeStruct((nprog, nbr2_b, nbc2), jnp.int32),
+        jax.ShapeDtypeStruct((nprog, ncol, band, nbc_t), jnp.int32),
+        jax.ShapeDtypeStruct((nprog, ncol, band, nbc_t), jnp.int32),
+        jax.ShapeDtypeStruct((nprog, ncol, nbr2_b, nbc2_t), jnp.int32),
+        jax.ShapeDtypeStruct((nprog, ncol, nbr2_b, nbc2_t), jnp.int32),
     ]
     for flag in (want_pred, want_qpred):
         if flag:
-            out_specs.append(pl.BlockSpec((1, band_px, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM))
+            out_specs.append(pl.BlockSpec((1, band_px, w_t), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct((nprog, band_px, w), jnp.int16))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nprog,),
+        grid=(nprog, ncol),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nd_y,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nd_y,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((band_px, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nd_y,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nd_y,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((band_px, w_t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # shifted ref planes, HBM
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((band_px, Wp), jnp.int16),
+            pltpu.VMEM((band_px, wtp), jnp.int16),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -324,8 +363,15 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         out_shape=out_shape,
         interpret=interpret,
     )(scalars, dyv, dyiv, cur.astype(jnp.int16), refs_shift)
-    sad, sec, qsad, qsec = res[0], res[1], res[2], res[3]
-    out = [sad.reshape(nbr, nbc), sec.reshape(nbr, nbc), qsad.reshape(nbr2, nbc2), qsec.reshape(nbr2, nbc2)]
+
+    def untile(a, ncols):
+        # (nprog, ncol, rows, cols_t) -> (nprog*rows, ncol*cols_t) raster
+        return a.transpose(0, 2, 1, 3).reshape(a.shape[0] * a.shape[2], ncols)
+
+    out = [
+        untile(res[0], nbc), untile(res[1], nbc),
+        untile(res[2], nbc2), untile(res[3], nbc2),
+    ]
     for r in res[4:]:
         out.append(r.reshape(h, w))
     return tuple(out)

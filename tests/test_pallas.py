@@ -211,3 +211,25 @@ def test_mesh_pallas_path_matches_xla(tile_comm):
     assert a["residual size per frame"] == b["residual size per frame"]
     for fa, fb in zip(a["MVS per Frame"], b["MVS per Frame"]):
         assert fa == fb
+
+
+@pytest.mark.parametrize("fme", [False, True])
+def test_pallas_column_tiles_match_untiled(fme, monkeypatch):
+    """Column-tiled grid (wide-frame VMEM relief) is bit-identical to the
+    untiled program — forced ncol=2 on a small frame."""
+    from streamoptima_tpu.core import me_pallas
+
+    rng = np.random.default_rng(3)
+    h, w, sr, nref = 32, 256, 4, 2
+    cur = rng.integers(0, 256, (h, w)).astype(np.int32)
+    refs = rng.integers(0, 256, (nref, h, w)).astype(np.int32)
+    search = full_search_pallas_fme if fme else full_search_pallas
+    base = search(jnp.asarray(cur), jnp.asarray(refs), sr, 16, 8, True, interpret=True)
+    monkeypatch.setattr(me_pallas, "_col_tiles", lambda *a, **k: 2)
+    # new shapes -> fresh trace even under jit cache (the lambda changes
+    # nothing hashable, so clear the jit cache explicitly)
+    search._clear_cache()
+    tiled = search(jnp.asarray(cur), jnp.asarray(refs), sr, 16, 8, True, interpret=True)
+    for k in base:
+        np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(tiled[k]), err_msg=k)
+    search._clear_cache()
