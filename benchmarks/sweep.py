@@ -112,8 +112,11 @@ def main():
     # the XLA gather step.  Each decode chains on the previous output so XLA
     # cannot pipeline identical dispatches (round-1 ADVICE item 4).
     def decode_bench(name, vbs, fme, pallas):
+        # me_search='pallas' keeps the pallas variants honest off-TPU too
+        # (auto would silently fall back to the XLA step on a CPU host)
         cfg = CodecConfig(height=720, width=1280, search_range=8,
-                          vbs_enable=vbs, fme_enable=fme, **base)
+                          vbs_enable=vbs, fme_enable=fme,
+                          me_search="pallas" if pallas else "auto", **base)
         clip = synthetic_clip(720, 1280, 8)
         codec = JaxCodec(cfg, clip)
         cur = codec._y_dev[1]

@@ -78,26 +78,31 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
     return 1
 
 
-def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd: int) -> int:
-    """Column tiles for very wide frames.  The w^2/4-byte aggregation/
-    expansion matrices leave no scoped VMEM at 4K with prediction output —
-    _band_rows collapses to one block row per program and every matmul goes
-    16 rows thin.  Split the frame into 128-aligned column tiles until a
-    >=4-row band fits again (measured: 4K VBS+FME 4.5 -> ~2x with ncol=2).
-    ncol == 1 reproduces the untiled program exactly."""
-    if not (want_pred or want_qpred):
-        return 1
-    for ncol in (1, 2, 3, 4, 5, 6):
-        w_t = w // ncol
-        if w % ncol or w_t % 128:
-            continue
+def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd: int):
+    """(column tiles, band rows) for very wide frames.  The w^2/4-byte
+    aggregation/expansion matrices leave no scoped VMEM at 4K with
+    prediction output — _band_rows collapses to one block row per program
+    and every matmul goes 16 rows thin.  Split the frame into 128-aligned
+    column tiles until a >=4-row band fits again (measured: 4K VBS+FME
+    4.5 -> 8.1 fps with ncol=2).  ncol == 1 reproduces the untiled program
+    exactly.  The band is returned with the ncol so the decision and the
+    sizing share one budget."""
+    def probe(ncol):
         # tiled programs run a reduced budget: the calibration points behind
         # the VMEM model are untiled, and the tiled layout measured ~2.4 MB
         # over model at (w_t=1920, band=9) — headroom, not precision
         b = 15.0 if ncol == 1 else 12.0
-        if _band_rows(nbr, w_t, bs, want_pred, want_qpred, nd, budget_mb=b) >= min(4, nbr):
-            return ncol
-    return 1
+        return _band_rows(nbr, w // ncol, bs, want_pred, want_qpred, nd, budget_mb=b)
+
+    if want_pred or want_qpred:
+        for ncol in (1, 2, 3, 4, 5, 6):
+            w_t = w // ncol
+            if w % ncol or w_t % 128:
+                continue
+            band = probe(ncol)
+            if band >= min(4, nbr):
+                return ncol, band
+    return 1, probe(1)
 
 
 def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bool,
@@ -129,11 +134,9 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
     nd_x = len(dx_list)
     nbr, nbc = h // bs, w // bs
     nbr2, nbc2 = h // sub_bs, w // sub_bs
-    ncol = _col_tiles(w, nbr, bs, want_pred, want_qpred, max(nd_y, nd_x))
+    ncol, band = _col_tiles(w, nbr, bs, want_pred, want_qpred, max(nd_y, nd_x))
     w_t = w // ncol
     nbc_t, nbc2_t = w_t // bs, w_t // sub_bs
-    band = _band_rows(nbr, w_t, bs, want_pred, want_qpred, max(nd_y, nd_x),
-                      budget_mb=15.0 if ncol == 1 else 12.0)
     band_px = band * bs
     nprog = nbr // band
     nbr2_b = band_px // sub_bs
@@ -521,16 +524,39 @@ def full_search_pallas_fme(cur, refs, sr: int, bs: int, sub_bs: int, vbs: bool,
 
 
 # ----------------------------------------------------------- pred fetch
-def mv_codes(mv3, nbr, nbc, xp=jnp):
+def mv_codes(mv3, nbr, nbc):
     """(nb, 3) MVs -> (nbr, nbc) packed codes (ref<<16)|((dx+128)<<8)|(dy+128)."""
     c = (mv3[:, 2] << 16) | ((mv3[:, 0] + 128) << 8) | (mv3[:, 1] + 128)
     return c.reshape(nbr, nbc)
 
 
-def sub_mv_codes(sub_mv, nbr, nbc, xp=jnp):
+def sub_mv_codes(sub_mv, nbr, nbc):
     """(nb, 4, 3) quad-order sub MVs -> (2nbr, 2nbc) raster packed codes."""
     c = (sub_mv[:, :, 2] << 16) | ((sub_mv[:, :, 0] + 128) << 8) | (sub_mv[:, :, 1] + 128)
     return c.reshape(nbr, nbc, 2, 2).transpose(0, 2, 1, 3).reshape(2 * nbr, 2 * nbc)
+
+
+def pallas_enabled(me_search: str) -> bool:
+    """The single dispatch policy for every Pallas path (search kernels and
+    the decode fetch, single-chip and mesh): explicit opt-in, or 'auto' on a
+    real TPU backend (interpret mode is for tests, not production CPU)."""
+    return me_search == "pallas" or (me_search == "auto" and jax.default_backend() == "tpu")
+
+
+def fme_caseB_valid2(mv3, xs, ys, n, h, w):
+    """The FME margin check (case B, Encoder.py:447) on the NATIVE path:
+    margin = the block's own size n (the K18 fix — decode predicts exactly
+    what the residual was computed against).  Blocks failing it take the
+    all-128 fallback.  Shared by the single-chip and mesh decode-fetch
+    steps so the mask can never drift from the dispatch predicate
+    (fetch_decodable's valid1)."""
+    H2, W2 = 2 * h - 1, 2 * w - 1
+    px = 2 * xs + mv3[..., 0]
+    py = 2 * ys + mv3[..., 1]
+    return (
+        (px + 2 * n >= 0) & (px + 2 * n < W2 - n)
+        & (py + 2 * n >= 0) & (py + 2 * n < H2 - n)
+    )
 
 
 FETCH_BUCKETS = (64, 256, 512)

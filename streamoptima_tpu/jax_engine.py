@@ -126,8 +126,9 @@ class JaxCodec:
 
     # ------------------------------------------------------------- search
     def _use_pallas(self) -> bool:
-        mode = self.cfg.me_search
-        return mode == "pallas" or (mode == "auto" and jax.default_backend() == "tpu")
+        from streamoptima_tpu.core import me_pallas
+
+        return me_pallas.pallas_enabled(self.cfg.me_search)
 
     def _full_search_pallas(self, cur32, refs, fme, initial_refs):
         """Pallas full search over the RAW reference stack — the kernel
@@ -546,21 +547,10 @@ class JaxCodec:
         pred_full = self._blockify(predf.astype(jnp.int32))
         pred_q = self._quads_px(predq.astype(jnp.int32)) if cfg.vbs_enable else None
         if fme:
-            # case-B fallback: margin = the block's own size on the native
-            # path (K18 fix — decode matches the residual-time prediction)
-            H2, W2 = 2 * self.h - 1, 2 * self.w - 1
-
-            def valid2(mv3, xs, ys, n):
-                px = 2 * xs + mv3[..., 0]
-                py = 2 * ys + mv3[..., 1]
-                return (
-                    (px + 2 * n >= 0) & (px + 2 * n < W2 - n)
-                    & (py + 2 * n >= 0) & (py + 2 * n < H2 - n)
-                )
-
-            pred_full = jnp.where(valid2(mv, self.bx, self.by, self.bs)[:, None, None], pred_full, 128)
+            v2 = me_pallas.fme_caseB_valid2(mv, self.bx, self.by, self.bs, self.h, self.w)
+            pred_full = jnp.where(v2[:, None, None], pred_full, 128)
             if pred_q is not None:
-                v2q = valid2(sub_mv, self.qx, self.qy, self.sbs)
+                v2q = me_pallas.fme_caseB_valid2(sub_mv, self.qx, self.qy, self.sbs, self.h, self.w)
                 pred_q = jnp.where(v2q[:, :, None, None], pred_q, 128)
         return self._recon_inter(None, mv, split, sub_mv, qtc_full, qtc_quads, row_qps, fme,
                                  preds=(pred_full, pred_q))
@@ -690,10 +680,19 @@ class JaxCodec:
         structures as the compat engine / bitstream module)."""
         cfg = self.cfg
         out_frames = []
+        n_conv = 0  # frames already drained to host (bounded HBM footprint)
+
+        def drain(lag):
+            nonlocal n_conv
+            while len(out_frames) - n_conv > lag:
+                out_frames[n_conv] = np.asarray(out_frames[n_conv])
+                n_conv += 1
+
         refs = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)]
         initial = True
         for i in range(cfg.frames):
-            mv, split, smv = self._list_to_mvs(mvs_per_frame[i], frame_types[i])
+            mv_np, split_np, smv_np = list_to_mvs_np(mvs_per_frame[i], frame_types[i], self.nb)
+            mv, split, smv = jnp.asarray(mv_np), jnp.asarray(split_np), jnp.asarray(smv_np)
             qf, qq = self._list_to_res(residuals_per_frame[i])
             row_qps = (
                 jnp.asarray(np.asarray(qp_rows_per_frame[i], dtype=np.int32))
@@ -702,7 +701,7 @@ class JaxCodec:
             )
             if cfg.parallel_mode == 1:
                 ref128 = jnp.stack([jnp.full((self.h, self.w), 128, dtype=jnp.uint8)])
-                tab = self._fetch_table(mv, smv, nref=1)
+                tab = self._fetch_table(mv_np, smv_np, nref=1)
                 if tab is not None:
                     f = self._dec_inter_pallas_j(
                         ref128, mv, split, smv, qf, qq, row_qps, tab, nref=1, initial_refs=True
@@ -721,7 +720,7 @@ class JaxCodec:
                     use, use_init = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)], True
                 else:
                     use, use_init = refs, initial
-                tab = self._fetch_table(mv, smv, nref=len(use))
+                tab = self._fetch_table(mv_np, smv_np, nref=len(use))
                 if tab is not None:
                     f = self._dec_inter_pallas_j(
                         jnp.stack(use), mv, split, smv, qf, qq, row_qps, tab,
@@ -733,12 +732,21 @@ class JaxCodec:
                         nref=len(use), initial_refs=use_init,
                     )
             out_frames.append(f)
+            try:
+                f.copy_to_host_async()
+            except AttributeError:
+                pass
+            # drain frames a few steps behind the dispatch frontier: refs
+            # stay on device (no per-frame D2H/H2D round trip) but decoded
+            # frames don't accumulate in HBM over long clips
+            drain(4)
             if i < cfg.frames - 1:
                 if len(refs) >= cfg.n_ref_frames:
                     refs.pop(0)
                 refs.append(f)  # stays on device: no D2H/H2D round trip per frame
                 initial = False
-        return [np.asarray(f) for f in out_frames]
+        drain(0)
+        return out_frames
 
     # ----------------------------------------------- interchange helpers
     def _mvs_to_list(self, out, ftype):
@@ -784,10 +792,13 @@ def res_to_list(out, nb):
     return res
 
 
-def list_to_mvs(mvs_list, ftype, nb):
-    # batched np.array over index groups instead of per-block row assignment:
-    # element-wise `mv[i] = m` costs ~45 us each in NumPy, which made THIS
-    # loop (not the device step) the decode wall-time bottleneck at 720p
+def list_to_mvs_np(mvs_list, ftype, nb):
+    """Host-side list_to_mvs: returns NumPy arrays (the mesh packer and the
+    fetch-table dispatch consume these directly — no device round trip).
+
+    Batched np.array over index groups instead of per-block row assignment:
+    element-wise `mv[i] = m` costs ~45 us each in NumPy, which made THIS
+    loop (not the device step) the decode wall-time bottleneck at 720p."""
     split = np.fromiter((sp for sp, _ in mvs_list), dtype=bool, count=nb)
     if ftype == 0:
         mv = np.zeros(nb, dtype=np.int32)
@@ -801,10 +812,15 @@ def list_to_mvs(mvs_list, ftype, nb):
         mv[fi] = np.array([mvs_list[i][1] for i in fi], dtype=np.int32)
     if si.size:
         smv[si] = np.array([mvs_list[i][1] for i in si], dtype=np.int32)
+    return mv, split, smv
+
+
+def list_to_mvs(mvs_list, ftype, nb):
+    mv, split, smv = list_to_mvs_np(mvs_list, ftype, nb)
     return jnp.asarray(mv), jnp.asarray(split), jnp.asarray(smv)
 
 
-def list_to_res(res_list, nb, bs, sbs):
+def list_to_res_np(res_list, nb, bs, sbs):
     split = np.fromiter((sp for sp, _ in res_list), dtype=bool, count=nb)
     qf = np.zeros((nb, bs, bs), dtype=np.int32)
     qq = np.zeros((nb, 4, sbs, sbs), dtype=np.int32)
@@ -814,4 +830,9 @@ def list_to_res(res_list, nb, bs, sbs):
         qf[fi] = np.array([res_list[i][1] for i in fi], dtype=np.int32)
     if si.size:
         qq[si] = np.array([res_list[i][1] for i in si], dtype=np.int32)
+    return qf, qq
+
+
+def list_to_res(res_list, nb, bs, sbs):
+    qf, qq = list_to_res_np(res_list, nb, bs, sbs)
     return jnp.asarray(qf), jnp.asarray(qq)

@@ -338,9 +338,9 @@ class ShardedCodec:
         # on that path.  h_t is a multiple of bs (>= 16), so the all_gather
         # path's offsets are always aligned.
         halo8 = -(-(cfg.search_range + 1) // 8) * 8
-        use_pallas = cfg.me_search == "pallas" or (
-            cfg.me_search == "auto" and jax.default_backend() == "tpu"
-        )
+        from streamoptima_tpu.core import me_pallas as _mp
+
+        use_pallas = _mp.pallas_enabled(cfg.me_search)
         # fast-ME replaces the search kernel entirely (3x3 around the MVP,
         # Encoder.py:719-742) — full-height refs + global Jacobi chain solve
         use_pallas = use_pallas and not cfg.fast_me
@@ -751,23 +751,14 @@ class ShardedCodec:
         else:
             pred_q = None
         if fme:
-            # case-B margin fallback in GLOBAL coordinates (native margin =
-            # the block's own size, matching the residual-time prediction)
-            H2, W2 = 2 * self.h - 1, 2 * self.w - 1
+            # case-B margin fallback in GLOBAL coordinates (shared helper:
+            # the mask can never drift from the dispatch predicate)
             by_g = self._by_local + y0_px
-
-            def valid2(mv3, xs, ys, n):
-                px = 2 * xs + mv3[..., 0]
-                py = 2 * ys + mv3[..., 1]
-                return (
-                    (px + 2 * n >= 0) & (px + 2 * n < W2 - n)
-                    & (py + 2 * n >= 0) & (py + 2 * n < H2 - n)
-                )
-
-            pred_full = jnp.where(valid2(mv, self._bx, by_g, self.bs)[:, None, None], pred_full, 128)
+            v2 = me_pallas.fme_caseB_valid2(mv, self._bx, by_g, self.bs, self.h, self.w)
+            pred_full = jnp.where(v2[:, None, None], pred_full, 128)
             if pred_q is not None:
                 qy_g = self._qy_local + y0_px
-                v2q = valid2(smv, self._qx, qy_g, self.sbs)
+                v2q = me_pallas.fme_caseB_valid2(smv, self._qx, qy_g, self.sbs, self.h, self.w)
                 pred_q = jnp.where(v2q[:, :, None, None], pred_q, 128)
         rf, rq = self._dequant_tile(qtc_full, qtc_quads, row_qps_tile, roi_tile)
         full_blocks = P.wrap_uint8(pred_full + rf, jnp)
@@ -890,17 +881,19 @@ class ShardedCodec:
         for i in range(n):
             g, f = divmod(i, gl)
             ft = frame_types[i]
-            mv, split, smv = jax_engine.list_to_mvs(mvs_per_frame[i], ft, nb)
-            qf, qq = jax_engine.list_to_res(residuals_per_frame[i], nb, self.bs, self.sbs)
+            # np variants: the arrays go straight into the host-side GOP
+            # pack, so a device round trip per frame would be pure waste
+            mv, split, smv = jax_engine.list_to_mvs_np(mvs_per_frame[i], ft, nb)
+            qf, qq = jax_engine.list_to_res_np(residuals_per_frame[i], nb, self.bs, self.sbs)
             if ft == 0:  # intra MVs are scalars; pack into component 0
-                mv_g[g, f, :, 0] = np.asarray(mv)
-                smv_g[g, f, :, :, 0] = np.asarray(smv)
+                mv_g[g, f, :, 0] = mv
+                smv_g[g, f, :, :, 0] = smv
             else:
-                mv_g[g, f] = np.asarray(mv)
-                smv_g[g, f] = np.asarray(smv)
-            split_g[g, f] = np.asarray(split)
-            qf_g[g, f] = np.asarray(qf)
-            qq_g[g, f] = np.asarray(qq)
+                mv_g[g, f] = mv
+                smv_g[g, f] = smv
+            split_g[g, f] = split
+            qf_g[g, f] = qf
+            qq_g[g, f] = qq
             if cfg.rc_active and len(qp_rows_per_frame[i]):
                 rqp_g[g, f] = np.asarray(qp_rows_per_frame[i], np.int32)
         # Pallas fetch path: one host-built DMA table per inter frame (the
@@ -908,12 +901,10 @@ class ShardedCodec:
         # kernel's bounds sends the WHOLE call down the XLA gather path —
         # the clip is one jitted program, so dispatch is all-or-nothing.
         tab_g = None
-        use_fetch = cfg.me_search == "pallas" or (
-            cfg.me_search == "auto" and jax.default_backend() == "tpu"
-        )
-        if use_fetch and gl > 1:
-            from streamoptima_tpu.core import me_pallas
+        from streamoptima_tpu.core import me_pallas
 
+        use_fetch = me_pallas.pallas_enabled(cfg.me_search)
+        if use_fetch and gl > 1:
             row0 = (cfg.search_range + 1) if (self.ntile > 1 and self.tile_comm == "halo") else 0
             tabs = {}
             for g in range(g_pad):

@@ -225,7 +225,7 @@ def test_pallas_column_tiles_match_untiled(fme, monkeypatch):
     refs = rng.integers(0, 256, (nref, h, w)).astype(np.int32)
     search = full_search_pallas_fme if fme else full_search_pallas
     base = search(jnp.asarray(cur), jnp.asarray(refs), sr, 16, 8, True, interpret=True)
-    monkeypatch.setattr(me_pallas, "_col_tiles", lambda *a, **k: 2)
+    monkeypatch.setattr(me_pallas, "_col_tiles", lambda *a, **k: (2, 2))
     # new shapes -> fresh trace even under jit cache (the lambda changes
     # nothing hashable, so clear the jit cache explicitly)
     search._clear_cache()

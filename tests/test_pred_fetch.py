@@ -173,3 +173,20 @@ def test_decode_dispatch_rejects_bad_ref_index():
     assert not codec._pallas_decodable(mv, smv, nref=1)
     mv[5, 2] = -1
     assert not codec._pallas_decodable(mv, smv, nref=4)
+
+
+def test_decode_pallas_dispatch_with_rate_control():
+    """Fetch-path decode under RC (per-row QPs from the bitstream) must
+    reproduce the encoder's reconstructions (decoder.py:112-114 semantics)."""
+    tables = [[99000, 60000, 40000, 26000, 17000, 11000, 7200, 4800, 3200, 2100, 1400, 950],
+              [60000, 36000, 24000, 16000, 10000, 6600, 4400, 2900, 1900, 1300, 850, 560]]
+    clip = synthetic_clip(h=64, w=64, frames=5, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=5, qp=4, intra_dur=4, search_range=4,
+                      vbs_enable=True, fme_enable=True, lam=0.015, me_search="pallas",
+                      rc_flag=1, target_br="640 kbps", frame_rate=30, qp_rate_tables=tables)
+    codec = JaxCodec(cfg, clip)
+    pkg = codec.encode()
+    dec = codec.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                       pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i, (d, r) in enumerate(zip(dec, pkg["reconstructed frames"])):
+        np.testing.assert_array_equal(np.asarray(d), r, err_msg=f"frame {i}")
