@@ -208,3 +208,19 @@ def test_decode_pallas_dispatch_multi_ref():
                        pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
     for i, (d, r) in enumerate(zip(dec, pkg["reconstructed frames"])):
         np.testing.assert_array_equal(np.asarray(d), r, err_msg=f"frame {i}")
+
+
+def test_corrupt_residual_overflow_raises():
+    """Coefficients beyond the int16 interchange bound (impossible in
+    well-formed streams: |qtc| <= 4080) raise instead of wrapping."""
+    from streamoptima_tpu.jax_engine import list_to_res_np
+
+    good = [(0, [[0] * 16] * 16) for _ in range(4)]
+    qf, qq = list_to_res_np(good, 4, 16, 8)
+    assert qf.dtype == np.int16
+    bad = list(good)
+    blk = [[0] * 16 for _ in range(16)]
+    blk[0][0] = 70000  # far beyond any real quantized coefficient
+    bad[1] = (0, blk)
+    with pytest.raises((OverflowError, ValueError)):
+        list_to_res_np(bad, 4, 16, 8)
