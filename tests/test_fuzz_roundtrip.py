@@ -64,3 +64,44 @@ def test_random_config_roundtrip(seed, tmp_path):
     dec = codec.decode(fts, res, qps, mvs)
     for i, (d, r) in enumerate(zip(dec, pkg["reconstructed frames"])):
         np.testing.assert_array_equal(np.asarray(d), r, err_msg=f"seed {seed} frame {i} cfg {cfg}")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_config_mesh_matches_single_chip(seed):
+    """Random GOP-regular configs on the 8-virtual-device mesh: sharded
+    encode must match the single-chip engine package bitwise, and sharded
+    decode must reproduce the reconstructions."""
+    from streamoptima_tpu.parallel import ShardedCodec, make_mesh
+
+    rng = np.random.default_rng(2000 + seed)
+    h = int(rng.choice([48, 64, 96]))
+    w = int(rng.choice([32, 64]))
+    frames = int(rng.integers(4, 8))
+    gop = int(rng.choice([2, 4]))
+    vbs = bool(rng.integers(0, 2))
+    kw = dict(
+        height=h, width=w, frames=frames, qp=int(rng.integers(1, 6)),
+        intra_dur=gop, search_range=int(rng.choice([2, 4])),
+        vbs_enable=vbs, fme_enable=bool(rng.integers(0, 2)),
+        fast_me=bool(rng.integers(0, 2)),
+        n_ref_frames=int(rng.integers(1, 3)),
+        me_search=str(rng.choice(["fused", "materialized", "pallas"])),
+    )
+    if vbs:
+        kw["lam"] = 0.015
+    cfg = CodecConfig(**kw)
+    clip = synthetic_clip(h, w, frames, motion=int(rng.integers(1, 3)), seed=seed)
+    tile_comm = str(rng.choice(["halo", "all_gather"]))
+    sc = ShardedCodec(cfg, make_mesh(cfg), clip, tile_comm=tile_comm)
+    sharded = sc.encode()
+    single = JaxCodec(dataclasses.replace(cfg, me_search="fused"), clip).encode()
+    np.testing.assert_array_equal(
+        sharded["reconstructed frames"], single["reconstructed frames"],
+        err_msg=f"seed {seed} cfg {cfg} tile_comm {tile_comm}",
+    )
+    assert sharded["MVS per Frame"] == single["MVS per Frame"]
+    args = (sharded["frame_type_seq"], sharded["approx residual"],
+            sharded["Qp_per_row_per_frame"], sharded["MVS per Frame"])
+    dec = np.stack([np.asarray(f) for f in sc.decode(*args)])
+    np.testing.assert_array_equal(dec, sharded["reconstructed frames"],
+                                  err_msg=f"seed {seed} decode")
