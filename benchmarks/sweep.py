@@ -111,13 +111,13 @@ def main():
     # compact) exactly as JaxCodec.decode dispatches it; the plain entry is
     # the XLA gather step.  Each decode chains on the previous output so XLA
     # cannot pipeline identical dispatches (round-1 ADVICE item 4).
-    def decode_bench(name, vbs, fme, pallas):
+    def decode_bench(name, vbs, fme, pallas, h=720, w=1280, check_against_xla=False):
         # me_search='pallas' keeps the pallas variants honest off-TPU too
         # (auto would silently fall back to the XLA step on a CPU host)
-        cfg = CodecConfig(height=720, width=1280, search_range=8,
+        cfg = CodecConfig(height=h, width=w, search_range=8,
                           vbs_enable=vbs, fme_enable=fme,
                           me_search="pallas" if pallas else "auto", **base)
-        clip = synthetic_clip(720, 1280, 8)
+        clip = synthetic_clip(h, w, 8)
         codec = JaxCodec(cfg, clip)
         cur = codec._y_dev[1]
         refs = codec._y_dev[:1]
@@ -138,6 +138,14 @@ def main():
                     enc["qtc_quads"], codec.row_qps, nref=1, initial_refs=False,
                 )
 
+        if check_against_xla:
+            ref_dec = codec._dec_inter_j(
+                refs, enc["mv"], enc["split"], enc["sub_mv"], enc["qtc_full"],
+                enc["qtc_quads"], codec.row_qps, nref=1, initial_refs=False,
+            )
+            assert np.array_equal(np.asarray(dec(refs)), np.asarray(ref_dec)), \
+                f"{name}: fetch decode != XLA decode"
+
         jax.block_until_ready(dec(refs))
         els = []
         for _ in range(2):
@@ -156,6 +164,8 @@ def main():
     decode_bench("720p_decode_pallas", False, False, pallas=True)
     decode_bench("720p_decode_vbs_fme", True, True, pallas=False)
     decode_bench("720p_decode_vbs_fme_pallas", True, True, pallas=True)
+    decode_bench("4k_decode_vbs_fme_pallas", True, True, pallas=True,
+                 h=2160, w=3840, check_against_xla=True)
 
     if len(jax.devices()) > 1:
         import dataclasses
