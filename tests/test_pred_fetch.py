@@ -224,3 +224,21 @@ def test_corrupt_residual_overflow_raises():
     bad[1] = (0, blk)
     with pytest.raises((OverflowError, ValueError)):
         list_to_res_np(bad, 4, 16, 8)
+
+
+def test_decode_pallas_dispatch_with_roi():
+    """Fetch-path decode under a ROI QP map (per-block QP offsets applied in
+    _block_qps on both encode and decode) must round-trip bit-exactly."""
+    clip = synthetic_clip(h=64, w=64, frames=4, motion=2)
+    nb = (64 // 16) * (64 // 16)
+    roi = np.zeros(nb, np.int32)
+    roi[: nb // 2] = -2  # better quality top half
+    cfg = CodecConfig(height=64, width=64, frames=4, qp=5, intra_dur=4, search_range=4,
+                      vbs_enable=True, fme_enable=True, lam=0.015,
+                      me_search="pallas", roi_qp_map=roi.tolist())
+    codec = JaxCodec(cfg, clip)
+    pkg = codec.encode()
+    dec = codec.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                       pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i, (d, r) in enumerate(zip(dec, pkg["reconstructed frames"])):
+        np.testing.assert_array_equal(np.asarray(d), r, err_msg=f"frame {i}")
