@@ -116,8 +116,7 @@ class ShardedCodec:
         self.mesh = mesh
         self.y = None if y_frames is None else np.asarray(y_frames, dtype=np.uint8)
         self._frames_dev = None  # device-resident GOP-batched clip (lazy)
-        self._decode_j = None  # jitted sharded decode (lazy)
-        self._decode_fetch_j = None  # table-driven Pallas-fetch variant (lazy)
+        self._decode_js = {}  # jitted sharded decodes, keyed (with_tables, comm)
         self._fsteps = None  # jitted per-frame steps for two-pass RC (lazy)
         self.ndata = mesh.devices.shape[0]
         self.ntile = mesh.devices.shape[1]
@@ -675,13 +674,13 @@ class ShardedCodec:
         )
 
     def _inter_tile_decode(self, refs_l, y0_blocks, mv, split, smv,
-                           qtc_full, qtc_quads, row_qps_tile, roi_tile):
+                           qtc_full, qtc_quads, row_qps_tile, roi_tile, comm):
         cfg = self.cfg
         fme = cfg.fme_enable
         scale = 2 if fme else 1
         y0_px = y0_blocks * self.bs
         grid_dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
-        if self.ntile == 1 or self.tile_comm == "all_gather":
+        if self.ntile == 1 or comm == "all_gather":
             band = jax.lax.all_gather(refs_l, "tile", axis=1, tiled=True)
             pred_origin = 0
         else:
@@ -713,7 +712,7 @@ class ShardedCodec:
         return self._merge_blocks(full_blocks, quad_blocks, split)
 
     def _inter_tile_decode_fetch(self, refs_l, y0_blocks, mv, split, smv,
-                                 qtc_full, qtc_quads, row_qps_tile, roi_tile, tab):
+                                 qtc_full, qtc_quads, row_qps_tile, roi_tile, tab, comm):
         """Tile inter decode through the compact prediction-fetch kernel
         (me_pallas.pred_fetch_compact): one banded DMA per distinct
         transmitted MV of the FRAME (the host builds one table for the whole
@@ -729,7 +728,7 @@ class ShardedCodec:
         fme = cfg.fme_enable
         pad = cfg.search_range + 1 if fme else cfg.search_range
         y0_px = y0_blocks * self.bs
-        if self.ntile == 1 or self.tile_comm == "all_gather":
+        if self.ntile == 1 or comm == "all_gather":
             band = jax.lax.all_gather(refs_l, "tile", axis=1, tiled=True)
             rr0 = y0_px
         else:
@@ -768,12 +767,16 @@ class ShardedCodec:
         quad_blocks = P.wrap_uint8(pred_q + rq, jnp) if cfg.vbs_enable else None
         return self._merge_blocks(full_blocks, quad_blocks, split)
 
-    def _decode_gop_local(self, gop, row_qps_g, roi_tile, y0_blocks, tabs=None):
+    def _decode_gop_local(self, gop, row_qps_g, roi_tile, y0_blocks, tabs=None,
+                          comm="halo"):
         """Decode one GOP's local band: intra frame 0, scan over inter frames
         carrying the reconstruction-band FIFO (decoder.py:487-545 semantics:
         refs reset at each intra, FIFO of n_ref_frames).  ``tabs``
         (gl, 5, B): per-frame fetch tables — switches the inter step to the
-        Pallas fetch kernel (frame 0's row is unused)."""
+        Pallas fetch kernel (frame 0's row is unused).  ``comm`` is the
+        EFFECTIVE tile communication: decode() downgrades "halo" to
+        "all_gather" when the stream's MVs exceed what the halo band can
+        serve (fast-ME MVP chains are unbounded)."""
         cfg = self.cfg
         nref = cfg.n_ref_frames
         nb_t = self.nb_t
@@ -799,11 +802,12 @@ class ShardedCodec:
             refs, nvalid = carry
             if tabs is None:
                 mv, split, smv, qf, qq, rqp = xs
-                f = self._inter_tile_decode(refs, y0_blocks, mv, split, smv, qf, qq, rqp, roi_tile)
+                f = self._inter_tile_decode(refs, y0_blocks, mv, split, smv, qf, qq, rqp,
+                                            roi_tile, comm)
             else:
                 mv, split, smv, qf, qq, rqp, tab = xs
                 f = self._inter_tile_decode_fetch(refs, y0_blocks, mv, split, smv, qf, qq,
-                                                  rqp, roi_tile, tab)
+                                                  rqp, roi_tile, tab, comm)
             full = nvalid >= nref
             rolled = jnp.where(full, jnp.roll(refs, -1, axis=0), refs)
             idx = jnp.minimum(nvalid, nref - 1)
@@ -818,7 +822,8 @@ class ShardedCodec:
         (_, _), frames = jax.lax.scan(step, (refs0, jnp.int32(1)), tail)
         return jnp.concatenate([f0[None], frames], axis=0)
 
-    def _decode_gops_shard(self, mv_g, split_g, smv_g, qf_g, qq_g, rqp_g, roi, tab_g=None):
+    def _decode_gops_shard(self, mv_g, split_g, smv_g, qf_g, qq_g, rqp_g, roi, tab_g=None,
+                           comm="halo"):
         tile_idx = jax.lax.axis_index("tile")
         y0_blocks = tile_idx * self.nbr_t
         roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0_blocks, self.nbr_t, axis=0)
@@ -826,13 +831,13 @@ class ShardedCodec:
 
         def one(mv, split, smv, qf, qq, rqp, tabs=None):
             gop = {"mv": mv, "split": split, "sub_mv": smv, "qtc_full": qf, "qtc_quads": qq}
-            return self._decode_gop_local(gop, rqp, roi_tile, y0_blocks, tabs=tabs)
+            return self._decode_gop_local(gop, rqp, roi_tile, y0_blocks, tabs=tabs, comm=comm)
 
         if tab_g is None:
             return jax.vmap(one)(mv_g, split_g, smv_g, qf_g, qq_g, rqp_tile)
         return jax.vmap(one)(mv_g, split_g, smv_g, qf_g, qq_g, rqp_tile, tab_g)
 
-    def _build_decode_j(self, with_tables: bool = False):
+    def _build_decode_j(self, with_tables: bool = False, comm: str = "halo"):
         spec_blk = P_("data", None, "tile", None)
         in_specs = (
             P_("data", None, "tile", None, None),      # mv (G, gl, nbr, nbc, 3)
@@ -845,9 +850,16 @@ class ShardedCodec:
         )
         if with_tables:
             in_specs = in_specs + (P_("data", None, None, None),)  # tables (G, gl, 5, B)
+
+        def fn(*args):
+            if with_tables:
+                *rest, tab_g = args
+                return self._decode_gops_shard(*rest, tab_g=tab_g, comm=comm)
+            return self._decode_gops_shard(*args, comm=comm)
+
         return jax.jit(
             shard_map(
-                self._decode_gops_shard,
+                fn,
                 mesh=self.mesh,
                 in_specs=in_specs,
                 out_specs=P_("data", None, "tile", None),
@@ -899,6 +911,22 @@ class ShardedCodec:
             qq_g[g, f] = qq
             if cfg.rc_active and len(qp_rows_per_frame[i]):
                 rqp_g[g, f] = np.asarray(qp_rows_per_frame[i], np.int32)
+        # Effective tile communication: the sr+1 halo band can only serve
+        # |dy| <= sr (2*sr half-pel under FME).  Fast-ME MVP chains are
+        # unbounded, so a mesh-encoded fast-ME stream can carry larger MVs —
+        # the halo path would clamp those reads and silently corrupt the
+        # reconstruction (encode forces all_gather for the same reason).
+        # Scan the host-visible MVs and downgrade to the all_gather band
+        # whenever the stream needs it.
+        comm = self.tile_comm
+        if self.ntile > 1 and comm == "halo":
+            dy_bound = 2 * cfg.search_range if cfg.fme_enable else cfg.search_range
+            max_dy = max(
+                int(np.abs(mv_g[..., 1]).max(initial=0)),
+                int(np.abs(smv_g[..., 1]).max(initial=0)),
+            )
+            if max_dy > dy_bound:
+                comm = "all_gather"
         # Pallas fetch path: one host-built DMA table per inter frame (the
         # frame's distinct MVs; shard-uniform).  Any frame outside the
         # kernel's bounds sends the WHOLE call down the XLA gather path —
@@ -908,7 +936,7 @@ class ShardedCodec:
 
         use_fetch = me_pallas.pallas_enabled(cfg.me_search)
         if use_fetch and gl > 1:
-            row0 = (cfg.search_range + 1) if (self.ntile > 1 and self.tile_comm == "halo") else 0
+            row0 = (cfg.search_range + 1) if (self.ntile > 1 and comm == "halo") else 0
             tabs = {}
             for g in range(g_pad):
                 for f in range(1, gl):
@@ -934,14 +962,10 @@ class ShardedCodec:
                 tab_g[:, :, 4, :] = -1  # trip count sees only real candidates
                 for (g, f), t in tabs.items():
                     tab_g[g, f, :, : t.shape[1]] = t
-        if tab_g is not None:
-            if self._decode_fetch_j is None:
-                self._decode_fetch_j = self._build_decode_j(with_tables=True)
-            dec_j = self._decode_fetch_j
-        else:
-            if self._decode_j is None:
-                self._decode_j = self._build_decode_j()
-            dec_j = self._decode_j
+        key = (tab_g is not None, comm)
+        if key not in self._decode_js:
+            self._decode_js[key] = self._build_decode_j(with_tables=key[0], comm=comm)
+        dec_j = self._decode_js[key]
         shp = lambda a: a.reshape((g_pad, gl, self.nbr, self.nbc) + a.shape[3:])  # noqa: E731
         outs = []
         for b in range(g_pad // self.ndata):

@@ -223,3 +223,36 @@ def test_sharded_two_pass_matches_single_chip():
     sharded = ShardedCodec(cfg, make_mesh(cfg), clip).encode()
     _compare_packages(single, sharded)
     assert single["Qp_per_row_per_frame"] == sharded["Qp_per_row_per_frame"]
+
+
+def test_halo_decode_fast_me_large_motion():
+    """ADVICE r2 (high): a mesh-encoded fast-ME stream whose MVP chain walked
+    beyond search_range must decode correctly in tile_comm='halo' mode — the
+    sr+1 halo band cannot serve such MVs (gather_predictions would clamp the
+    reads), so decode() must detect the stream's MV range and use the
+    all_gather band instead.  Encode already forces all_gather for the same
+    reason (mesh.py _inter_tile)."""
+    h, w, frames, pan = 128, 64, 4, 8
+    y = np.arange(h + pan * frames)
+    base = np.clip(128 + 100 * np.sin(2 * np.pi * y / 32.0), 0, 255)[:, None]
+    rng = np.random.default_rng(3)
+    tex = rng.integers(-8, 9, size=(h + pan * frames, w))
+    sheet = np.clip(base + tex, 0, 255).astype(np.uint8)
+    clip = np.stack([sheet[i * pan : i * pan + h] for i in range(frames)])
+    cfg = CodecConfig(height=h, width=w, frames=frames, search_range=2, qp=3,
+                      intra_dur=frames, fast_me=True)
+    mesh = make_mesh(cfg)
+    assert mesh.devices.shape[1] > 1
+    sc = ShardedCodec(cfg, mesh, clip, tile_comm="halo")
+    pkg = sc.encode()
+    # the stream must actually exceed the halo bound, else this test is vacuous
+    max_dy = max(
+        abs(m[1][1])
+        for ft, mvs in zip(pkg["frame_type_seq"], pkg["MVS per Frame"]) if ft == 1
+        for m in mvs if m[0] == 0
+    )
+    assert max_dy > cfg.search_range, "clip failed to drive the MVP chain past sr"
+    args = (pkg["frame_type_seq"], pkg["approx residual"], pkg["Qp_per_row_per_frame"],
+            pkg["MVS per Frame"])
+    halo_dec = np.stack([np.asarray(f) for f in sc.decode(*args)])
+    np.testing.assert_array_equal(halo_dec, pkg["reconstructed frames"])
