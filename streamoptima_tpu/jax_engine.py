@@ -238,7 +238,7 @@ class JaxCodec:
             outs["sub_ok"] = sok.reshape(self.nb, 4)
         return outs
 
-    def _fast_search_fixpoint(self, cur32, search_refs, fme):
+    def _fast_search_fixpoint(self, cur32, search_refs, fme, g0=None):
         """Fast-ME MVP chain solved by Jacobi fixpoint iteration.
 
         The reference's recurrence (Encoder.py:719-742) is
@@ -261,7 +261,13 @@ class JaxCodec:
         block is correct immediately.  Each sweep is a single batched
         9-candidate search (uint8 window gather + SAD), so the whole solve
         is a handful of parallel passes instead of thousands of dependent
-        steps."""
+        steps.
+
+        ``g0`` warm-starts the iteration (the encode loop carries the
+        previous frame's converged guesses; motion fields are temporally
+        coherent, so most blocks land on their true MVP immediately — the
+        mesh engine measured ~4x fewer sweeps).  ANY start converges to the
+        same unique fixpoint, so warm-starting cannot change the result."""
         cfg = self.cfg
         scale = 2 if fme else 1
         cur_b = self._blockify(cur32)
@@ -293,14 +299,14 @@ class JaxCodec:
             return jnp.logical_and(changed, it <= self.nb)
 
         init = (
-            jnp.zeros((self.nb, 3), jnp.int32),
+            jnp.zeros((self.nb, 3), jnp.int32) if g0 is None else g0,
             jnp.zeros((self.nb, 3), jnp.int32),
             jnp.zeros((self.nb,), jnp.int32),
             jnp.asarray(True),
             jnp.asarray(0, jnp.int32),
         )
         g_fin, mv, sad, _, _ = jax.lax.while_loop(cond, body, init)
-        outs = {"mv": mv, "sad": sad, "ok": sad != np.int32(2**31 - 1)}
+        outs = {"mv": mv, "sad": sad, "ok": sad != np.int32(2**31 - 1), "g_next": g_fin}
         if cfg.vbs_enable:
             # quads use the block-level MVP (= predecessor block's MV) and
             # never feed the chain — one batched pass at the converged MVPs
@@ -314,7 +320,7 @@ class JaxCodec:
             outs["sub_ok"] = ssad != np.int32(2**31 - 1)
         return outs
 
-    def _fast_search(self, cur32, search_refs, fme, zero_mvp: bool):
+    def _fast_search(self, cur32, search_refs, fme, zero_mvp: bool, g0=None):
         """Fast-ME dispatch (all variants bit-identical): the chain-free
         zero-MVP case (ParallelMode-2 worker semantics) goes to the fully
         vectorized path; the real MVP chain is solved by Jacobi fixpoint
@@ -327,7 +333,7 @@ class JaxCodec:
         if zero_mvp:
             return self._fast_search_zero_mvp(cur32, search_refs, fme)
         if cfg.fast_me_chain != "scan":
-            return self._fast_search_fixpoint(cur32, search_refs, fme)
+            return self._fast_search_fixpoint(cur32, search_refs, fme, g0=g0)
         scale = 2 if fme else 1
         cur_b = self._blockify(cur32)
         cur_q = self._quads_of(cur_b) if cfg.vbs_enable else None
@@ -428,7 +434,7 @@ class JaxCodec:
         return P.wrap_uint8(frame, jnp)
 
     # ------------------------------------------------------------ steps
-    def _inter_step(self, cur, refs, row_qps, orig, nref: int, initial_refs: bool):
+    def _inter_step(self, cur, refs, row_qps, orig, nref: int, initial_refs: bool, g0=None):
         cfg = self.cfg
         fme = cfg.fme_enable
         cur32 = cur.astype(jnp.int32)
@@ -439,7 +445,7 @@ class JaxCodec:
         else:
             search_refs = self._prep_refs(refs, initial_refs)
             if fast:
-                s = self._fast_search(cur32, search_refs, fme, zero_mvp=(cfg.parallel_mode == 2))
+                s = self._fast_search(cur32, search_refs, fme, zero_mvp=(cfg.parallel_mode == 2), g0=g0)
             else:
                 s = self._full_search(cur32, search_refs, fme)
             pred_full = P.gather_predictions(s["mv"], search_refs, self.bx, self.by, self.bs, fme, jnp)
@@ -468,7 +474,7 @@ class JaxCodec:
             search_refs, mv, split, smv, qtc_full, qtc_quads, row_qps, fme,
             preds=(pred_full, pred_q),
         )
-        return {
+        out = {
             "mv": mv, "split": split, "sub_mv": smv,
             "qtc_full": qtc_full, "qtc_quads": qtc_quads,
             "size": lens.sum(), "row_bits": lens.reshape(self.nbr, self.nbc).sum(axis=1),
@@ -476,6 +482,9 @@ class JaxCodec:
             "mae": mae_pb.mean(),
             "psnr": metrics.psnr_jax(orig, recon),
         }
+        if "g_next" in s:  # fast-ME: converged guesses, warm start for the next frame
+            out["g_next"] = s["g_next"]
+        return out
 
     def _intra_step(self, cur, row_qps, orig):
         cfg = self.cfg
@@ -615,6 +624,9 @@ class JaxCodec:
         qp_rows_pf = []
         refs = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)]
         initial = True
+        # fast-ME: warm-start each frame's Jacobi solve from the previous
+        # frame's converged guesses (unique fixpoint => bit-identical)
+        g_carry = jnp.zeros((self.nb, 3), jnp.int32) if cfg.fast_me else None
         for i in range(cfg.frames):
             cur = self._y_dev[i]
             if i % cfg.intra_dur == 0 and cfg.parallel_mode != 1:
@@ -625,7 +637,7 @@ class JaxCodec:
                     use, use_initial = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)], True
                 else:
                     use, use_initial = refs, initial
-                out = self._inter_step_j(cur, jnp.stack(use), self.row_qps_by_type[1], cur, nref=len(use), initial_refs=use_initial)
+                out = self._inter_step_j(cur, jnp.stack(use), self.row_qps_by_type[1], cur, nref=len(use), initial_refs=use_initial, g0=g_carry)
                 ftype = 1
                 if cfg.rc_flag is not None and cfg.rc_flag > 1 and int(out["size"]) > cfg.intra_thresh:
                     out = self._intra_step_j(cur, self.row_qps_by_type[0], cur)
@@ -635,12 +647,13 @@ class JaxCodec:
                 if ftype == 0:
                     out = self._intra_step_j(cur, row_qps2, cur)
                 else:
-                    out = self._inter_step_j(cur, jnp.stack(use), row_qps2, cur, nref=len(use), initial_refs=use_initial)
+                    out = self._inter_step_j(cur, jnp.stack(use), row_qps2, cur, nref=len(use), initial_refs=use_initial, g0=out.get("g_next", g_carry))
                 qp_rows_pf.append([int(q) for q in np.asarray(row_qps2)])
             else:
                 qp_rows_pf.append(
                     [int(q) for q in np.asarray(self.row_qps_by_type[ftype])] if cfg.rc_active else []
                 )
+            g_carry = out.pop("g_next", g_carry)
             ftypes.append(ftype)
             per_frame.append(out)
             frames.append(out["recon"])
