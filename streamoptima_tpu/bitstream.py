@@ -26,9 +26,59 @@ from streamoptima_tpu.core.zigzag import rle_decode_block, rle_encode_block
 
 _NP_SCALAR = re.compile(r"np\.int(?:8|16|32|64)\((-?\d+)\)")
 
+# ROI header line prefix in the MV file (native extension: the reference's
+# README promises ROI but ships none; frame lines always start "0|"/"1|" so
+# the prefix cannot collide).  Streams carrying a per-block QP-offset map
+# must be self-describing — a decoder without the exact map would silently
+# reconstruct garbage (round-2 VERDICT item 5).
+_ROI_PREFIX = "roi|"
+
 
 def _safe_eval(text: str):
     return ast.literal_eval(_NP_SCALAR.sub(r"\1", text))
+
+
+def encode_roi_header(roi_qp_map, block_rows: int, blocks_per_row: int) -> str:
+    """Per-block QP-offset map -> one MV-file header line
+    ("roi|<rows>x<cols>|v,v,..." in block raster order)."""
+    roi = np.asarray(roi_qp_map, dtype=np.int32).reshape(-1)
+    assert roi.shape[0] == block_rows * blocks_per_row, "roi_qp_map must have one offset per block"
+    return f"{_ROI_PREFIX}{block_rows}x{blocks_per_row}|" + ",".join(str(int(v)) for v in roi)
+
+
+def decode_roi_header(line: str) -> np.ndarray:
+    """ROI header line -> (block_rows, blocks_per_row) int32 offset map."""
+    _, dims, body = line.rstrip("\n").split("|")
+    nbr, nbc = (int(v) for v in dims.split("x"))
+    roi = (
+        np.fromiter((int(v) for v in body.split(",")), dtype=np.int32)
+        if body else np.zeros(0, np.int32)
+    )
+    if roi.shape[0] != nbr * nbc:
+        raise ValueError(f"ROI header declares {nbr}x{nbc} blocks but carries {roi.shape[0]} offsets")
+    return roi.reshape(nbr, nbc)
+
+
+def _reconcile_roi(stream_roi, cfg) -> None:
+    """Make ``cfg`` agree with the stream's ROI header (or its absence).
+
+    - stream has a map, cfg has none: adopt it (the stream is
+      self-describing — a default cfg decodes ROI streams correctly);
+    - both have maps: any difference raises (decoding with the wrong
+      offsets would silently reconstruct garbage);
+    - stream has none but cfg has a map: raises for the same reason.
+    """
+    cfg_roi = None if cfg.roi_qp_map is None else np.asarray(cfg.roi_qp_map, np.int32).reshape(-1)
+    if stream_roi is None:
+        if cfg_roi is not None:
+            raise ValueError(
+                "cfg carries a roi_qp_map but the bitstream has no ROI header: "
+                "decoding would apply QP offsets the encoder never used"
+            )
+        return
+    if cfg_roi is not None and not np.array_equal(cfg_roi, stream_roi.reshape(-1)):
+        raise ValueError("cfg.roi_qp_map differs from the bitstream's ROI header")
+    cfg.roi_qp_map = stream_roi
 
 
 def encode_mv_frame(frame_type: int, mvs, qp_per_row, rc_active: bool, blocks_per_row: int) -> str:
@@ -177,6 +227,8 @@ def write_bitstream_arrays(path_mv, path_res, frame_types, per_frame, qp_per_row
 
     nb = cfg.n_blocks
     with open(path_mv, "w") as fm, open(path_res, "w") as fr:
+        if cfg.roi_qp_map is not None:
+            fm.write(encode_roi_header(cfg.roi_qp_map, cfg.block_rows, cfg.blocks_per_row) + "\n")
         for i, out in enumerate(per_frame):
             ft = int(frame_types[i])
             mvs = jax_engine.mvs_to_list(out, ft, nb)
@@ -210,6 +262,8 @@ def decode_residual_frame(line: str, block_size: int):
 def write_bitstream(path_mv, path_res, frame_types, mvs_per_frame, qp_per_row_per_frame, residuals_per_frame, cfg, raw_mv_path=None):
     """Twin of transmit_bitstream (Encoder.py:1544-1573) with bug B1 fixed."""
     with open(path_mv, "w") as fm, open(path_res, "w") as fr:
+        if cfg.roi_qp_map is not None:
+            fm.write(encode_roi_header(cfg.roi_qp_map, cfg.block_rows, cfg.blocks_per_row) + "\n")
         for i in range(len(frame_types)):
             ft = int(frame_types[i])
             fm.write(
@@ -226,17 +280,27 @@ def write_bitstream(path_mv, path_res, frame_types, mvs_per_frame, qp_per_row_pe
 
 
 def read_bitstream(path_mv, path_res, cfg):
-    """Twin of decode_differential_entropy (decoder.py:673-690)."""
+    """Twin of decode_differential_entropy (decoder.py:673-690).
+
+    An ROI header (native extension) is reconciled with ``cfg`` in place: a
+    cfg without a map adopts the stream's, a conflicting map raises.  NOTE
+    engines cache the map at construction — (re)build the decoder from
+    ``cfg`` AFTER this call (VideoCodec.decode_bitstream does)."""
     frame_types = []
     mvs = []
     qps = []
     residuals = []
+    stream_roi = None
     with open(path_mv) as f:
         for line in f:
+            if line.startswith(_ROI_PREFIX):
+                stream_roi = decode_roi_header(line)
+                continue
             ft, mv, qp = decode_mv_frame(line, cfg.rc_active, cfg.blocks_per_row)
             frame_types.append(ft)
             mvs.append(mv)
             qps.append(qp)
+    _reconcile_roi(stream_roi, cfg)
     with open(path_res) as f:
         for line in f:
             residuals.append(decode_residual_frame(line, cfg.block_size))

@@ -112,8 +112,22 @@ class VideoCodec:
         return self._decoded
 
     def decode_bitstream(self, mv_file, residual_file):
-        """File-level decode (decode_bitstream twin, decoder.py:692-709)."""
+        """File-level decode (decode_bitstream twin, decoder.py:692-709).
+
+        ROI streams are self-describing: read_bitstream adopts the stream's
+        per-block QP-offset header into cfg (or raises on a conflicting
+        map), and the decode engines — which cache the map at construction —
+        are rebuilt when the header introduced one."""
+        had_roi = self.cfg.roi_qp_map is not None
         fts, mvs, qps, res = BS.read_bitstream(mv_file, residual_file, self.cfg)
+        if self.cfg.roi_qp_map is not None and not had_roi:
+            from streamoptima_tpu.jax_engine import JaxCodec
+
+            self._dec = JaxCodec(self.cfg)
+            if getattr(self, "_dec_mesh", None) is not None:
+                from streamoptima_tpu.parallel import ShardedCodec
+
+                self._dec_mesh = ShardedCodec(self.cfg, self.mesh)
         frames = self._run_decode(fts, res, qps, mvs)
         self._decoded = np.stack([np.asarray(f) for f in frames])
         return self._decoded

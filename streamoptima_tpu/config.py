@@ -100,6 +100,9 @@ class CodecConfig:
             raise ValueError("me_search must be 'auto', 'materialized', 'fused' or 'pallas'")
         if self.fast_me_chain not in ("auto", "scan", "fixpoint"):
             raise ValueError("fast_me_chain must be 'auto', 'scan' or 'fixpoint'")
+        if self.roi_qp_map is not None and self.engine != "jax":
+            raise ValueError("roi_qp_map is a native-engine feature (the reference's README "
+                             "promises ROI but ships no implementation)")
         if self.two_pass:
             if self.engine != "jax":
                 raise ValueError("two_pass is a native-engine feature (the reference only gathers "

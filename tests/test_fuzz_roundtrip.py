@@ -44,6 +44,8 @@ def _random_cfg(rng):
         kw["lam"] = float(rng.choice([0.0, 0.015, 0.3]))
     if rc:
         kw.update(rc_flag=1, target_br="480 kbps", frame_rate=30, qp_rate_tables=TABLES)
+    if rng.integers(0, 3) == 0:  # ROI: random per-block QP offsets in the stream
+        kw["roi_qp_map"] = rng.integers(-3, 4, size=(h // 16, w // 16)).astype(np.int32)
     return CodecConfig(**kw)
 
 
@@ -59,9 +61,14 @@ def test_random_config_roundtrip(seed, tmp_path):
     mv_p, res_p = str(tmp_path / "mv.txt"), str(tmp_path / "res.txt")
     BS.write_bitstream(mv_p, res_p, pkg["frame_type_seq"], pkg["MVS per Frame"],
                        pkg["Qp_per_row_per_frame"], pkg["approx residual"], cfg)
-    fts, mvs, qps, res = BS.read_bitstream(mv_p, res_p, cfg)
+    # read with a BARE cfg (no roi_qp_map): ROI streams must be
+    # self-describing via the MV-file header (round-2 VERDICT item 5)
+    import dataclasses
+
+    bare = dataclasses.replace(cfg, roi_qp_map=None)
+    fts, mvs, qps, res = BS.read_bitstream(mv_p, res_p, bare)
     assert fts == pkg["frame_type_seq"], cfg
-    dec = codec.decode(fts, res, qps, mvs)
+    dec = JaxCodec(bare).decode(fts, res, qps, mvs)
     for i, (d, r) in enumerate(zip(dec, pkg["reconstructed frames"])):
         np.testing.assert_array_equal(np.asarray(d), r, err_msg=f"seed {seed} frame {i} cfg {cfg}")
 
