@@ -73,6 +73,13 @@ def make_mesh(cfg: CodecConfig, devices=None, tile: int | None = None) -> Mesh:
     def halo_fits(t: int) -> bool:
         return t == 1 or halo <= (nbr // t) * cfg.block_size
 
+    if cfg.intra_mode == 1:
+        # mode 1's column chain spans all row tiles; only GOP ("data")
+        # parallelism applies (VERDICT r2 item 8)
+        if tile not in (None, 1):
+            raise ValueError("intra_mode=1 requires tile=1 (the vertical intra "
+                             "chain crosses row-tile boundaries)")
+        tile = 1
     if tile is None:
         tile = 1
         for d in range(n, 0, -1):
@@ -101,10 +108,13 @@ class ShardedCodec:
 
     def __init__(self, cfg: CodecConfig, mesh: Mesh, y_frames=None, tile_comm: str = "halo"):
         assert not cfg.compat, "sharded encoding requires the native engine"
-        assert cfg.intra_mode == 0, "sharded path supports intra_mode 0 (mode 1's column chain crosses tiles)"
-        assert not (cfg.rc_flag is not None and cfg.rc_flag > 1), (
-            "scene-change promotion consumes per-frame host scalars; use the single-chip engine"
+        assert cfg.intra_mode == 0 or mesh.devices.shape[1] == 1, (
+            "intra_mode=1 shards the 'data' (GOP) axis only: the vertical "
+            "intra chain crosses row-tile boundaries (make_mesh forces tile=1)"
         )
+        # scene-change promotion (RCFlag>1) consumes one host scalar per frame
+        # (the inter residual size, Encoder.py:1851-1856); it runs on the mesh
+        # through the same per-frame-step path as two-pass RC (_encode_fsteps).
         assert cfg.parallel_mode == 0, "mesh sharding replaces the reference's ParallelModes"
         # fast-ME is supported: the raster-sequential MVP chain
         # (Encoder.py:719-742) is solved as a global Jacobi fixpoint with a
@@ -117,6 +127,7 @@ class ShardedCodec:
         self.y = None if y_frames is None else np.asarray(y_frames, dtype=np.uint8)
         self._frames_dev = None  # device-resident GOP-batched clip (lazy)
         self._decode_js = {}  # jitted sharded decodes, keyed (with_tables, comm)
+        self._dsteps = {}  # per-frame decode steps for promoted streams, keyed comm
         self._fsteps = None  # jitted per-frame steps for two-pass RC (lazy)
         self.ndata = mesh.devices.shape[0]
         self.ntile = mesh.devices.shape[1]
@@ -199,10 +210,21 @@ class ShardedCodec:
         explicit (nbr_t,) per-row QP slice for THIS frame."""
         cfg = self.cfg
         work = cur_l.astype(jnp.int32)
-        out = I.intra_search_mode0(work, self.bs, cfg.search_range, self.w, cfg.vbs_enable, jnp)
+        mode1 = cfg.intra_mode == 1  # tile=1 asserted: band == whole frame
+        if mode1:
+            # mode 1 = transpose of mode 0, exactly as the single-chip
+            # _intra_step (native-only; reference bug B2).  Block raster
+            # order, QP and eligibility vectors stay in (nbr, nbc) layout —
+            # bit-identical to JaxCodec by construction.
+            work = work.T
+        canvas_w = self.h if mode1 else self.w
+        out = I.intra_search_mode0(work, self.bs, cfg.search_range, canvas_w, cfg.vbs_enable, jnp)
         res_full, res_quads = I.intra_residuals_mode0(
             work, out["mv"], out.get("sub_mv"), self.bs, jnp, sr=cfg.search_range
         )
+        if mode1:
+            res_full = res_full.swapaxes(-1, -2)
+            res_quads = None if res_quads is None else res_quads.swapaxes(-1, -2)
         if cfg.vbs_enable:
             sub_sad = out["sub_sad"].reshape(self.nb_t, 4)
             smv = out["sub_mv"].reshape(self.nb_t, 4)
@@ -221,21 +243,31 @@ class ShardedCodec:
         qps = self._qps_blocks(row_qps_tile, roi_tile)
         rf = idct2_int(rescale(qtc_full, qps).astype(jnp.int32))
         rq = idct2_int(rescale(qtc_quads, rd.qp_minus_1(qps)[:, None]).astype(jnp.int32))
-        recon = P.wrap_uint8(
-            I.intra_reconstruct_mode0(
-                rf, rq if cfg.vbs_enable else None, split, out["mv"].reshape(-1),
-                smv, self.h_t, self.w, self.bs, jnp, sr=cfg.search_range,
-            ),
-            jnp,
-        )
+        rqv = rq if cfg.vbs_enable else None
+        if mode1:
+            recon = I.intra_reconstruct_mode0(
+                rf.swapaxes(-1, -2), None if rqv is None else rqv.swapaxes(-1, -2),
+                split, out["mv"].reshape(-1), smv, self.w, self.h, self.bs, jnp,
+                sr=cfg.search_range,
+            ).T
+        else:
+            recon = I.intra_reconstruct_mode0(
+                rf, rqv, split, out["mv"].reshape(-1), smv,
+                self.h_t, self.w, self.bs, jnp, sr=cfg.search_range,
+            )
+        recon = P.wrap_uint8(recon, jnp)
         mv3 = jnp.zeros((self.nb_t, 3), jnp.int32).at[:, 0].set(out["mv"].reshape(-1))
         smv3 = jnp.zeros((self.nb_t, 4, 3), jnp.int32).at[:, :, 0].set(smv)
+        if mode1:  # transposed raster: map lens back to pixel-row bit sums
+            row_bits = lens.reshape(self.nbc, self.nbr_t).T.sum(axis=1)
+        else:
+            row_bits = lens.reshape(self.nbr_t, self.nbc).sum(axis=1)
         return {
             "mv": mv3, "split": split, "sub_mv": smv3,
             "qtc_full": qtc_full, "qtc_quads": qtc_quads,
             "size": jax.lax.psum(lens.sum(), "tile"), "recon": recon,
             "mae_sum": jax.lax.psum(mae_pb.sum(), "tile"),
-            "row_bits": lens.reshape(self.nbr_t, self.nbc).sum(axis=1),
+            "row_bits": row_bits,
         }
 
     def _fast_tile_fixpoint(self, cur32, search_refs, nvalid, y0_px, fme, g0=None):
@@ -557,8 +589,8 @@ class ShardedCodec:
         """
         cfg = self.cfg
         assert self.y is not None, "construct with y_frames to encode"
-        if cfg.two_pass and cfg.rc_active:
-            return self._encode_two_pass(fetch)
+        if (cfg.two_pass and cfg.rc_active) or (cfg.rc_flag is not None and cfg.rc_flag > 1):
+            return self._encode_fsteps(fetch)
         n = cfg.frames
         gl = self.gl
         n_gops = math.ceil(n / gl)
@@ -665,13 +697,19 @@ class ShardedCodec:
 
     def _intra_tile_decode(self, mv, split, smv, qtc_full, qtc_quads, row_qps_tile, roi_tile):
         rf, rq = self._dequant_tile(qtc_full, qtc_quads, row_qps_tile, roi_tile)
-        return P.wrap_uint8(
-            I.intra_reconstruct_mode0(
-                rf, rq if self.cfg.vbs_enable else None, split, mv[:, 0], smv[:, :, 0],
+        rqv = rq if self.cfg.vbs_enable else None
+        if self.cfg.intra_mode == 1:  # transpose of mode 0 (tile=1 asserted)
+            frame = I.intra_reconstruct_mode0(
+                rf.swapaxes(-1, -2), None if rqv is None else rqv.swapaxes(-1, -2),
+                split, mv[:, 0], smv[:, :, 0], self.w, self.h, self.bs, jnp,
+                sr=self.cfg.search_range,
+            ).T
+        else:
+            frame = I.intra_reconstruct_mode0(
+                rf, rqv, split, mv[:, 0], smv[:, :, 0],
                 self.h_t, self.w, self.bs, jnp, sr=self.cfg.search_range,
-            ),
-            jnp,
-        )
+            )
+        return P.wrap_uint8(frame, jnp)
 
     def _inter_tile_decode(self, refs_l, y0_blocks, mv, split, smv,
                            qtc_full, qtc_quads, row_qps_tile, roi_tile, comm):
@@ -869,21 +907,26 @@ class ShardedCodec:
 
     def decode(self, frame_types, residuals_per_frame, qp_rows_per_frame, mvs_per_frame):
         """Sharded in-memory decode of list-structured packages (same
-        interchange as JaxCodec.decode).  Requires the GOP-regular frame-type
-        sequence the mesh encoder produces (intra iff i % intra_dur == 0 —
-        scene-change promotion breaks GOP independence; use the single-chip
-        decoder for such streams)."""
+        interchange as JaxCodec.decode).  GOPs must open intra (frame
+        i % intra_dur == 0 — anything else would carry state across the
+        "data" axis), but mid-GOP intra frames from scene-change promotion
+        (RCFlag>1, Encoder.py:1851-1856) are accepted: such streams decode
+        through per-frame sharded steps with frame-type-driven step
+        selection (_decode_fsteps) instead of the uniform GOP scan."""
         cfg = self.cfg
         n = cfg.frames
         gl = self.gl
+        promoted = False
         for i, ft in enumerate(frame_types[:n]):
-            expect = 0 if i % gl == 0 else 1
-            if ft != expect:
-                raise ValueError(
-                    f"frame {i} has type {ft}, expected {expect}: the sharded decoder "
-                    "requires GOP-regular streams (intra every intra_dur frames); "
-                    "use the single-chip JaxCodec.decode for promoted streams"
-                )
+            if i % gl == 0:
+                if ft != 0:
+                    raise ValueError(
+                        f"frame {i} has type {ft} but every GOP must open intra "
+                        "(i % intra_dur == 0): the sharded decoder relies on GOP "
+                        "independence; use the single-chip JaxCodec.decode"
+                    )
+            elif ft == 0:
+                promoted = True  # mid-GOP intra: scene-change promotion
         n_gops = math.ceil(n / gl)
         g_pad = math.ceil(n_gops / self.ndata) * self.ndata
         nb = self.nbr * self.nbc
@@ -931,6 +974,9 @@ class ShardedCodec:
         # frame's distinct MVs; shard-uniform).  Any frame outside the
         # kernel's bounds sends the WHOLE call down the XLA gather path —
         # the clip is one jitted program, so dispatch is all-or-nothing.
+        if promoted:
+            return self._decode_fsteps(mv_g, split_g, smv_g, qf_g, qq_g, rqp_g,
+                                       frame_types, comm, g_pad)
         tab_g = None
         from streamoptima_tpu.core import me_pallas
 
@@ -981,6 +1027,113 @@ class ShardedCodec:
             outs.append(np.asarray(o))
         recon = np.concatenate(outs, axis=0).reshape(g_pad * gl, self.h, self.w)
         return [recon[i] for i in range(n)]
+
+    # ------------------------------------------- per-frame sharded decode
+    # Frame-type-driven decode for promoted streams (round-2 VERDICT item 4):
+    # mid-GOP intra frames make the GOP scan non-uniform, so such clips
+    # decode frame-by-frame — intra and inter steps dispatched by the
+    # host-visible frame types, outputs selected per GOP when a batch
+    # disagrees (one GOP promoted frame f, another didn't).
+
+    def _build_dsteps(self, comm: str):
+        refs_spec = P_("data", None, "tile", None)
+        specs_frame = (
+            P_("data", "tile", None, None),              # mv (G, nbr, nbc, 3)
+            P_("data", "tile", None),                    # split
+            P_("data", "tile", None, None, None),        # sub_mv
+            P_("data", "tile", None, None, None),        # qtc_full
+            P_("data", "tile", None, None, None, None),  # qtc_quads
+            P_("data", None),                            # row_qps (G, nbr)
+            P_(None, None),                              # roi
+        )
+
+        def flat(mv, split, smv, qf, qq):
+            return (
+                mv.reshape(self.nb_t, 3), split.reshape(self.nb_t),
+                smv.reshape(self.nb_t, 4, 3),
+                qf.reshape(self.nb_t, self.bs, self.bs),
+                qq.reshape(self.nb_t, 4, self.sbs, self.sbs),
+            )
+
+        def intra_shard(mv_g, split_g, smv_g, qf_g, qq_g, rqp_g, roi):
+            tile_idx = jax.lax.axis_index("tile")
+            y0b = tile_idx * self.nbr_t
+            roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0b, self.nbr_t, axis=0)
+            nref = self.cfg.n_ref_frames
+
+            def one(mv, split, smv, qf, qq, rqp):
+                rqp_t = jax.lax.dynamic_slice_in_dim(rqp, y0b, self.nbr_t, axis=0)
+                mvf, splitf, smvf, qff, qqf = flat(mv, split, smv, qf, qq)
+                f = self._intra_tile_decode(mvf, splitf, smvf, qff, qqf, rqp_t, roi_tile)
+                # intra resets the reference FIFO (decoder.py:520)
+                refs = jnp.zeros((nref, self.h_t, self.w), jnp.uint8).at[0].set(f)
+                return f, refs
+
+            return jax.vmap(one)(mv_g, split_g, smv_g, qf_g, qq_g, rqp_g)
+
+        def inter_shard(refs_g, nvalid_g, mv_g, split_g, smv_g, qf_g, qq_g, rqp_g, roi):
+            tile_idx = jax.lax.axis_index("tile")
+            y0b = tile_idx * self.nbr_t
+            roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0b, self.nbr_t, axis=0)
+            nref = self.cfg.n_ref_frames
+
+            def one(refs_l, nvalid, mv, split, smv, qf, qq, rqp):
+                rqp_t = jax.lax.dynamic_slice_in_dim(rqp, y0b, self.nbr_t, axis=0)
+                mvf, splitf, smvf, qff, qqf = flat(mv, split, smv, qf, qq)
+                f = self._inter_tile_decode(refs_l, y0b, mvf, splitf, smvf, qff, qqf,
+                                            rqp_t, roi_tile, comm)
+                full = nvalid >= nref
+                rolled = jnp.where(full, jnp.roll(refs_l, -1, axis=0), refs_l)
+                idx = jnp.minimum(nvalid, nref - 1)
+                new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, f[None], idx, axis=0)
+                return f, new_refs
+
+            return jax.vmap(one)(refs_g, nvalid_g, mv_g, split_g, smv_g, qf_g, qq_g, rqp_g)
+
+        out_spec = (P_("data", "tile", None), refs_spec)
+        intra_j = jax.jit(shard_map(intra_shard, mesh=self.mesh, in_specs=specs_frame,
+                                    out_specs=out_spec, check_vma=False))
+        inter_j = jax.jit(shard_map(inter_shard, mesh=self.mesh,
+                                    in_specs=(refs_spec, P_("data")) + specs_frame,
+                                    out_specs=out_spec, check_vma=False))
+        return intra_j, inter_j
+
+    def _decode_fsteps(self, mv_g, split_g, smv_g, qf_g, qq_g, rqp_g, frame_types, comm, g_pad):
+        cfg = self.cfg
+        n, gl = cfg.frames, self.gl
+        if comm not in self._dsteps:
+            self._dsteps[comm] = self._build_dsteps(comm)
+        intra_j, inter_j = self._dsteps[comm]
+        shp = lambda a: a.reshape((g_pad, gl, self.nbr, self.nbc) + a.shape[3:])  # noqa: E731
+        mv_s, split_s, smv_s, qf_s, qq_s = (shp(a) for a in (mv_g, split_g, smv_g, qf_g, qq_g))
+        # frame types per (gop, frame); padded GOPs follow the regular pattern
+        ft_g = np.tile(np.array([0] + [1] * (gl - 1), np.int32), (g_pad, 1))
+        for i in range(n):
+            g, f = divmod(i, gl)
+            ft_g[g, f] = frame_types[i]
+        out = np.zeros((g_pad * gl, self.h, self.w), np.uint8)
+        nref = cfg.n_ref_frames
+        for b in range(g_pad // self.ndata):
+            sl = slice(b * self.ndata, (b + 1) * self.ndata)
+            refs = None
+            nvalid = np.zeros(self.ndata, np.int32)
+            for f in range(gl):
+                args = (jnp.asarray(mv_s[sl, f]), jnp.asarray(split_s[sl, f]),
+                        jnp.asarray(smv_s[sl, f]), jnp.asarray(qf_s[sl, f]),
+                        jnp.asarray(qq_s[sl, f]), jnp.asarray(rqp_g[sl, f]), self._roi)
+                is_intra = ft_g[sl, f] == 0
+                if is_intra.all():
+                    fr, refs = intra_j(*args)
+                elif not is_intra.any():
+                    fr, refs = inter_j(refs, jnp.asarray(nvalid), *args)
+                else:
+                    frP, refsP = inter_j(refs, jnp.asarray(nvalid), *args)
+                    frI, refsI = intra_j(*args)
+                    fr = self._select_gops(is_intra, frI, frP)
+                    refs = self._select_gops(is_intra, refsI, refsP)
+                nvalid = np.where(is_intra, 1, np.minimum(nvalid + 1, nref)).astype(np.int32)
+                out[(b * self.ndata + np.arange(self.ndata)) * gl + f] = np.asarray(fr)
+        return [out[i] for i in range(n)]
 
     # ----------------------------------------------------- two-pass encode
     # Per-frame sharded steps (round-1 VERDICT item 8): two-pass RC needs the
@@ -1033,13 +1186,13 @@ class ShardedCodec:
 
             return jax.vmap(one)(cur_g, rqp_g)
 
-        def inter_shard(cur_g, refs_g, nvalid, rqp_g, roi):
+        def inter_shard(cur_g, refs_g, nvalid_g, rqp_g, roi):
             tile_idx = jax.lax.axis_index("tile")
             y0b = tile_idx * self.nbr_t
             roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0b, self.nbr_t, axis=0)
             nref = self.cfg.n_ref_frames
 
-            def one(cur_l, refs_l, rqp):
+            def one(cur_l, refs_l, nvalid, rqp):
                 rqp_t = jax.lax.dynamic_slice_in_dim(rqp, y0b, self.nbr_t, axis=0)
                 out = self._inter_tile(cur_l, refs_l, nvalid, y0b, rqp_t, roi_tile)
                 g = finish(out, cur_l)
@@ -1049,7 +1202,7 @@ class ShardedCodec:
                 new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, out["recon"][None], idx, axis=0)
                 return g, new_refs
 
-            return jax.vmap(one)(cur_g, refs_g, rqp_g)
+            return jax.vmap(one)(cur_g, refs_g, nvalid_g, rqp_g)
 
         intra_j = jax.jit(
             shard_map(
@@ -1059,23 +1212,46 @@ class ShardedCodec:
                 check_vma=False,
             )
         )
+        # nvalid is a PER-GOP vector: scene promotion resets one GOP's
+        # reference FIFO without touching its batch neighbors
         inter_j = jax.jit(
             shard_map(
                 inter_shard, mesh=self.mesh,
-                in_specs=(P_("data", "tile", None), refs_spec, P_(), P_("data", None), P_(None, None)),
+                in_specs=(P_("data", "tile", None), refs_spec, P_("data"), P_("data", None), P_(None, None)),
                 out_specs=(self._fstep_out_specs(), refs_spec),
                 check_vma=False,
             )
         )
         return intra_j, inter_j
 
-    def _encode_two_pass(self, fetch: str = "full"):
-        """Two-pass rate-controlled sharded encode (GOPs stay data-parallel;
-        each frame runs pass 1 at the table QPs, the host reallocates row
-        budgets from the measured row bits, pass 2 re-encodes — README.md:13's
-        promised consumer of the stats the reference discards)."""
+    def _select_gops(self, mask_np, take, keep):
+        """Per-GOP select between two fstep results (dict-of-arrays or array),
+        ``take`` where mask else ``keep`` — promotion picks the intra re-encode
+        for exactly the GOPs whose inter residual crossed intra_thresh."""
+        m = jnp.asarray(mask_np)
+
+        def sel(a, b):
+            return jnp.where(m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+
+        if isinstance(take, dict):
+            return {k: sel(take[k], keep[k]) for k in keep}
+        return sel(take, keep)
+
+    def _encode_fsteps(self, fetch: str = "full"):
+        """Per-frame sharded encode: two-pass RC and/or scene-change
+        promotion (RCFlag>1) — both consume host scalars between frames
+        (measured row bits / the inter residual size, Encoder.py:1851-1856),
+        so the GOP scan unrolls into per-frame dispatches here.  GOPs stay
+        data-parallel; when GOPs in a batch disagree (one promotes, another
+        doesn't) both step kinds run and the outputs select per GOP.
+        Semantics mirror the single-chip loop (jax_engine.encode) exactly:
+        promotion decided on the pass-1 size at table QPs, two-pass
+        re-encode at the reallocated row QPs, promoted frames reset the
+        reference FIFO."""
         cfg = self.cfg
         n, gl = cfg.frames, self.gl
+        promotion = cfg.rc_flag is not None and cfg.rc_flag > 1
+        two_pass = cfg.two_pass and cfg.rc_active
         n_gops = math.ceil(n / gl)
         g_pad = math.ceil(n_gops / self.ndata) * self.ndata
         if self._frames_dev is None or self._frames_dev.shape[0] != g_pad:
@@ -1088,31 +1264,55 @@ class ShardedCodec:
             self._fsteps = self._build_fsteps()
         intra_j, inter_j = self._fsteps
         type_rows = np.asarray(self._row_qps)  # (2, nbr)
-        outs = []  # per (batch, frame): (grid_out, rqp2 (ndata, nbr))
+        bcast = lambda t: jnp.asarray(np.broadcast_to(type_rows[t], (self.ndata, self.nbr)))  # noqa: E731
+        outs = []  # per (batch, frame): (grid_out, rqp (ndata, nbr), ftypes (ndata,))
         nref = cfg.n_ref_frames
         for b in range(g_pad // self.ndata):
             refs = None
+            nvalid = np.zeros(self.ndata, np.int32)
             for f in range(gl):
                 cur = self._frames_dev[b * self.ndata : (b + 1) * self.ndata, f]
-                ftype = 0 if f == 0 else 1
-                rqp1 = jnp.asarray(np.broadcast_to(type_rows[ftype], (self.ndata, self.nbr)))
-                if ftype == 0:
-                    o1, _ = intra_j(cur, rqp1, self._roi)
+                refs_prev, nvalid_prev = refs, jnp.asarray(nvalid)
+                # ---- pass 1 at the table QPs (+ promotion decision)
+                if f == 0:
+                    ftypes_b = np.zeros(self.ndata, np.int32)
+                    o, refs_new = intra_j(cur, bcast(0), self._roi)
                 else:
-                    o1, _ = inter_j(cur, refs, jnp.int32(min(f, nref)), rqp1, self._roi)
-                row_bits = np.asarray(o1["row_bits"])  # (ndata, nbr)
-                rqp2 = np.stack([
-                    rc_mod.second_pass_row_qps(cfg, row_bits[g], ftype, type_rows[ftype])
-                    for g in range(self.ndata)
-                ])
-                if ftype == 0:
-                    o2, refs = intra_j(cur, jnp.asarray(rqp2), self._roi)
+                    ftypes_b = np.ones(self.ndata, np.int32)
+                    o, refs_new = inter_j(cur, refs_prev, nvalid_prev, bcast(1), self._roi)
+                    if promotion:
+                        promote = np.asarray(o["size"]) > cfg.intra_thresh
+                        if promote.any():
+                            oI, refsI = intra_j(cur, bcast(0), self._roi)
+                            o = self._select_gops(promote, oI, o)
+                            refs_new = self._select_gops(promote, refsI, refs_new)
+                            ftypes_b = np.where(promote, 0, 1).astype(np.int32)
+                # ---- pass 2 at the reallocated row QPs
+                if two_pass:
+                    row_bits = np.asarray(o["row_bits"])  # (ndata, nbr)
+                    rqp = np.stack([
+                        rc_mod.second_pass_row_qps(cfg, row_bits[g], int(ftypes_b[g]), type_rows[ftypes_b[g]])
+                        for g in range(self.ndata)
+                    ])
+                    rqp_j = jnp.asarray(rqp)
+                    is_intra = ftypes_b == 0
+                    if is_intra.all():
+                        o, refs_new = intra_j(cur, rqp_j, self._roi)
+                    elif not is_intra.any():
+                        o, refs_new = inter_j(cur, refs_prev, nvalid_prev, rqp_j, self._roi)
+                    else:
+                        oP, refsP = inter_j(cur, refs_prev, nvalid_prev, rqp_j, self._roi)
+                        oI, refsI = intra_j(cur, rqp_j, self._roi)
+                        o = self._select_gops(is_intra, oI, oP)
+                        refs_new = self._select_gops(is_intra, refsI, refsP)
                 else:
-                    o2, refs = inter_j(cur, refs, jnp.int32(min(f, nref)), jnp.asarray(rqp2), self._roi)
-                outs.append((o2, rqp2))
-        return self._package_two_pass(outs, g_pad, fetch)
+                    rqp = type_rows[ftypes_b]  # (ndata, nbr)
+                refs = refs_new
+                nvalid = np.where(ftypes_b == 0, 1, np.minimum(nvalid + 1, nref)).astype(np.int32)
+                outs.append((o, rqp, ftypes_b))
+        return self._package_fsteps(outs, g_pad, fetch)
 
-    def _package_two_pass(self, outs, g_pad, fetch):
+    def _package_fsteps(self, outs, g_pad, fetch):
         cfg = self.cfg
         n, gl = cfg.frames, self.gl
         nb = self.nbr * self.nbc
@@ -1121,10 +1321,10 @@ class ShardedCodec:
         for i in range(n):
             g, f = divmod(i, gl)
             batch, g_loc = divmod(g, self.ndata)
-            o, rqp2 = outs[batch * gl + f]
-            ftype = 0 if f == 0 else 1
+            o, rqp2, ftypes_b = outs[batch * gl + f]
+            ftype = int(ftypes_b[g_loc])
             ftypes.append(ftype)
-            qp_rows.append([int(q) for q in rqp2[g_loc]])
+            qp_rows.append([int(q) for q in rqp2[g_loc]] if cfg.rc_active else [])
             if fetch not in ("light", "metrics"):
                 per = {
                     "mv": np.asarray(o["mv"][g_loc]).reshape(nb, 3),
