@@ -86,6 +86,39 @@ def main():
     gop_encode_fps("4k_vbs_fme", CodecConfig(height=2160, width=3840, search_range=8,
                                              vbs_enable=True, fme_enable=True, **base), frames_n=8)
 
+    # benchmark-matrix completeness rows (round-2 VERDICT item 7): fast-ME
+    # at 720p (the CIF-only fast-ME story), multi-ref, and RC-active /
+    # two-pass encode throughput (RC was tested but never measured)
+    gop_encode_fps("720p_fast_me", CodecConfig(height=720, width=1280, search_range=16,
+                                               fast_me=True, **base))
+    gop_encode_fps("720p_fast_me_vbs_fme", CodecConfig(height=720, width=1280, search_range=16,
+                                                       fast_me=True, vbs_enable=True,
+                                                       fme_enable=True, **base))
+    gop_encode_fps("720p_nref4", CodecConfig(height=720, width=1280, search_range=8,
+                                             n_ref_frames=4, **base))
+    # per-row budget at 8 mbps/30 fps/45 rows ~ 5.9k bits: mid-table pick
+    rc_tables = [[2e5, 1.2e5, 8e4, 5e4, 3e4, 2e4, 1.2e4, 8e3, 5e3, 3e3, 2e3, 1.2e3]] * 2
+    gop_encode_fps("720p_rc_row_qp", CodecConfig(height=720, width=1280, search_range=8,
+                                                 rc_flag=1, target_br="8 mbps", frame_rate=30,
+                                                 qp_rate_tables=rc_tables, **base))
+
+    def two_pass_fps(name, cfg, frames_n=16):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, frames=frames_n)
+        clip = synthetic_clip(cfg.height, cfg.width, frames_n)
+        codec = ShardedCodec(cfg, make_mesh(cfg, devices=jax.devices()[:1]), clip)
+        codec.encode(fetch="metrics")  # warm
+        pkg, fps, mean_fps = timed(lambda: codec.encode(fetch="metrics"), frames_n)
+        results[name] = {"fps": round(fps, 2), "mean_fps": round(mean_fps, 2),
+                         "mean_psnr_db": round(float(np.mean(pkg["PSNR per frame"])), 2),
+                         "config": f"{cfg.width}x{cfg.height} two_pass rc_flag={cfg.rc_flag}"}
+        print(name, results[name], flush=True)
+
+    two_pass_fps("720p_two_pass", CodecConfig(height=720, width=1280, search_range=8,
+                                              rc_flag=1, target_br="8 mbps", frame_rate=30,
+                                              qp_rate_tables=rc_tables, two_pass=True, **base))
+
     # the reference's ACTUAL default config (main.py:19-43): qp=5, gop=21,
     # sr=16, fast-ME + VBS + FME, 21 CIF frames — the MVP chain runs as the
     # Jacobi fixpoint inside the GOP scan (bit-identical to the sequential

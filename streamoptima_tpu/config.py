@@ -81,6 +81,17 @@ class CodecConfig:
     # O(#MV-discontinuities) sweeps instead of #blocks steps.  "auto" =>
     # fixpoint.
     fast_me_chain: str = "auto"
+    # encode winner-prediction fetch: with the Pallas search kernel, keeping
+    # the winner's pixels in-kernel (masked select per candidate) costs about
+    # half the VBS+FME encode step.  "fetch" searches argmin-only and fetches
+    # the winners' windows through the decode-side compact-DMA kernel
+    # (me_pallas.pred_fetch_compact, one DMA per distinct winner MV; the DMA
+    # table is built ON DEVICE — me_pallas.build_fetch_table_jax) with a
+    # lax.cond fallback to the XLA gather path when a frame's MV diversity
+    # exceeds winner_fetch_bucket.  "inkernel" keeps the masked-select path;
+    # "auto" => fetch.  Bit-identical either way (tests/test_pallas.py).
+    winner_fetch: str = "auto"
+    winner_fetch_bucket: int = 64
 
     def __post_init__(self) -> None:
         if self.height % self.block_size or self.width % self.block_size:
@@ -100,6 +111,8 @@ class CodecConfig:
             raise ValueError("me_search must be 'auto', 'materialized', 'fused' or 'pallas'")
         if self.fast_me_chain not in ("auto", "scan", "fixpoint"):
             raise ValueError("fast_me_chain must be 'auto', 'scan' or 'fixpoint'")
+        if self.winner_fetch not in ("auto", "fetch", "inkernel"):
+            raise ValueError("winner_fetch must be 'auto', 'fetch' or 'inkernel'")
         if self.roi_qp_map is not None and self.engine != "jax":
             raise ValueError("roi_qp_map is a native-engine feature (the reference's README "
                              "promises ROI but ships no implementation)")

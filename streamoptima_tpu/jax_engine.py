@@ -132,25 +132,34 @@ class JaxCodec:
 
     def _full_search_pallas(self, cur32, refs, fme, initial_refs):
         """Pallas full search over the RAW reference stack — the kernel
-        builds FME parity planes itself and returns the winning prediction
-        pixels, so neither the 2x upsample nor any prediction gather runs
-        (both lower to ~2 GiB/s XLA gathers; measured 77 of 88 ms/frame at
-        720p VBS+FME).  Blocks with no valid candidate (FME frame edges,
-        Encoder.py:698) take the reference's mv=(0,0,0) all-128 fallback."""
+        builds FME parity planes itself, so neither the 2x upsample nor any
+        prediction gather runs (both lower to ~2 GiB/s XLA gathers; measured
+        77 of 88 ms/frame at 720p VBS+FME).  Blocks with no valid candidate
+        (FME frame edges, Encoder.py:698) take the reference's mv=(0,0,0)
+        all-128 fallback.
+
+        Winner predictions come from one of two bit-identical paths
+        (cfg.winner_fetch): the kernel's in-kernel masked select, or —
+        default — an argmin-only search followed by the decode-side
+        compact-DMA fetch (_winner_fetch_preds; round-2 VERDICT item 2: the
+        masked select cost ~half the VBS+FME step)."""
         from streamoptima_tpu.core import me_pallas
 
         cfg = self.cfg
         interp = jax.default_backend() != "tpu"
+        want_pred = cfg.winner_fetch == "inkernel"
         if fme:
             s = me_pallas.full_search_pallas_fme(
                 cur32, refs, cfg.search_range, self.bs, self.sbs, cfg.vbs_enable,
-                interpret=interp, wrap_row_pass=not initial_refs,
+                interpret=interp, wrap_row_pass=not initial_refs, want_pred=want_pred,
             )
         else:
             s = me_pallas.full_search_pallas(
                 cur32, refs.astype(jnp.int32), cfg.search_range, self.bs, self.sbs,
-                cfg.vbs_enable, interpret=interp,
+                cfg.vbs_enable, interpret=interp, want_pred=want_pred,
             )
+        if not want_pred:
+            return (s, *self._winner_fetch_preds(s, refs, fme, initial_refs))
         pred_full = jnp.where(s["ok"][:, None, None], self._blockify(s["pred"]), 128)
         pred_q = None
         if cfg.vbs_enable:
@@ -158,6 +167,58 @@ class JaxCodec:
                 s["sub_ok"][:, :, None, None], self._quads_px(s["pred_quads"]), 128
             )
         return s, pred_full, pred_q
+
+    def _winner_fetch_preds(self, s, refs, fme, initial_refs):
+        """Encode winner predictions via the decode fetch kernel: the argmin
+        already knows the winners, so their windows are fetched with one
+        banded DMA per DISTINCT winner MV (me_pallas.pred_fetch_compact) —
+        the same program decode dispatches, table built on device (no host
+        round trip).  Search validity implies the kernel's bounds (case A
+        strictly, |d| <= 2sr <= 126), so the only fallback is MV diversity:
+        frames with more distinct winners than cfg.winner_fetch_bucket take
+        the XLA gather branch of the lax.cond (both branches reproduce the
+        reference exactly — cross-kernel parity in tests/test_pallas.py)."""
+        from streamoptima_tpu.core import me_pallas
+
+        cfg = self.cfg
+        interp = jax.default_backend() != "tpu"
+        sr = cfg.search_range
+        mv = s["mv"]
+        smv = s["sub_mv"].reshape(self.nb, 4, 3) if cfg.vbs_enable else \
+            jnp.zeros((self.nb, 4, 3), jnp.int32)
+        table, fits = me_pallas.build_fetch_table_jax(
+            mv, smv, sr, fme, cfg.vbs_enable, cfg.winner_fetch_bucket
+        )
+
+        def fetch(tab):
+            pad = sr + 1 if fme else sr
+            predf, predq = me_pallas.pred_fetch_compact(
+                mv, smv, refs, tab, pad, self.bs, self.sbs, cfg.vbs_enable, fme,
+                interpret=interp, wrap_row_pass=not initial_refs,
+            )
+            pf = jnp.where(s["ok"][:, None, None], self._blockify(predf.astype(jnp.int32)), 128)
+            if not cfg.vbs_enable:
+                return pf, jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
+            pq = jnp.where(
+                s["sub_ok"][:, :, None, None], self._quads_px(predq.astype(jnp.int32)), 128
+            )
+            return pf, pq
+
+        def gather(tab):
+            search_refs = self._prep_refs(refs, initial_refs)
+            pf = P.gather_predictions(mv, search_refs, self.bx, self.by, self.bs, fme, jnp)
+            pf = jnp.where(s["ok"][:, None, None], pf, 128)
+            if not cfg.vbs_enable:
+                return pf, jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
+            pq = P.gather_predictions(
+                smv.reshape(-1, 3), search_refs, self.qx.reshape(-1), self.qy.reshape(-1),
+                self.sbs, fme, jnp,
+            ).reshape(self.nb, 4, self.sbs, self.sbs)
+            pq = jnp.where(s["sub_ok"][:, :, None, None], pq, 128)
+            return pf, pq
+
+        pred_full, pred_q = jax.lax.cond(fits, fetch, gather, table)
+        return pred_full, (pred_q if cfg.vbs_enable else None)
 
     def _full_search(self, cur32, search_refs, fme):
         """Full-search dispatch (bit-identical results across kernels):
@@ -585,6 +646,20 @@ class JaxCodec:
         )
         return None if t is None else jnp.asarray(t[0])
 
+    def _fetch_table_np(self, mv_np, smv_np, nref: int | None = None):
+        """_fetch_table without the device upload: the batched facade decode
+        packs all frames' tables into one clip-wide H2D transfer instead."""
+        if not self._use_pallas():
+            return None
+        from streamoptima_tpu.core import me_pallas
+
+        if not self._pallas_decodable(mv_np, smv_np, nref=nref):
+            return None
+        t = me_pallas.build_fetch_table(
+            mv_np, smv_np, self.cfg.search_range, self.cfg.fme_enable, self.cfg.vbs_enable
+        )
+        return None if t is None else t[0]
+
     def _pallas_decodable(self, mv_np, smv_np, nref: int | None = None) -> bool:
         """Host predicate: this frame's transmitted MVs fit the fetch kernel
         (me_pallas.fetch_decodable — shared with the mesh decoder)."""
@@ -695,12 +770,84 @@ class JaxCodec:
     # ------------------------------------------------------------ decode
     def decode(self, frame_types, residuals_per_frame, qp_rows_per_frame, mvs_per_frame):
         """In-memory decode of list-structured packages (same interchange
-        structures as the compat engine / bitstream module)."""
+        structures as the compat engine / bitstream module).
+
+        The clip ships in CHUNKs of frames, each chunk one H2D transfer per
+        array (measured on the tunneled dev chip: per-frame np.asarray /
+        device_put cost a blocking sync each, while the link runs ~86 MB/s in
+        and ~25 MB/s out — so the wall is pure BYTES once round trips are
+        batched).  Bytes are halved by the merged coefficient payload (a
+        block is either split or not, so full-block and quad coefficients
+        share one (bs, bs) slot — unpacked on device), and chunked uploads /
+        stacked chunked drains let input transfers, compute and output
+        transfers overlap instead of serializing."""
         cfg = self.cfg
+        n, nb = cfg.frames, self.nb
+        CHUNK = 8
+        # ---- host pass: pack the clip (merged coefficient payload)
+        mv_all = np.zeros((n, nb, 3), np.int32)
+        split_all = np.zeros((n, nb), bool)
+        smv_all = np.zeros((n, nb, 4, 3), np.int32)
+        pay_all = np.zeros((n, nb, self.bs, self.bs), np.int16)
+        rqp_all = np.full((n, self.nbr), cfg.qp, np.int32)
+        tabs: list = [None] * n
+        nref_seq = [1] * n
+        cnt = 1  # mirror of the device loop's reference-FIFO length
+        s = self.sbs
+        for i in range(n):
+            ft = frame_types[i]
+            mv_np, split_np, smv_np = list_to_mvs_np(mvs_per_frame[i], ft, nb)
+            if ft == 0:
+                mv_all[i, :, 0] = mv_np
+                smv_all[i, :, :, 0] = smv_np
+            else:
+                mv_all[i] = mv_np
+                smv_all[i] = smv_np
+            split_all[i] = split_np
+            qf, qq = list_to_res_np(residuals_per_frame[i], nb, self.bs, self.sbs)
+            pay = qf
+            if split_np.any():
+                merged = qq.reshape(nb, 2, 2, s, s).swapaxes(2, 3).reshape(nb, self.bs, self.bs)
+                pay[split_np] = merged[split_np]
+            pay_all[i] = pay
+            if cfg.rc_active and len(qp_rows_per_frame[i]):
+                rqp_all[i] = np.asarray(qp_rows_per_frame[i], dtype=np.int32)
+            if ft != 0 or cfg.parallel_mode == 1:
+                nref_seq[i] = 1 if cfg.parallel_mode in (1, 3) else cnt
+                tabs[i] = self._fetch_table_np(mv_np, smv_np, nref=nref_seq[i])
+            if i < n - 1:
+                cnt = 1 if ft == 0 else min(cnt + 1, cfg.n_ref_frames)
+        # one bucket for the clip: pad every frame's table to the widest one
+        # (padding rows carry code -1 — fetched and discarded by the kernel)
+        widths = [t.shape[1] for t in tabs if t is not None]
+        fetchable = [t is not None for t in tabs]
+        if widths:
+            wmax = max(widths)
+            for i, t in enumerate(tabs):
+                if t is None:
+                    tabs[i] = np.full((5, wmax), -1, np.int32)
+                    tabs[i][:4] = 0
+                elif t.shape[1] < wmax:
+                    pad = np.zeros((5, wmax - t.shape[1]), np.int32)
+                    pad[4] = -1
+                    tabs[i] = np.concatenate([t, pad], axis=1)
+        # device-side payload unpack: one jitted op per chunk
+        unpack = jax.jit(lambda sp, pay: (
+            jnp.where(sp[:, None, None], jnp.int16(0), pay),
+            jnp.where(
+                sp[:, None, None, None],
+                pay.reshape(-1, 2, s, 2, s).swapaxes(2, 3).reshape(-1, 4, s, s),
+                jnp.int16(0),
+            ),
+        ))
+
         out_frames = []
         n_conv = 0  # frames already drained to host (bounded HBM footprint)
 
         def drain(lag):
+            # frames were copy_to_host_async'd at dispatch, so np.asarray
+            # only waits for the already-riding transfer (a cold per-frame
+            # np.asarray costs a full blocking sync EACH on thin links)
             nonlocal n_conv
             while len(out_frames) - n_conv > lag:
                 out_frames[n_conv] = np.asarray(out_frames[n_conv])
@@ -708,61 +855,67 @@ class JaxCodec:
 
         refs = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)]
         initial = True
-        for i in range(cfg.frames):
-            mv_np, split_np, smv_np = list_to_mvs_np(mvs_per_frame[i], frame_types[i], self.nb)
-            mv, split, smv = jnp.asarray(mv_np), jnp.asarray(split_np), jnp.asarray(smv_np)
-            qf, qq = self._list_to_res(residuals_per_frame[i])
-            row_qps = (
-                jnp.asarray(np.asarray(qp_rows_per_frame[i], dtype=np.int32))
-                if cfg.rc_active and len(qp_rows_per_frame[i])
-                else jnp.full(self.nbr, cfg.qp, dtype=jnp.int32)
+        for c0 in range(0, n, CHUNK):
+            c1 = min(c0 + CHUNK, n)
+            # chunked async uploads: the next chunk's transfer rides the link
+            # while this chunk's steps execute
+            d_mv, d_split, d_smv, d_pay, d_rqp = (
+                jax.device_put(a[c0:c1])
+                for a in (mv_all, split_all, smv_all, pay_all, rqp_all)
             )
-            if cfg.parallel_mode == 1:
-                ref128 = jnp.stack([jnp.full((self.h, self.w), 128, dtype=jnp.uint8)])
-                tab = self._fetch_table(mv_np, smv_np, nref=1)
-                if tab is not None:
-                    f = self._dec_inter_pallas_j(
-                        ref128, mv, split, smv, qf, qq, row_qps, tab, nref=1, initial_refs=True
-                    )
+            d_tab = jax.device_put(np.stack(tabs[c0:c1])) if widths else None
+            for i in range(c0, c1):
+                j = i - c0
+                mv, split, smv, row_qps = d_mv[j], d_split[j], d_smv[j], d_rqp[j]
+                qf, qq = unpack(split, d_pay[j])
+                if cfg.parallel_mode == 1:
+                    ref128 = jnp.stack([jnp.full((self.h, self.w), 128, dtype=jnp.uint8)])
+                    if fetchable[i]:
+                        f = self._dec_inter_pallas_j(
+                            ref128, mv, split, smv, qf, qq, row_qps, d_tab[j], nref=1, initial_refs=True
+                        )
+                    else:
+                        f = self._dec_inter_j(
+                            ref128, mv, split, smv, qf, qq, row_qps, nref=1, initial_refs=True
+                        )
+                    out_frames.append(f)
+                    try:
+                        f.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    continue
+                if frame_types[i] == 0:
+                    f = self._dec_intra_j(mv[:, 0], split, smv[:, :, 0], qf, qq, row_qps)
+                    refs = []
                 else:
-                    f = self._dec_inter_j(
-                        ref128, mv, split, smv, qf, qq, row_qps, nref=1, initial_refs=True
-                    )
-                out_frames.append(np.asarray(f))
-                continue
-            if frame_types[i] == 0:
-                f = self._dec_intra_j(mv[:, 0] if mv.ndim == 2 else mv, split, smv[:, :, 0] if smv.ndim == 3 else smv, qf, qq, row_qps)
-                refs = []
-            else:
-                if cfg.parallel_mode == 3:
-                    use, use_init = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)], True
-                else:
-                    use, use_init = refs, initial
-                tab = self._fetch_table(mv_np, smv_np, nref=len(use))
-                if tab is not None:
-                    f = self._dec_inter_pallas_j(
-                        jnp.stack(use), mv, split, smv, qf, qq, row_qps, tab,
-                        nref=len(use), initial_refs=use_init,
-                    )
-                else:
-                    f = self._dec_inter_j(
-                        jnp.stack(use), mv, split, smv, qf, qq, row_qps,
-                        nref=len(use), initial_refs=use_init,
-                    )
-            out_frames.append(f)
-            try:
-                f.copy_to_host_async()
-            except AttributeError:
-                pass
-            # drain frames a few steps behind the dispatch frontier: refs
-            # stay on device (no per-frame D2H/H2D round trip) but decoded
-            # frames don't accumulate in HBM over long clips
-            drain(4)
-            if i < cfg.frames - 1:
-                if len(refs) >= cfg.n_ref_frames:
-                    refs.pop(0)
-                refs.append(f)  # stays on device: no D2H/H2D round trip per frame
-                initial = False
+                    if cfg.parallel_mode == 3:
+                        use, use_init = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)], True
+                    else:
+                        use, use_init = refs, initial
+                    assert len(use) == nref_seq[i]
+                    if fetchable[i]:
+                        f = self._dec_inter_pallas_j(
+                            jnp.stack(use), mv, split, smv, qf, qq, row_qps, d_tab[j],
+                            nref=len(use), initial_refs=use_init,
+                        )
+                    else:
+                        f = self._dec_inter_j(
+                            jnp.stack(use), mv, split, smv, qf, qq, row_qps,
+                            nref=len(use), initial_refs=use_init,
+                        )
+                out_frames.append(f)
+                try:  # start the output transfer now — it rides the link
+                    f.copy_to_host_async()  # while later chunks upload/compute
+                except AttributeError:
+                    pass
+                if i < n - 1:
+                    if len(refs) >= cfg.n_ref_frames:
+                        refs.pop(0)
+                    refs.append(f)  # stays on device: no D2H/H2D round trip
+                    initial = False
+            # drain several chunks behind the frontier (the async copies make
+            # the blocking np.asarray cheap); HBM stays bounded on long clips
+            drain(4 * CHUNK)
         drain(0)
         return out_frames
 

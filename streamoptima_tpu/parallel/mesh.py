@@ -422,17 +422,18 @@ class ShardedCodec:
             from streamoptima_tpu.core import me_pallas
 
             interp = jax.default_backend() != "tpu"
+            wp = cfg.winner_fetch == "inkernel"
             if fme:
                 s = me_pallas.full_search_pallas_fme(
                     cur32, band, cfg.search_range, self.bs, self.sbs, cfg.vbs_enable,
                     nvalid=nvalid, interpret=interp, read_row0=read_row0, g_px0=y0_px,
-                    grid_dims=grid_dims, wrap_row_pass=True,
+                    grid_dims=grid_dims, wrap_row_pass=True, want_pred=wp,
                 )
             else:
                 s = me_pallas.full_search_pallas(
                     cur32, band.astype(jnp.int32), sr, self.bs, self.sbs, cfg.vbs_enable,
                     nvalid=nvalid, interpret=interp, read_row0=read_row0, g_px0=y0_px,
-                    grid_dims=grid_dims,
+                    grid_dims=grid_dims, want_pred=wp,
                 )
             search_refs = None
         elif cfg.fast_me:
@@ -462,13 +463,21 @@ class ShardedCodec:
         by_g = self._by_local + y0_px
 
         cur_blocks = cur32.reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs)
-        if use_pallas:
+        wfetch = use_pallas and cfg.winner_fetch != "inkernel"
+        if wfetch:
+            # winner fetch (VERDICT r3 item 2, mesh edition): argmin-only
+            # search above, winners' windows fetched by the compact-DMA
+            # kernel on the same band; per-tile DMA table built on device
+            pred_full, pred_q_w = self._winner_fetch_tile(
+                s, band, read_row0, y0_px, fme, grid_dims, pred_origin, by_g
+            )
+        if use_pallas and not wfetch:
             pred_full = jnp.where(
                 ok[:, None, None],
                 s["pred"].reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs),
                 128,  # no valid candidate => mv=(0,0,0) all-128 FME fallback
             )
-        else:
+        elif not wfetch:
             pred_full = P.gather_predictions(mv, search_refs, self._bx, by_g, self.bs, fme, jnp,
                                              grid_dims=grid_dims, origin_row=pred_origin)
         res_full = cur_blocks - pred_full
@@ -478,7 +487,9 @@ class ShardedCodec:
             smv = s["sub_mv"]
             sub_sad = s["sub_sad"]
             sub_ok = s["sub_ok"]
-            if use_pallas:
+            if wfetch:
+                pred_q = pred_q_w
+            elif use_pallas:
                 sbs = self.sbs
                 pq = s["pred_quads"].reshape(self.nbr_t, 2, sbs, self.nbc, 2, sbs).transpose(
                     0, 3, 1, 4, 2, 5
@@ -527,6 +538,70 @@ class ShardedCodec:
         if g_next is not None:
             out["g_next"] = g_next  # fast-ME warm start (dropped by _grid_out)
         return out
+
+    def _winner_fetch_tile(self, s, band, read_row0, y0_px, fme, grid_dims, pred_origin, by_g):
+        """Mesh edition of JaxCodec._winner_fetch_preds: the tile's winner
+        windows via pred_fetch_compact on the (halo-)band, table built on
+        device per tile (tables differ per device — same program, different
+        data).  ``read_row0`` locates cur row 0 in the band (halo8 in halo
+        mode, the tile's global pixel row under all_gather — both 8-aligned,
+        so the whole offset rides the kernel's traced path).  lax.cond falls
+        back to the XLA gathers (materializing the band upsample inside the
+        branch only) when the tile has more distinct winners than
+        cfg.winner_fetch_bucket.  No collectives inside either branch."""
+        from streamoptima_tpu.core import me_pallas
+
+        cfg = self.cfg
+        sr = cfg.search_range
+        interp = jax.default_backend() != "tpu"
+        mv, ok = s["mv"], s["ok"]
+        sub_ok = s.get("sub_ok")
+        smv = s["sub_mv"].reshape(self.nb_t, 4, 3) if cfg.vbs_enable else \
+            jnp.zeros((self.nb_t, 4, 3), jnp.int32)
+        table, fits = me_pallas.build_fetch_table_jax(
+            mv, smv, sr, fme, cfg.vbs_enable, cfg.winner_fetch_bucket
+        )
+
+        def blockify_t(plane):
+            return plane.reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(
+                -1, self.bs, self.bs)
+
+        def quads_t(plane):
+            sbs = self.sbs
+            return plane.reshape(self.nbr_t, 2, sbs, self.nbc, 2, sbs).transpose(
+                0, 3, 1, 4, 2, 5).reshape(self.nb_t, 4, sbs, sbs)
+
+        def fetch(tab):
+            pad = sr + 1 if fme else sr
+            predf, predq = me_pallas.pred_fetch_compact(
+                mv, smv, band, tab, pad, self.bs, self.sbs, cfg.vbs_enable, fme,
+                interpret=interp, wrap_row_pass=True, read_row0=read_row0,
+            )
+            pf = jnp.where(ok[:, None, None], blockify_t(predf.astype(jnp.int32)), 128)
+            if not cfg.vbs_enable:
+                return pf, jnp.zeros((self.nb_t, 4, self.sbs, self.sbs), jnp.int32)
+            pq = jnp.where(sub_ok[:, :, None, None], quads_t(predq.astype(jnp.int32)), 128)
+            return pf, pq
+
+        def gather(tab):
+            if fme:
+                srefs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(band)
+            else:
+                srefs = band.astype(jnp.int32)
+            pf = P.gather_predictions(mv, srefs, self._bx, by_g, self.bs, fme, jnp,
+                                      grid_dims=grid_dims, origin_row=pred_origin)
+            pf = jnp.where(ok[:, None, None], pf, 128)
+            if not cfg.vbs_enable:
+                return pf, jnp.zeros((self.nb_t, 4, self.sbs, self.sbs), jnp.int32)
+            qy_g = self._qy_local + y0_px
+            pq = P.gather_predictions(
+                smv.reshape(-1, 3), srefs, self._qx.reshape(-1), qy_g.reshape(-1),
+                self.sbs, fme, jnp, grid_dims=grid_dims, origin_row=pred_origin,
+            ).reshape(self.nb_t, 4, self.sbs, self.sbs)
+            pq = jnp.where(sub_ok[:, :, None, None], pq, 128)
+            return pf, pq
+
+        return jax.lax.cond(fits, fetch, gather, table)
 
     # -------------------------------------------------------- shard program
     def _encode_gop_local(self, frames_l, row_qps_tile, roi_tile, y0_blocks):

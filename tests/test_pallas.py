@@ -233,3 +233,103 @@ def test_pallas_column_tiles_match_untiled(fme, monkeypatch):
     for k in base:
         np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(tiled[k]), err_msg=k)
     search._clear_cache()
+
+
+def test_build_fetch_table_jax_matches_host():
+    """Device-side DMA-table build (encode winner fetch, VERDICT r2 item 2)
+    == the host builder, for both FME and whole-pel, up to slot order and
+    bucket width (the kernel is order/padding-insensitive: each code claims
+    its own blocks; code -1 matches nothing)."""
+    from streamoptima_tpu.core.me_pallas import build_fetch_table, build_fetch_table_jax
+
+    rng = np.random.default_rng(11)
+    nb, sr = 48, 8
+    for fme in (False, True):
+        bound = 2 * sr if fme else sr
+        mv = np.stack([rng.integers(-bound, bound + 1, nb),
+                       rng.integers(-bound, bound + 1, nb),
+                       rng.integers(0, 2, nb)], axis=1).astype(np.int32)
+        smv = np.stack([rng.integers(-bound, bound + 1, (nb, 4)),
+                        rng.integers(-bound, bound + 1, (nb, 4)),
+                        rng.integers(0, 2, (nb, 4))], axis=2).astype(np.int32)
+        host_t, host_pad = build_fetch_table(mv, smv, sr, fme, True)
+        dev_t, fits = build_fetch_table_jax(
+            jnp.asarray(mv), jnp.asarray(smv), sr, fme, True, bucket=512
+        )
+        assert bool(fits)
+        assert host_pad == (sr + 1 if fme else sr)
+        hcols = {tuple(c) for c in np.asarray(host_t).T.tolist() if c[4] != -1}
+        dcols = {tuple(c) for c in np.asarray(dev_t).T.tolist() if c[4] != -1}
+        assert hcols == dcols, fme
+
+
+def test_build_fetch_table_jax_overflow():
+    from streamoptima_tpu.core.me_pallas import build_fetch_table_jax
+
+    mv = jnp.asarray(np.stack([np.arange(10) - 5, np.zeros(10), np.zeros(10)], axis=1), jnp.int32)
+    smv = jnp.zeros((10, 4, 3), jnp.int32)
+    _, fits = build_fetch_table_jax(mv, smv, 8, False, False, bucket=4)
+    assert not bool(fits)
+
+
+@pytest.mark.parametrize("fme,vbs", [(False, False), (True, True)])
+def test_winner_fetch_matches_inkernel(fme, vbs):
+    """cfg.winner_fetch='fetch' (argmin-only search + compact-DMA winner
+    fetch) == 'inkernel' (masked select in the search kernel), bit for bit."""
+    import dataclasses
+
+    from conftest import synthetic_clip
+    from streamoptima_tpu.config import CodecConfig
+    from streamoptima_tpu.jax_engine import JaxCodec
+
+    clip = synthetic_clip(h=64, w=64, frames=4, motion=2)
+    cfg = CodecConfig(height=64, width=64, frames=4, search_range=4, qp=4, intra_dur=4,
+                      vbs_enable=vbs, fme_enable=fme, lam=0.015, n_ref_frames=2,
+                      me_search="pallas", winner_fetch="inkernel")
+    a = JaxCodec(cfg, clip).encode()
+    b = JaxCodec(dataclasses.replace(cfg, winner_fetch="fetch"), clip).encode()
+    np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
+    assert a["residual size per frame"] == b["residual size per frame"]
+    for fa, fb in zip(a["MVS per Frame"], b["MVS per Frame"]):
+        assert fa == fb
+
+
+def test_winner_fetch_bucket_overflow_fallback():
+    """A frame with more distinct winner MVs than winner_fetch_bucket takes
+    the lax.cond XLA-gather branch — still bit-identical (noise clip: winner
+    MVs are diverse)."""
+    import dataclasses
+
+    from streamoptima_tpu.config import CodecConfig
+    from streamoptima_tpu.jax_engine import JaxCodec
+
+    rng = np.random.default_rng(9)
+    clip = rng.integers(0, 256, size=(3, 64, 64), dtype=np.uint8)
+    cfg = CodecConfig(height=64, width=64, frames=3, search_range=4, qp=4, intra_dur=3,
+                      vbs_enable=True, fme_enable=True, lam=0.015,
+                      me_search="pallas", winner_fetch="inkernel")
+    a = JaxCodec(cfg, clip).encode()
+    b = JaxCodec(dataclasses.replace(cfg, winner_fetch="fetch", winner_fetch_bucket=4), clip).encode()
+    np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
+    assert a["residual size per frame"] == b["residual size per frame"]
+
+
+@pytest.mark.parametrize("fme", [False, True])
+def test_pallas_nondivisor_band_matches(fme, monkeypatch):
+    """Bands are VMEM-sized, not divisors of nbr (VERDICT r2 item 3): a
+    forced band=2 over nbr=5 pads one block row in-kernel and must match the
+    natural program bit for bit."""
+    from streamoptima_tpu.core import me_pallas
+
+    rng = np.random.default_rng(4)
+    h, w, sr, nref = 80, 128, 4, 2
+    cur = rng.integers(0, 256, (h, w)).astype(np.int32)
+    refs = rng.integers(0, 256, (nref, h, w)).astype(np.int32)
+    search = full_search_pallas_fme if fme else full_search_pallas
+    base = search(jnp.asarray(cur), jnp.asarray(refs), sr, 16, 8, True, interpret=True)
+    monkeypatch.setattr(me_pallas, "_col_tiles", lambda *a, **k: (1, 2))
+    search._clear_cache()
+    padded = search(jnp.asarray(cur), jnp.asarray(refs), sr, 16, 8, True, interpret=True)
+    for k in base:
+        np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(padded[k]), err_msg=k)
+    search._clear_cache()
