@@ -86,12 +86,11 @@ class CodecConfig:
     # half the VBS+FME encode step.  "fetch" searches argmin-only and fetches
     # the winners' windows through the decode-side compact-DMA kernel
     # (me_pallas.pred_fetch_compact, one DMA per distinct winner MV; the DMA
-    # table is built ON DEVICE — me_pallas.build_fetch_table_jax) with a
-    # lax.cond fallback to the XLA gather path when a frame's MV diversity
-    # exceeds winner_fetch_bucket.  "inkernel" keeps the masked-select path;
-    # "auto" => fetch.  Bit-identical either way (tests/test_pallas.py).
+    # table is built ON DEVICE — me_pallas.build_fetch_table_jax — and sized
+    # to the exact worst-case distinct-winner bound, so no fallback path
+    # exists).  "inkernel" keeps the masked-select path; "auto" => fetch.
+    # Bit-identical either way (tests/test_pallas.py).
     winner_fetch: str = "auto"
-    winner_fetch_bucket: int = 64
 
     def __post_init__(self) -> None:
         if self.height % self.block_size or self.width % self.block_size:

@@ -63,7 +63,11 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
     budget = int(budget_mb * 2**20)
     if want_pred or want_qpred:
         n_quadratic = 1 + int(want_pred) + int(want_qpred)  # col_agg, ec_f, ec_q
-        const = n_quadratic * (w * w) // 4
+        # +2.4M constant bias, fitted to two on-chip Mosaic allocations:
+        # (w=1280, band=256px, pred+qpred) = 16.32M (OOM, r3) and
+        # (w_t=1920, band=144px, pred+qpred, ncol=2) = model+2.4M (r2) —
+        # both measurements agree on a ~2.4M constant the w^2/4 term misses
+        const = n_quadratic * (w * w) // 4 + int(2.4 * 2**20)
         a, b = (15.0, 1.5) if want_qpred else (9.0, 1.5)
     else:
         const = (w * w) // 4
@@ -89,11 +93,11 @@ def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd:
     exactly.  The band is returned with the ncol so the decision and the
     sizing share one budget."""
     def probe(ncol):
-        # tiled programs run a reduced budget: the calibration points behind
-        # the VMEM model are untiled, and the tiled layout measured ~2.4 MB
-        # over model at (w_t=1920, band=9) — headroom, not precision
-        b = 15.0 if ncol == 1 else 12.0
-        return _band_rows(nbr, w // ncol, bs, want_pred, want_qpred, nd, budget_mb=b)
+        # one budget for tiled and untiled: the ~2.4M bias the old reduced
+        # tiled budget papered over is now an explicit const term, so 15.8
+        # reproduces both known-good maxima (720p band 15, 4K ncol=2 band 9)
+        # while excluding the measured 16.32M OOM at 720p band 16
+        return _band_rows(nbr, w // ncol, bs, want_pred, want_qpred, nd, budget_mb=15.8)
 
     if want_pred or want_qpred:
         for ncol in (1, 2, 3, 4, 5, 6):
@@ -674,6 +678,20 @@ def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 
     return np.ascontiguousarray(np.concatenate([tab, padcols], axis=1)), pad
 
 
+def winner_bucket(nb: int, sr: int, fme: bool, vbs: bool, nref: int) -> int:
+    """Static table width covering EVERY possible winner-code set of an
+    encode search: distinct codes are bounded both by the number of coded
+    (sub-)blocks and by the candidate-grid size.  Exactness of the bound is
+    what lets the encode winner fetch run without an overflow fallback —
+    crucial on the mesh, where the GOP vmap would lower a lax.cond to
+    select-both-branches (measured 79 -> 23 fps when the XLA gather branch
+    ran every frame alongside the fetch)."""
+    d = 2 * sr if fme else sr
+    grid = (2 * d + 1) ** 2 * nref
+    blocks = (5 if vbs else 1) * nb
+    return max(64, -(-min(grid, blocks) // 64) * 64)
+
+
 def build_fetch_table_jax(mv, smv, sr: int, fme: bool, vbs: bool, bucket: int, row0: int = 0):
     """DEVICE-side build_fetch_table: the ENCODE winner fetch (round-2
     VERDICT item 2) needs the DMA table for the argmin's own winner MVs
@@ -682,21 +700,19 @@ def build_fetch_table_jax(mv, smv, sr: int, fme: bool, vbs: bool, bucket: int, r
     tunneled links).  Same arithmetic as the host builder, vectorized over a
     STATIC ``bucket`` of candidate slots (jnp.unique with a fill).
 
-    Unlike decode streams, encode winners always satisfy the kernel's bounds
-    (search validity under FME is strictly tighter than case A, and
-    |d| <= 2*sr <= 126 for any config's search range), so the only
-    data-dependent hazard is MV diversity: returns ``(table, fits)`` where
-    ``fits`` is False when the frame has more distinct winner MVs than
-    ``bucket`` — callers lax.cond to the XLA gather path then.  Padding
-    slots carry code -1 (fetched and discarded, like the host builder's)."""
+    Encode winners always satisfy the kernel's bounds (search validity under
+    FME is strictly tighter than case A, and |d| <= 2*sr <= 126 for any
+    config's search range), and callers size ``bucket`` with winner_bucket —
+    the exact worst-case distinct-code bound — so the table can never
+    overflow and no fallback path exists.  A wide bucket is cheap: the fetch
+    kernel's trip count is the REAL candidate count (jnp.sum(code != -1)),
+    the width only sizes the SMEM table.  Padding slots carry code -1
+    (matching the host builder's)."""
     rows = [mv.reshape(-1, 3)]
     if vbs:
         rows.append(smv.reshape(-1, 3))
     allmv = jnp.concatenate(rows, axis=0)
     code = (allmv[:, 2] << 16) | ((allmv[:, 0] + 128) << 8) | (allmv[:, 1] + 128)
-    csort = jnp.sort(code)
-    n_distinct = 1 + (csort[1:] != csort[:-1]).sum()
-    fits = n_distinct <= bucket
     u = jnp.unique(code, size=bucket, fill_value=-1)
     valid = u >= 0
     rf = u >> 16
@@ -720,7 +736,7 @@ def build_fetch_table_jax(mv, smv, sr: int, fme: bool, vbs: bool, bucket: int, r
     c0 = jnp.where(valid, c0, zero)
     kk = t % 8
     tab = jnp.stack([lead, kk, t - kk, c0, u]).astype(jnp.int32)
-    return tab, fits
+    return tab
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "bs", "sub_bs", "vbs", "fme",

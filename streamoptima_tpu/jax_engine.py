@@ -174,10 +174,10 @@ class JaxCodec:
         banded DMA per DISTINCT winner MV (me_pallas.pred_fetch_compact) —
         the same program decode dispatches, table built on device (no host
         round trip).  Search validity implies the kernel's bounds (case A
-        strictly, |d| <= 2sr <= 126), so the only fallback is MV diversity:
-        frames with more distinct winners than cfg.winner_fetch_bucket take
-        the XLA gather branch of the lax.cond (both branches reproduce the
-        reference exactly — cross-kernel parity in tests/test_pallas.py)."""
+        strictly, |d| <= 2sr <= 126), and the table is sized to the exact
+        worst-case distinct-winner bound (me_pallas.winner_bucket), so there
+        is no overflow and no fallback path — the kernel's trip count is the
+        real candidate count, a wide table costs only SMEM."""
         from streamoptima_tpu.core import me_pallas
 
         cfg = self.cfg
@@ -186,39 +186,20 @@ class JaxCodec:
         mv = s["mv"]
         smv = s["sub_mv"].reshape(self.nb, 4, 3) if cfg.vbs_enable else \
             jnp.zeros((self.nb, 4, 3), jnp.int32)
-        table, fits = me_pallas.build_fetch_table_jax(
-            mv, smv, sr, fme, cfg.vbs_enable, cfg.winner_fetch_bucket
+        bucket = me_pallas.winner_bucket(self.nb, sr, fme, cfg.vbs_enable, refs.shape[0])
+        table = me_pallas.build_fetch_table_jax(mv, smv, sr, fme, cfg.vbs_enable, bucket)
+        pad = sr + 1 if fme else sr
+        predf, predq = me_pallas.pred_fetch_compact(
+            mv, smv, refs, table, pad, self.bs, self.sbs, cfg.vbs_enable, fme,
+            interpret=interp, wrap_row_pass=not initial_refs,
         )
-
-        def fetch(tab):
-            pad = sr + 1 if fme else sr
-            predf, predq = me_pallas.pred_fetch_compact(
-                mv, smv, refs, tab, pad, self.bs, self.sbs, cfg.vbs_enable, fme,
-                interpret=interp, wrap_row_pass=not initial_refs,
-            )
-            pf = jnp.where(s["ok"][:, None, None], self._blockify(predf.astype(jnp.int32)), 128)
-            if not cfg.vbs_enable:
-                return pf, jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
-            pq = jnp.where(
-                s["sub_ok"][:, :, None, None], self._quads_px(predq.astype(jnp.int32)), 128
-            )
-            return pf, pq
-
-        def gather(tab):
-            search_refs = self._prep_refs(refs, initial_refs)
-            pf = P.gather_predictions(mv, search_refs, self.bx, self.by, self.bs, fme, jnp)
-            pf = jnp.where(s["ok"][:, None, None], pf, 128)
-            if not cfg.vbs_enable:
-                return pf, jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
-            pq = P.gather_predictions(
-                smv.reshape(-1, 3), search_refs, self.qx.reshape(-1), self.qy.reshape(-1),
-                self.sbs, fme, jnp,
-            ).reshape(self.nb, 4, self.sbs, self.sbs)
-            pq = jnp.where(s["sub_ok"][:, :, None, None], pq, 128)
-            return pf, pq
-
-        pred_full, pred_q = jax.lax.cond(fits, fetch, gather, table)
-        return pred_full, (pred_q if cfg.vbs_enable else None)
+        pred_full = jnp.where(s["ok"][:, None, None], self._blockify(predf.astype(jnp.int32)), 128)
+        if not cfg.vbs_enable:
+            return pred_full, None
+        pred_q = jnp.where(
+            s["sub_ok"][:, :, None, None], self._quads_px(predq.astype(jnp.int32)), 128
+        )
+        return pred_full, pred_q
 
     def _full_search(self, cur32, search_refs, fme):
         """Full-search dispatch (bit-identical results across kernels):

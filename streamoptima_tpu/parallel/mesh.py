@@ -545,10 +545,11 @@ class ShardedCodec:
         device per tile (tables differ per device — same program, different
         data).  ``read_row0`` locates cur row 0 in the band (halo8 in halo
         mode, the tile's global pixel row under all_gather — both 8-aligned,
-        so the whole offset rides the kernel's traced path).  lax.cond falls
-        back to the XLA gathers (materializing the band upsample inside the
-        branch only) when the tile has more distinct winners than
-        cfg.winner_fetch_bucket.  No collectives inside either branch."""
+        so the whole offset rides the kernel's traced path).  The table is
+        sized to the exact worst-case distinct-winner bound (winner_bucket),
+        so there is no overflow and NO lax.cond — essential here: the GOP
+        vmap would lower a cond to select-both-branches, running the XLA
+        gather fallback every frame (measured 79 -> 23 fps)."""
         from streamoptima_tpu.core import me_pallas
 
         cfg = self.cfg
@@ -558,50 +559,24 @@ class ShardedCodec:
         sub_ok = s.get("sub_ok")
         smv = s["sub_mv"].reshape(self.nb_t, 4, 3) if cfg.vbs_enable else \
             jnp.zeros((self.nb_t, 4, 3), jnp.int32)
-        table, fits = me_pallas.build_fetch_table_jax(
-            mv, smv, sr, fme, cfg.vbs_enable, cfg.winner_fetch_bucket
+        bucket = me_pallas.winner_bucket(self.nb_t, sr, fme, cfg.vbs_enable, cfg.n_ref_frames)
+        table = me_pallas.build_fetch_table_jax(mv, smv, sr, fme, cfg.vbs_enable, bucket)
+        pad = sr + 1 if fme else sr
+        predf, predq = me_pallas.pred_fetch_compact(
+            mv, smv, band, table, pad, self.bs, self.sbs, cfg.vbs_enable, fme,
+            interpret=interp, wrap_row_pass=True, read_row0=read_row0,
         )
-
-        def blockify_t(plane):
-            return plane.reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(
-                -1, self.bs, self.bs)
-
-        def quads_t(plane):
-            sbs = self.sbs
-            return plane.reshape(self.nbr_t, 2, sbs, self.nbc, 2, sbs).transpose(
-                0, 3, 1, 4, 2, 5).reshape(self.nb_t, 4, sbs, sbs)
-
-        def fetch(tab):
-            pad = sr + 1 if fme else sr
-            predf, predq = me_pallas.pred_fetch_compact(
-                mv, smv, band, tab, pad, self.bs, self.sbs, cfg.vbs_enable, fme,
-                interpret=interp, wrap_row_pass=True, read_row0=read_row0,
-            )
-            pf = jnp.where(ok[:, None, None], blockify_t(predf.astype(jnp.int32)), 128)
-            if not cfg.vbs_enable:
-                return pf, jnp.zeros((self.nb_t, 4, self.sbs, self.sbs), jnp.int32)
-            pq = jnp.where(sub_ok[:, :, None, None], quads_t(predq.astype(jnp.int32)), 128)
-            return pf, pq
-
-        def gather(tab):
-            if fme:
-                srefs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(band)
-            else:
-                srefs = band.astype(jnp.int32)
-            pf = P.gather_predictions(mv, srefs, self._bx, by_g, self.bs, fme, jnp,
-                                      grid_dims=grid_dims, origin_row=pred_origin)
-            pf = jnp.where(ok[:, None, None], pf, 128)
-            if not cfg.vbs_enable:
-                return pf, jnp.zeros((self.nb_t, 4, self.sbs, self.sbs), jnp.int32)
-            qy_g = self._qy_local + y0_px
-            pq = P.gather_predictions(
-                smv.reshape(-1, 3), srefs, self._qx.reshape(-1), qy_g.reshape(-1),
-                self.sbs, fme, jnp, grid_dims=grid_dims, origin_row=pred_origin,
-            ).reshape(self.nb_t, 4, self.sbs, self.sbs)
-            pq = jnp.where(sub_ok[:, :, None, None], pq, 128)
-            return pf, pq
-
-        return jax.lax.cond(fits, fetch, gather, table)
+        pf = predf.astype(jnp.int32).reshape(
+            self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs)
+        pf = jnp.where(ok[:, None, None], pf, 128)
+        if not cfg.vbs_enable:
+            return pf, None
+        sbs = self.sbs
+        pq = predq.astype(jnp.int32).reshape(
+            self.nbr_t, 2, sbs, self.nbc, 2, sbs).transpose(0, 3, 1, 4, 2, 5).reshape(
+            self.nb_t, 4, sbs, sbs)
+        pq = jnp.where(sub_ok[:, :, None, None], pq, 128)
+        return pf, pq
 
     # -------------------------------------------------------- shard program
     def _encode_gop_local(self, frames_l, row_qps_tile, roi_tile, y0_blocks):

@@ -253,23 +253,26 @@ def test_build_fetch_table_jax_matches_host():
                         rng.integers(-bound, bound + 1, (nb, 4)),
                         rng.integers(0, 2, (nb, 4))], axis=2).astype(np.int32)
         host_t, host_pad = build_fetch_table(mv, smv, sr, fme, True)
-        dev_t, fits = build_fetch_table_jax(
+        dev_t = build_fetch_table_jax(
             jnp.asarray(mv), jnp.asarray(smv), sr, fme, True, bucket=512
         )
-        assert bool(fits)
         assert host_pad == (sr + 1 if fme else sr)
         hcols = {tuple(c) for c in np.asarray(host_t).T.tolist() if c[4] != -1}
         dcols = {tuple(c) for c in np.asarray(dev_t).T.tolist() if c[4] != -1}
         assert hcols == dcols, fme
 
 
-def test_build_fetch_table_jax_overflow():
-    from streamoptima_tpu.core.me_pallas import build_fetch_table_jax
+def test_winner_bucket_bounds():
+    """The static table width covers every possible winner set exactly: the
+    min of the candidate-grid size and the coded-(sub-)block count."""
+    from streamoptima_tpu.core.me_pallas import winner_bucket
 
-    mv = jnp.asarray(np.stack([np.arange(10) - 5, np.zeros(10), np.zeros(10)], axis=1), jnp.int32)
-    smv = jnp.zeros((10, 4, 3), jnp.int32)
-    _, fits = build_fetch_table_jax(mv, smv, 8, False, False, bucket=4)
-    assert not bool(fits)
+    # grid-bound: sr=8 whole-pel, 1 ref -> 17^2 = 289 -> 320
+    assert winner_bucket(3600, 8, False, True, 1) == 320
+    # block-bound: tiny frame, vbs -> 5 * 16 = 80 -> 128
+    assert winner_bucket(16, 8, True, True, 4) == 128
+    # fme doubles the displacement bound
+    assert winner_bucket(10**6, 8, True, False, 1) == -(-33 * 33 // 64) * 64
 
 
 @pytest.mark.parametrize("fme,vbs", [(False, False), (True, True)])
@@ -294,10 +297,9 @@ def test_winner_fetch_matches_inkernel(fme, vbs):
         assert fa == fb
 
 
-def test_winner_fetch_bucket_overflow_fallback():
-    """A frame with more distinct winner MVs than winner_fetch_bucket takes
-    the lax.cond XLA-gather branch — still bit-identical (noise clip: winner
-    MVs are diverse)."""
+def test_winner_fetch_diverse_mvs():
+    """Noise content maximizes winner-MV diversity — the worst-case-sized
+    table must hold them all and stay bit-identical to the in-kernel path."""
     import dataclasses
 
     from streamoptima_tpu.config import CodecConfig
@@ -309,7 +311,7 @@ def test_winner_fetch_bucket_overflow_fallback():
                       vbs_enable=True, fme_enable=True, lam=0.015,
                       me_search="pallas", winner_fetch="inkernel")
     a = JaxCodec(cfg, clip).encode()
-    b = JaxCodec(dataclasses.replace(cfg, winner_fetch="fetch", winner_fetch_bucket=4), clip).encode()
+    b = JaxCodec(dataclasses.replace(cfg, winner_fetch="fetch"), clip).encode()
     np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
     assert a["residual size per frame"] == b["residual size per frame"]
 
@@ -333,3 +335,29 @@ def test_pallas_nondivisor_band_matches(fme, monkeypatch):
     for k in base:
         np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(padded[k]), err_msg=k)
     search._clear_cache()
+
+
+def test_band_model_pinned_points():
+    """VMEM-model pinning (VERDICT r2 item 9): band/column-tile selections
+    for the supported shape matrix, anchored to on-chip Mosaic scoped-
+    allocation measurements (docs/TPU_DESIGN.md):
+    - (w=1280, band=256px, pred+qpred, nd=17) measured 16.32M — OOM over the
+      16M scoped limit, so 720p must select band 15, not 16;
+    - (w_t=1920, ncol=2, band=144px, pred+qpred) measured ~15.7M — fits, so
+      4K keeps ncol=2 band 9.
+    Any model change that silently regresses a band for these classes (or
+    collapses a supported class below 4 rows) fails here, compile-free."""
+    from streamoptima_tpu.core.me_pallas import _band_rows, _col_tiles
+
+    # (w, nbr, nd, pred, qpred) -> (ncol, band)
+    assert _col_tiles(1280, 45, 16, True, True, 17) == (1, 15)   # 720p vbs+fme sr8
+    assert _col_tiles(3840, 135, 16, True, True, 17) == (2, 9)   # 4K vbs+fme sr8
+    assert _col_tiles(1280, 45, 16, False, False, 17) == (1, 16)  # 720p argmin-only
+    # the supported matrix never collapses below 4 rows
+    for w, nbr in ((352, 18), (1280, 45), (1920, 68), (3840, 135)):
+        for nd in (17, 33):
+            for pred, qpred in ((False, False), (True, False), (True, True)):
+                ncol, band = _col_tiles(w, nbr, 16, pred, qpred, nd)
+                assert band >= min(4, nbr), (w, nbr, nd, pred, qpred, ncol, band)
+    # fetch-kernel band (nd=1) stays healthy at 720p
+    assert _band_rows(45, 1280, 16, True, True, 1) >= 8
