@@ -536,15 +536,22 @@ def full_search_pallas_fme(cur, refs, sr: int, bs: int, sub_bs: int, vbs: bool,
 
 
 # ----------------------------------------------------------- pred fetch
+# MV code packing: 13 bits per displacement component so fast-ME MVP chains
+# (unbounded walks, Encoder.py:719-742 — |d| can reach frame size) pack into
+# the same int32 equality codes as full-search winners.  ref < 32 keeps the
+# code non-negative, so the -1/-2 sentinels can never collide.
+_MV_OFF = 4096  # |d| <= 4095 covers every frame dimension the codec supports
+
+
 def mv_codes(mv3, nbr, nbc):
-    """(nb, 3) MVs -> (nbr, nbc) packed codes (ref<<16)|((dx+128)<<8)|(dy+128)."""
-    c = (mv3[:, 2] << 16) | ((mv3[:, 0] + 128) << 8) | (mv3[:, 1] + 128)
+    """(nb, 3) MVs -> (nbr, nbc) packed codes (ref<<26)|((dx+4096)<<13)|(dy+4096)."""
+    c = (mv3[:, 2] << 26) | ((mv3[:, 0] + _MV_OFF) << 13) | (mv3[:, 1] + _MV_OFF)
     return c.reshape(nbr, nbc)
 
 
 def sub_mv_codes(sub_mv, nbr, nbc):
     """(nb, 4, 3) quad-order sub MVs -> (2nbr, 2nbc) raster packed codes."""
-    c = (sub_mv[:, :, 2] << 16) | ((sub_mv[:, :, 0] + 128) << 8) | (sub_mv[:, :, 1] + 128)
+    c = (sub_mv[:, :, 2] << 26) | ((sub_mv[:, :, 0] + _MV_OFF) << 13) | (sub_mv[:, :, 1] + _MV_OFF)
     return c.reshape(nbr, nbc, 2, 2).transpose(0, 2, 1, 3).reshape(2 * nbr, 2 * nbc)
 
 
@@ -583,9 +590,10 @@ def fetch_decodable(mv_np, smv_np, sr: int, fme: bool, vbs: bool,
     (primary bounds valid in FRAME-global coordinates — case C reads a
     stride-1 window of the upsampled frame, which only the XLA gather path
     serves).  Well-formed full-search streams always pass; fast-ME MVP
-    chains can exceed sr.  |d| <= 126 guards the 8-bit code packing.
+    chains can exceed sr (those ride the WIDE fetch mode instead —
+    JaxCodec._decode dispatch).  |d| < _MV_OFF guards the code packing.
     """
-    bound = min(2 * sr if fme else sr, 126)
+    bound = min(2 * sr if fme else sr, _MV_OFF - 1)
     allmv = np.concatenate([mv_np.reshape(-1, 3), smv_np.reshape(-1, 3)]) \
         if vbs else mv_np.reshape(-1, 3)
     if np.abs(allmv[:, :2]).max(initial=0) > bound:
@@ -617,7 +625,8 @@ def fetch_decodable(mv_np, smv_np, sr: int, fme: bool, vbs: bool,
     return bool(ok)
 
 
-def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 0):
+def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 0,
+                      pads=None):
     """HOST side of the decode prediction fetch: the distinct transmitted MVs
     of one frame -> a (5, ncand_pad) int32 DMA table for pred_fetch_compact.
 
@@ -635,9 +644,9 @@ def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 
           every DMA start stays sublane-aligned)
       [2] 8-aligned plane row offset (row shift - [1])
       [3] plane column offset (column shift + pad, >= 0)
-      [4] the packed MV code (ref<<16)|((dx+128)<<8)|(dy+128) matched against
-          the per-block code maps — -1 on padding rows (matches nothing; the
-          window is fetched and discarded)
+      [4] the packed MV code (ref<<26)|((dx+4096)<<13)|(dy+4096) matched
+          against the per-block code maps — -1 on padding rows (matches
+          nothing; the window is fetched and discarded)
 
     Returns (table, pad) or None when the frame has more distinct MVs than
     the largest bucket (the XLA gather path is then the better program
@@ -648,6 +657,13 @@ def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 
     inside the reference band, folded into [1]/[2] here because it need not
     be 8-aligned (row-tiled mesh decode passes its halo height; any traced
     8-aligned remainder rides pred_fetch_compact's ``read_row0``).
+
+    ``pads``: optional (padr, padc) for the WIDE kernel mode (fast-ME
+    streams, whose MVP-chain walks are not bounded by the search range —
+    the plane is padded by padr rows / padc cols instead of the sr-derived
+    pad, and the kernel resolves the column offset as a 128-aligned DMA
+    lane start plus a <=127 barrel-shift remainder).  None = narrow mode,
+    pad = sr(+1) on both axes exactly as before.
     """
     rows = [mv_np.reshape(-1, 3)]
     if vbs:
@@ -656,26 +672,27 @@ def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 
     if allmv.shape[0] > FETCH_BUCKETS[-1]:
         return None
     dx, dy, rf = allmv[:, 0], allmv[:, 1], allmv[:, 2]
+    base = sr + 1 if fme else sr
+    padr, padc = (base, base) if pads is None else pads
     if fme:
-        pad = sr + 1
         pyp, pxp = dy % 2, dx % 2
         ky, kx = (dy - pyp) // 2, (dx - pxp) // 2
         lead = rf * 4 + pyp * 2 + pxp
-        t, c0 = ky + pad, kx + pad
+        t, c0 = ky + padr, kx + padc
     else:
-        pad = sr
         lead = rf
-        t, c0 = dy + pad, dx + pad
+        t, c0 = dy + padr, dx + padc
     t = t + row0
     assert (t >= 0).all() and (c0 >= 0).all(), "MV outside the padded plane"
-    code = (rf << 16) | ((dx + 128) << 8) | (dy + 128)
+    code = (rf << 26) | ((dx + _MV_OFF) << 13) | (dy + _MV_OFF)
     kk = t % 8
     tab = np.stack([lead, kk, t - kk, c0, code]).astype(np.int32)
     ncand = tab.shape[1]
     npad = next(b for b in FETCH_BUCKETS if ncand <= b)
     padcols = np.zeros((5, npad - ncand), np.int32)
     padcols[4] = -1
-    return np.ascontiguousarray(np.concatenate([tab, padcols], axis=1)), pad
+    pad_out = base if pads is None else (padr, padc)
+    return np.ascontiguousarray(np.concatenate([tab, padcols], axis=1)), pad_out
 
 
 def winner_bucket(nb: int, sr: int, fme: bool, vbs: bool, nref: int) -> int:
@@ -712,12 +729,12 @@ def build_fetch_table_jax(mv, smv, sr: int, fme: bool, vbs: bool, bucket: int, r
     if vbs:
         rows.append(smv.reshape(-1, 3))
     allmv = jnp.concatenate(rows, axis=0)
-    code = (allmv[:, 2] << 16) | ((allmv[:, 0] + 128) << 8) | (allmv[:, 1] + 128)
+    code = (allmv[:, 2] << 26) | ((allmv[:, 0] + _MV_OFF) << 13) | (allmv[:, 1] + _MV_OFF)
     u = jnp.unique(code, size=bucket, fill_value=-1)
     valid = u >= 0
-    rf = u >> 16
-    dx = ((u >> 8) & 0xFF) - 128
-    dy = (u & 0xFF) - 128
+    rf = u >> 26
+    dx = ((u >> 13) & 0x1FFF) - _MV_OFF
+    dy = (u & 0x1FFF) - _MV_OFF
     if fme:
         pad = sr + 1
         pyp, pxp = dy % 2, dx % 2
