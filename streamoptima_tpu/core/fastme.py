@@ -1,0 +1,436 @@
+"""Fast-ME (3x3 MVP-chain search) as batched MXU programs.
+
+The reference's fast ME (Encoder.py:719-742) recenters every block's 3x3
+candidate window on its raster predecessor's MV, so each block reads a small
+window at a *data-dependent* position.  Lowered naively (vmapped
+dynamic_slice) XLA turns that into a slice-gather at ~2.1 us/block on TPU —
+per-sweep cost is pure gather latency, and the Jacobi chain solve needs tens
+of sweeps on lossy references (measured 19.5 warm / 30 cold sweeps/frame at
+CIF qp=5).  This module replaces the whole eval with TPU-native pieces:
+
+* ``window_gather``: the per-block dynamic window read as two 0/1 MXU
+  matmuls (one-hot row/column selectors), the same gather-killer trick the
+  search kernels use for mask expansion.  Out-of-plane indices match no
+  one-hot column and read EXACT zeros — which is precisely the reference's
+  zero-fill semantics for out-of-frame reads, so no padding and no clamping
+  exist anywhere on this path.
+* ``eval9`` / ``pick9``: the 9-candidate SAD + winner logic of
+  ``me.fast_candidates`` (strict-improvement scan order (ref, dx, dy),
+  quirk-K7 candidate bounds, K8 fallback to the MVP itself) vectorized over
+  blocks.  Under FME the windows come from the four half-pel parity planes
+  (``me.fme_parity_planes``) — the (2H-1, 2W-1) upsample is never
+  materialized — via a per-block parity decomposition: candidate
+  (dy, dx) = g + (di-1, dj-1) lives in parity plane ((g+di+1) % 2, ...) at
+  plane offset ((g+di+1) // 2 - (g+1) // 2) in {0, 1}, so one
+  (n+2)-square region per parity plane serves all nine candidates through
+  static slices + parity selects.
+* ``confirm``: one extra batched pass at the converged MVPs that returns
+  the four VBS quad searches (their windows live inside the SAME regions —
+  the quad sweep used to cost 4 ms/frame of its own gathers at CIF) and the
+  winner predictions with bit-exact ``pred.gather_predictions`` semantics
+  (case A/B/C: the g2 stride-2 window, the all-128 margin fallback, and the
+  g1 stride-1 zero-filled window are all reconstructed from the fetched
+  regions; g1's parity interleave is a static 2x2 sub-grid merge).
+
+Engines drive these through a row-segmented chain solve (see
+JaxCodec._fast_search_rowscan / ShardedCodec._fast_tile_rowscan): a
+lax.scan over block columns is EXACT within each block row, so the Jacobi
+iteration runs only over the per-row seed MVs (the raster chain's
+row-to-row hand-off) and converges in a couple of outer passes instead of
+one sweep per MV-field discontinuity chain.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import me as M
+
+_INF32 = np.int32(2**31 - 1)
+
+
+def plane_stack(refs, fme: bool, xp, wrap_row_pass: bool = True):
+    """(nref, h, w) raw reference frames -> bf16 candidate planes.
+
+    FME: (nref*4, h, w) half-pel parity planes (me.fme_parity_planes order
+    [p00, p01, p10, p11], py-major; plane (py, px) = upsample[py::2, px::2]
+    zero-padded to (h, w) — those pad entries stand for upsample coordinates
+    beyond 2h-2/2w-2 and must read as 0, which they do).  Whole-pel:
+    (nref, h, w) the frames themselves.
+
+    bf16 is exact for pixel-range integers (<= 255 after the ceil-average
+    half-pel interpolation) and is the MXU-native operand type for the
+    one-hot window gather.
+    """
+    import jax
+
+    if fme:
+        planes = jax.vmap(lambda r: M.fme_parity_planes(r, xp, wrap_row_pass=wrap_row_pass))(refs)
+        planes = planes.reshape(-1, refs.shape[-2], refs.shape[-1])
+    else:
+        planes = refs.astype(xp.int32)
+    return planes.astype(xp.bfloat16)
+
+
+def window_gather(planes, by0, bx0, nwin: int, xp, chunk_bytes: int = 32 << 20):
+    """windows[b, p, i, j] = planes[p, by0[b]+i, bx0[b]+j], 0 out of plane.
+
+    planes (P, H, W) bf16; by0/bx0 (nb,) int32 window origins in plane
+    coordinates (any value — out-of-plane indices hit no one-hot column and
+    produce exact zeros).  Returns (nb, P, nwin, nwin) int32.
+
+    Two MXU matmuls per chunk: columns first ((P*H, W) @ (W, nc*nwin) — one
+    large plain matmul), then rows (per-block batched (nwin, H) @ (H, P*nwin)).
+    One-hot operands and integer plane values make both products exact in
+    bf16 with f32 accumulation.  ``chunk_bytes`` bounds the (nc, P, H, nwin)
+    f32 intermediate; blocks are processed in equal chunks via lax.map.
+    """
+    import jax
+
+    P, H, W = planes.shape
+    nb = by0.shape[0]
+    per_block = P * H * nwin * 4
+    nc = max(1, min(nb, chunk_bytes // per_block))
+    nchunk = -(-nb // nc)
+
+    def fetch(args):
+        byc, bxc = args  # (nc,)
+        jj = bxc[:, None] + xp.arange(nwin)[None, :]  # (nc, nwin)
+        cs = (jj[:, None, :] == xp.arange(W)[None, :, None]).astype(xp.bfloat16)
+        colf = xp.einsum("phw,bwj->bphj", planes, cs, preferred_element_type=xp.float32)
+        ii = byc[:, None] + xp.arange(nwin)[None, :]
+        rs = (ii[:, :, None] == xp.arange(H)[None, None, :]).astype(xp.bfloat16)
+        win = xp.einsum("bih,bphj->bpij", rs, colf.astype(xp.bfloat16),
+                        preferred_element_type=xp.float32)
+        return win.astype(xp.int32)
+
+    if nchunk == 1:
+        return fetch((by0, bx0))
+    padn = nchunk * nc - nb
+    byp = xp.concatenate([by0, xp.full((padn,), -(10**6), by0.dtype)])
+    bxp = xp.concatenate([bx0, xp.full((padn,), -(10**6), bx0.dtype)])
+    wins = jax.lax.map(fetch, (byp.reshape(nchunk, nc), bxp.reshape(nchunk, nc)))
+    return wins.reshape(nchunk * nc, P, nwin, nwin)[:nb]
+
+
+def _region_base(g, y, x, n: int, fme: bool, xp):
+    """Window-stack origin for the 3x3 search around MVP ``g``.
+
+    FME: plane coordinates (y + (gy-1)//2, x + (gx-1)//2) — floor division,
+    so the nine candidates' parity-plane rows sit at static offsets {0, 1}
+    from it.  Whole-pel: (y + gy - 1, x + gx - 1)."""
+    gx, gy = g[:, 0], g[:, 1]
+    if fme:
+        return y + (gy - 1) // 2, x + (gx - 1) // 2
+    return y + gy - 1, x + gx - 1
+
+
+def _cand_valid(g, X, Y, n: int, dims, nref: int, nvalid, xp):
+    """(nb, nref, 3, 3) candidate validity: quirk-K7 bounds of
+    me.fast_candidates (strictly tighter than case A on both edges) plus the
+    reference-FIFO population mask."""
+    H, W = dims
+    d = xp.arange(-1, 2)
+    px = (X[:, None] + g[:, None, 0] + d[None, :])  # (nb, 3) by dxi
+    py = (Y[:, None] + g[:, None, 1] + d[None, :])
+    okx = (px >= 0) & (px < W - n) & (px + 2 * n >= 0) & (px + 2 * n < W - n)
+    oky = (py >= 0) & (py < H - n) & (py + 2 * n >= 0) & (py + 2 * n < H - n)
+    valid = oky[:, None, :, None] & okx[:, None, None, :]  # (nb, 1, dyi, dxi)
+    ok = xp.broadcast_to(valid, (valid.shape[0], nref, 3, 3))
+    if nvalid is not None:
+        ok = ok & (xp.arange(nref)[None, :, None, None] < nvalid)
+    return ok
+
+
+def pick9(sads, valid, g, xp):
+    """Winner of the 3x3 fast-ME search, me.fast_candidates semantics:
+    first minimum in (ref, dx, dy) scan order (strict improvement), K8
+    fallback to the MVP itself when no candidate is valid.
+
+    sads/valid (nb, nref, 3, 3) indexed [ref, dyi, dxi]; g (nb, 3) the MVP
+    [gx, gy, gref].  Returns mv (nb, 3), sad (nb,) int32."""
+    nb, nref = sads.shape[:2]
+    sm = xp.where(valid, sads, _INF32)
+    order = sm.transpose(0, 1, 3, 2).reshape(nb, nref * 9)  # ref-major, dx, dy
+    k = xp.argmin(order, axis=-1)
+    best = xp.min(order, axis=-1)
+    ref_i = (k // 9).astype(xp.int32)
+    dxi = ((k % 9) // 3).astype(xp.int32)
+    dyi = (k % 3).astype(xp.int32)
+    ok = best != _INF32
+    mv = xp.where(
+        ok[:, None],
+        xp.stack([g[:, 0] + dxi - 1, g[:, 1] + dyi - 1, ref_i], axis=-1),
+        g,
+    ).astype(xp.int32)
+    return mv, xp.where(ok, best, _INF32).astype(xp.int32), dyi, dxi, ok
+
+
+def _sad16_select(sad16, ay, ax, dyi: int, dxi: int, xp):
+    """Candidate (dyi, dxi) SAD from the 16 parity-combination SADs.
+
+    sad16 (nb, nref, 2, 2, 2, 2) indexed [pyp, pxp, oy, ox]; the mapping
+    (parity of the MVP, candidate index) -> (plane parity, region offset) is
+    t = dyi + 1 - ay -> (t % 2, t // 2), selected per block over the four
+    (ay, ax) combinations."""
+    out = None
+    for av in (0, 1):
+        ty = dyi + 1 - av
+        for bv in (0, 1):
+            tx = dxi + 1 - bv
+            cand = sad16[:, :, ty % 2, tx % 2, ty // 2, tx // 2]
+            m = ((ay == av) & (ax == bv))[:, None]
+            out = xp.where(m, cand, out) if out is not None else xp.where(m, cand, cand)
+    return out
+
+
+def eval9(win, cur_blk, g, X, Y, n: int, dims, fme: bool, nvalid, xp):
+    """The batched 3x3 fast-ME step: windows from window_gather around each
+    block's MVP, SADs + winner with me.fast_candidates semantics.
+
+    win: (nb, P, nwin, nwin) int32 regions based at _region_base(g);
+    cur_blk (nb, n, n) int32; g (nb, 3) MVPs; X/Y (nb,) block origins in
+    search coordinates (x2 under FME).  Returns (mv, sad)."""
+    nb = win.shape[0]
+    if fme:
+        nref = win.shape[1] // 4
+        w4 = win.reshape(nb, nref, 4, win.shape[-2], win.shape[-1])
+        sad16 = xp.stack([
+            xp.stack([
+                xp.abs(w4[:, :, :, oy : oy + n, ox : ox + n] - cur_blk[:, None, None]).sum((-2, -1))
+                for ox in (0, 1)
+            ], axis=-1)
+            for oy in (0, 1)
+        ], axis=-2)  # (nb, nref, 4, oy, ox)
+        sad16 = sad16.reshape(nb, nref, 2, 2, 2, 2)  # [pyp, pxp, oy, ox]
+        ay, ax = g[:, 1] % 2, g[:, 0] % 2
+        sads = xp.stack([
+            xp.stack([_sad16_select(sad16, ay, ax, dyi, dxi, xp) for dxi in range(3)], axis=-1)
+            for dyi in range(3)
+        ], axis=-2)  # (nb, nref, dyi, dxi)
+    else:
+        nref = win.shape[1]
+        sads = xp.stack([
+            xp.stack([
+                xp.abs(win[:, :, dyi : dyi + n, dxi : dxi + n] - cur_blk[:, None]).sum((-2, -1))
+                for dxi in range(3)
+            ], axis=-1)
+            for dyi in range(3)
+        ], axis=-2)
+    valid = _cand_valid(g, X, Y, n, dims, nref, nvalid, xp)
+    mv, sad, _, _, _ = pick9(sads, valid, g, xp)
+    return mv, sad
+
+
+def _ref_select(w, ref, xp):
+    """w (nb, nref, ...) -> (nb, ...) rows picked by the traced ref index
+    (nref is small; an unrolled select beats a gather)."""
+    nref = w.shape[1]
+    out = w[:, 0]
+    for r in range(1, nref):
+        out = xp.where((ref == r).reshape((-1,) + (1,) * (out.ndim - 1)), w[:, r], out)
+    return out
+
+
+def _win16_select(w4, ref, ay, ax, dyi, dxi, n: int, row_extra, col_extra, xp):
+    """The stride-2 (g2) window of candidate (dyi, dxi): region slice
+    [oy + row_extra : +n, ox + col_extra : +n] of parity plane (pyp, pxp),
+    all indices per-block traced -> unrolled static slices + selects.
+
+    w4 (nb, nref, 4, nwin, nwin); dyi/dxi (nb,) traced in {0,1,2};
+    row_extra/col_extra static (quad offsets).  Returns (nb, n, n) int32."""
+    wr = _ref_select(w4, ref, xp)  # (nb, 4, nwin, nwin)
+    out = None
+    for av in (0, 1):
+        for bv in (0, 1):
+            m_ab = (ay == av) & (ax == bv)
+            for dy in range(3):
+                ty = dy + 1 - av
+                for dx in range(3):
+                    tx = dx + 1 - bv
+                    pl = (ty % 2) * 2 + (tx % 2)
+                    r0, c0 = ty // 2 + row_extra, tx // 2 + col_extra
+                    cand = wr[:, pl, r0 : r0 + n, c0 : c0 + n]
+                    m = (m_ab & (dyi == dy) & (dxi == dx))[:, None, None]
+                    out = cand if out is None else xp.where(m, cand, out)
+    return out
+
+
+def _g1_fme(w4, ref, py, px, by0, bx0, n: int, row_extra: int, col_extra: int, xp):
+    """The stride-1 zero-filled fallback window (gather_predictions' g1) of
+    the FME path, rebuilt from the parity regions: upsample row u = py + r
+    lives in parity plane u % 2 at plane row u // 2, so the four (row, col)
+    parity sub-grids of g1 are static region slices interleaved back with a
+    stack+reshape.  Out-of-upsample reads are exact zeros already (one-hot
+    misses and the parity planes' own zero pad rows).
+
+    w4 (nb, nref, 4, nwin, nwin) regions; (by0, bx0) the g1 window's OWN
+    plane-coordinate base (the region base plus the quad offset), with
+    row_extra/col_extra the static quad offset inside the region; py/px
+    (nb,) the window origin in upsample coordinates.  floor(py/2) - by0 is
+    in {0, 1} for every transmitted MV (winner or K8 fallback = the MVP,
+    both within one half-pel row of the region center).
+    Returns (nb, n, n) int32."""
+    wr = _ref_select(w4, ref, xp)  # (nb, 4, nwin, nwin)
+    a = py % 2  # (nb,) upsample row parity
+    b = px % 2
+    i0 = py // 2 - by0
+    j0 = px // 2 - bx0
+    h2 = n // 2
+    subs = []
+    for s in (0, 1):  # g1 rows s::2 come from row parity (a+s)%2
+        row_sub = []
+        for t in (0, 1):
+            # plane row offset i0 + (a+s)//2: per-block traced in {0,1,2};
+            # select among the static starts
+            out = None
+            for av in (0, 1):
+                for bv in (0, 1):
+                    pl = ((av + s) % 2) * 2 + ((bv + t) % 2)
+                    m_ab = (a == av) & (b == bv)
+                    for iv in (0, 1):
+                        for jv in (0, 1):
+                            r0 = row_extra + iv + (av + s) // 2
+                            c0 = col_extra + jv + (bv + t) // 2
+                            cand = wr[:, pl, r0 : r0 + h2, c0 : c0 + h2]
+                            m = (m_ab & (i0 == iv) & (j0 == jv))[:, None, None]
+                            out = cand if out is None else xp.where(m, cand, out)
+            row_sub.append(out)
+        # interleave columns t=0/1 -> (nb, h2, n)
+        subs.append(xp.stack(row_sub, axis=-1).reshape(-1, h2, n))
+    # interleave rows s=0/1 -> (nb, n, n)
+    return xp.stack(subs, axis=2).reshape(-1, n, n)
+
+
+def _pred_from_regions(w, ref, mv_x, mv_y, dyi, dxi, X, Y, by0, bx0, n: int,
+                       dims, fme: bool, row_extra: int, col_extra: int, xp):
+    """Bit-exact pred.gather_predictions for transmitted MVs that are region
+    candidates (winner or K8 fallback = the center): FME selects among the
+    g2 stride-2 window, the all-128 margin fallback, and the g1 stride-1
+    zero-filled window; whole-pel is always the contiguous zero-filled
+    window.  fme_margin = n (the block's own size, quirk-K18 residual-path
+    semantics)."""
+    H, W = dims
+    if not fme:
+        wr = _ref_select(w, ref, xp)  # (nb, nwin, nwin)
+        out = None
+        for dy in range(3):
+            for dx in range(3):
+                cand = wr[:, dy + row_extra : dy + row_extra + n, dx + col_extra : dx + col_extra + n]
+                m = ((dyi == dy) & (dxi == dx))[:, None, None]
+                out = cand if out is None else xp.where(m, cand, out)
+        return out
+    nb = w.shape[0]
+    w4 = w.reshape(nb, -1, 4, w.shape[-2], w.shape[-1])
+    px = X + mv_x
+    py = Y + mv_y
+    valid1 = (px >= 0) & (px < W - n) & (py >= 0) & (py < H - n)
+    valid2 = (px + 2 * n >= 0) & (px + 2 * n < W - n) & (py + 2 * n >= 0) & (py + 2 * n < H - n)
+    ay, ax = (mv_y - dyi + 1) % 2, (mv_x - dxi + 1) % 2  # = MVP parity
+    g2 = _win16_select(w4, ref, ay, ax, dyi, dxi, n, row_extra, col_extra, xp)
+    g1 = _g1_fme(w4, ref, py, px, by0, bx0, n, row_extra, col_extra, xp)
+    return xp.where(
+        valid1[:, None, None],
+        xp.where(valid2[:, None, None], g2, 128),
+        g1,
+    ).astype(xp.int32)
+
+
+def confirm(win, cur_blk, cur_quads, g, X, Y, bs: int, sbs: int, dims, fme: bool,
+            vbs: bool, nvalid, by0, bx0, xp):
+    """One batched pass at the converged MVPs ``g``: the full-block winner
+    (identical to eval9 — the confirm re-derives it so its prediction and the
+    quad searches come from the same fetched regions), the four VBS quad
+    searches (Encoder.py:549-560: quads search the block-level MVP and never
+    feed the chain), and winner predictions with gather_predictions
+    semantics for both.
+
+    cur_quads (nb, 4, sbs, sbs) quad-order current sub-blocks; X/Y block
+    origins in search coordinates; by0/bx0 the region bases the windows were
+    fetched at.  Returns dict(mv, sad, ok, pred_full[, sub_mv, sub_sad,
+    sub_ok, pred_quads])."""
+    nb = win.shape[0]
+    scale = 2 if fme else 1
+    nwin = win.shape[-1]
+    if fme:
+        nref = win.shape[1] // 4
+        w4 = win.reshape(nb, nref, 4, nwin, nwin)
+        sad16 = xp.stack([
+            xp.stack([
+                xp.abs(w4[:, :, :, oy : oy + bs, ox : ox + bs] - cur_blk[:, None, None]).sum((-2, -1))
+                for ox in (0, 1)
+            ], axis=-1)
+            for oy in (0, 1)
+        ], axis=-2).reshape(nb, nref, 2, 2, 2, 2)
+        ay, ax = g[:, 1] % 2, g[:, 0] % 2
+        sads = xp.stack([
+            xp.stack([_sad16_select(sad16, ay, ax, dyi, dxi, xp) for dxi in range(3)], axis=-1)
+            for dyi in range(3)
+        ], axis=-2)
+    else:
+        nref = win.shape[1]
+        sads = xp.stack([
+            xp.stack([
+                xp.abs(win[:, :, dyi : dyi + bs, dxi : dxi + bs] - cur_blk[:, None]).sum((-2, -1))
+                for dxi in range(3)
+            ], axis=-1)
+            for dyi in range(3)
+        ], axis=-2)
+    valid = _cand_valid(g, X, Y, bs, dims, nref, nvalid, xp)
+    mv, sad, dyi, dxi, okw = pick9(sads, valid, g, xp)
+    # K8 fallback transmits the MVP itself = the center candidate (1, 1)
+    one = xp.ones_like(dyi)
+    dyi = xp.where(okw, dyi, one)
+    dxi = xp.where(okw, dxi, one)
+    pred_full = _pred_from_regions(
+        win, mv[:, 2], mv[:, 0], mv[:, 1], dyi, dxi, X, Y, by0, bx0, bs, dims, fme, 0, 0, xp
+    )
+    out = {"mv": mv, "sad": sad, "ok": sad != _INF32, "pred_full": pred_full}
+    if not vbs:
+        return out
+    smvs, ssads, spreds = [], [], []
+    for q, (oy_q, ox_q) in enumerate(((0, 0), (0, sbs), (sbs, 0), (sbs, sbs))):
+        Xq = X + scale * ox_q
+        Yq = Y + scale * oy_q
+        cq = cur_quads[:, q]
+        if fme:
+            qsad16 = xp.stack([
+                xp.stack([
+                    xp.abs(
+                        w4[:, :, :, oy + oy_q : oy + oy_q + sbs, ox + ox_q : ox + ox_q + sbs]
+                        - cq[:, None, None]
+                    ).sum((-2, -1))
+                    for ox in (0, 1)
+                ], axis=-1)
+                for oy in (0, 1)
+            ], axis=-2).reshape(nb, nref, 2, 2, 2, 2)
+            qsads = xp.stack([
+                xp.stack([_sad16_select(qsad16, ay, ax, dyi_, dxi_, xp) for dxi_ in range(3)], axis=-1)
+                for dyi_ in range(3)
+            ], axis=-2)
+        else:
+            qsads = xp.stack([
+                xp.stack([
+                    xp.abs(
+                        win[:, :, dyi_ + oy_q : dyi_ + oy_q + sbs, dxi_ + ox_q : dxi_ + ox_q + sbs]
+                        - cq[:, None]
+                    ).sum((-2, -1))
+                    for dxi_ in range(3)
+                ], axis=-1)
+                for dyi_ in range(3)
+            ], axis=-2)
+        qvalid = _cand_valid(g, Xq, Yq, sbs, dims, nref, nvalid, xp)
+        qmv, qsad, qdyi, qdxi, qok = pick9(qsads, qvalid, g, xp)
+        qdyi = xp.where(qok, qdyi, one)
+        qdxi = xp.where(qok, qdxi, one)
+        qpred = _pred_from_regions(
+            win, qmv[:, 2], qmv[:, 0], qmv[:, 1], qdyi, qdxi, Xq, Yq,
+            by0 + oy_q, bx0 + ox_q, sbs, dims, fme, oy_q, ox_q, xp,
+        )
+        smvs.append(qmv)
+        ssads.append(qsad)
+        spreds.append(qpred)
+    out["sub_mv"] = xp.stack(smvs, axis=1)
+    out["sub_sad"] = xp.stack(ssads, axis=1)
+    out["sub_ok"] = out["sub_sad"] != _INF32
+    out["pred_quads"] = xp.stack(spreds, axis=1)
+    return out

@@ -1,0 +1,128 @@
+"""core/fastme.py vs the established oracles: the one-hot window gather +
+batched eval9/confirm must reproduce me.fast_candidates (per-block 3x3
+search), me.fast_quads_sweep (VBS quads at the block MVP) and
+pred.gather_predictions (winner predictions incl. the FME g1/g2/128 branch
+semantics) bit-exactly, including wild/out-of-frame MVPs (K8 fallbacks)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from streamoptima_tpu.core import fastme as FM
+from streamoptima_tpu.core import me as M
+from streamoptima_tpu.core import pred as P
+
+
+def _setup(fme, nref=2, h=64, w=96, bs=16, seed=0):
+    rng = np.random.default_rng(seed)
+    nbr, nbc = h // bs, w // bs
+    nb = nbr * nbc
+    cur = rng.integers(0, 256, (h, w)).astype(np.int32)
+    refs = rng.integers(0, 256, (nref, h, w)).astype(np.uint8)
+    ys, xs = np.meshgrid(np.arange(nbr) * bs, np.arange(nbc) * bs, indexing="ij")
+    bx, by = xs.reshape(-1), ys.reshape(-1)
+    scale = 2 if fme else 1
+    # guesses: mostly small, some huge/wild (K8 fallback territory), some
+    # exactly at frame edges, random parities
+    g = rng.integers(-6, 7, (nb, 3))
+    g[:, 2] = rng.integers(0, nref, nb)
+    g[3] = [5000, -4000, 0]
+    g[7] = [-2 * w, 2 * h, nref - 1]
+    g[11] = [scale * (w - bs) - scale * bx[11], 0, 0]  # right edge
+    g[15] = [0, -scale * by[15], 0]                     # top edge exactly
+    return cur, refs, jnp.asarray(bx), jnp.asarray(by), jnp.asarray(g.astype(np.int32)), (nbr, nbc)
+
+
+@pytest.mark.parametrize("fme", [False, True])
+def test_eval9_matches_fast_candidates(fme):
+    cur, refs, bx, by, g, (nbr, nbc) = _setup(fme)
+    h, w = cur.shape
+    bs = 16
+    scale = 2 if fme else 1
+    n = bs
+    pad = scale * (n - 1) + 3
+    if fme:
+        sref = jax.vmap(lambda r: M.fme_upsample(r.astype(jnp.int32), jnp, wrap_row_pass=True))(
+            jnp.asarray(refs)
+        )
+    else:
+        sref = jnp.asarray(refs).astype(jnp.int32)
+    dims = sref.shape[-2:]
+    refs_pad = jnp.pad(sref, ((0, 0), (pad, pad), (pad, pad)))
+    cur_b = jnp.asarray(cur).reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(-1, bs, bs)
+    X, Y = (bx * scale).astype(jnp.int32), (by * scale).astype(jnp.int32)
+    mv_ref, sad_ref = M.fast_sweep(cur_b, X, Y, refs_pad, pad, dims, n, fme, g)
+
+    planes = FM.plane_stack(jnp.asarray(refs), fme, jnp)
+    by0, bx0 = FM._region_base(g, by, bx, n, fme, jnp)
+    win = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+    mv, sad = FM.eval9(win, cur_b, g, X, Y, n, tuple(int(d) for d in dims), fme, None, jnp)
+    np.testing.assert_array_equal(np.asarray(mv), np.asarray(mv_ref))
+    np.testing.assert_array_equal(np.asarray(sad), np.asarray(sad_ref))
+
+
+@pytest.mark.parametrize("fme", [False, True])
+def test_confirm_matches_quads_and_gather_predictions(fme):
+    cur, refs, bx, by, g, (nbr, nbc) = _setup(fme, seed=1)
+    h, w = cur.shape
+    bs, sbs = 16, 8
+    scale = 2 if fme else 1
+    pad = scale * (bs - 1) + 3
+    if fme:
+        sref = jax.vmap(lambda r: M.fme_upsample(r.astype(jnp.int32), jnp, wrap_row_pass=True))(
+            jnp.asarray(refs)
+        )
+    else:
+        sref = jnp.asarray(refs).astype(jnp.int32)
+    dims = sref.shape[-2:]
+    refs_pad = jnp.pad(sref, ((0, 0), (pad, pad), (pad, pad))).astype(jnp.uint8)
+    cur_b = jnp.asarray(cur).reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(-1, bs, bs)
+    cur_q = cur_b.reshape(-1, 2, sbs, 2, sbs).swapaxes(2, 3).reshape(-1, 4, sbs, sbs)
+    X, Y = (bx * scale).astype(jnp.int32), (by * scale).astype(jnp.int32)
+    offs = np.array([[0, 0], [0, 1], [1, 0], [1, 1]]) * sbs
+    qx = (np.asarray(bx)[:, None] + offs[None, :, 1])
+    qy = (np.asarray(by)[:, None] + offs[None, :, 0])
+
+    mv_ref, sad_ref = M.fast_sweep(cur_b, X, Y, refs_pad, pad, dims, bs, fme, g)
+    smv_ref, ssad_ref = M.fast_quads_sweep(
+        cur_q, jnp.asarray(qx * scale), jnp.asarray(qy * scale), refs_pad, pad, dims, sbs, fme, g
+    )
+    predf_ref = P.gather_predictions(mv_ref, sref, bx, by, bs, fme, jnp)
+    predq_ref = P.gather_predictions(
+        smv_ref.reshape(-1, 3), sref, jnp.asarray(qx.reshape(-1)), jnp.asarray(qy.reshape(-1)),
+        sbs, fme, jnp,
+    ).reshape(-1, 4, sbs, sbs)
+
+    planes = FM.plane_stack(jnp.asarray(refs), fme, jnp)
+    by0, bx0 = FM._region_base(g, by, bx, bs, fme, jnp)
+    win = FM.window_gather(planes, by0, bx0, bs + 2, jnp)
+    out = FM.confirm(
+        win, cur_b, cur_q, g, X, Y, bs, sbs, tuple(int(d) for d in dims), fme, True, None,
+        by0, bx0, jnp,
+    )
+    np.testing.assert_array_equal(np.asarray(out["mv"]), np.asarray(mv_ref))
+    np.testing.assert_array_equal(np.asarray(out["sad"]), np.asarray(sad_ref))
+    np.testing.assert_array_equal(np.asarray(out["sub_mv"]), np.asarray(smv_ref))
+    np.testing.assert_array_equal(np.asarray(out["sub_sad"]), np.asarray(ssad_ref))
+    np.testing.assert_array_equal(np.asarray(out["pred_full"]), np.asarray(predf_ref))
+    np.testing.assert_array_equal(np.asarray(out["pred_quads"]), np.asarray(predq_ref))
+
+
+def test_window_gather_zero_fill_and_chunking():
+    rng = np.random.default_rng(2)
+    planes = jnp.asarray(rng.integers(0, 256, (3, 40, 56)).astype(np.float32)).astype(jnp.bfloat16)
+    by0 = jnp.asarray([-5, 0, 30, 39, 1000, -1000, 12])
+    bx0 = jnp.asarray([10, -3, 50, 55, 0, 0, -100000])
+    ref = np.zeros((7, 3, 9, 9), np.int32)
+    pn = np.asarray(planes.astype(jnp.int32))
+    for b in range(7):
+        for i in range(9):
+            for j in range(9):
+                y, x = int(by0[b]) + i, int(bx0[b]) + j
+                if 0 <= y < 40 and 0 <= x < 56:
+                    ref[b, :, i, j] = pn[:, y, x]
+    win = FM.window_gather(planes, by0, bx0, 9, jnp)
+    np.testing.assert_array_equal(np.asarray(win), ref)
+    # tiny chunk budget forces the lax.map path; results identical
+    win_c = FM.window_gather(planes, by0, bx0, 9, jnp, chunk_bytes=3 * 40 * 9 * 4 * 2)
+    np.testing.assert_array_equal(np.asarray(win_c), ref)
