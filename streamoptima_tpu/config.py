@@ -78,8 +78,16 @@ class CodecConfig:
     # batched pass, re-derive the guesses, repeat until unchanged.  Any
     # fixpoint of the chain equations equals forward substitution (unique by
     # induction on i), so the result is bit-identical; convergence takes
-    # O(#MV-discontinuities) sweeps instead of #blocks steps.  "auto" =>
-    # fixpoint.
+    # O(#MV-discontinuities) sweeps instead of #blocks steps.  "rowscan"
+    # nests the two: a lax.scan over block COLUMNS is exact within every
+    # block row simultaneously (blocks (r, j) all step together), so the
+    # Jacobi iteration runs only over the per-row seed MVs — the raster
+    # chain's row-to-row hand-off — and converges in a couple of outer
+    # passes instead of one sweep per intra-row discontinuity (measured
+    # 19.5 warm sweeps/frame at CIF qp=5 for plain Jacobi); its block eval
+    # is the MXU one-hot window gather of core/fastme.py, which also folds
+    # the VBS quad search and the winner predictions into one confirm pass.
+    # All three are bit-identical.  "auto" => rowscan.
     fast_me_chain: str = "auto"
     # encode winner-prediction fetch: with the Pallas search kernel, keeping
     # the winner's pixels in-kernel (masked select per candidate) costs about
@@ -108,8 +116,8 @@ class CodecConfig:
             raise ValueError("engine must be 'jax' or 'compat'")
         if self.me_search not in ("auto", "materialized", "fused", "pallas"):
             raise ValueError("me_search must be 'auto', 'materialized', 'fused' or 'pallas'")
-        if self.fast_me_chain not in ("auto", "scan", "fixpoint"):
-            raise ValueError("fast_me_chain must be 'auto', 'scan' or 'fixpoint'")
+        if self.fast_me_chain not in ("auto", "scan", "fixpoint", "rowscan"):
+            raise ValueError("fast_me_chain must be 'auto', 'scan', 'fixpoint' or 'rowscan'")
         if self.winner_fetch not in ("auto", "fetch", "inkernel"):
             raise ValueError("winner_fetch must be 'auto', 'fetch' or 'inkernel'")
         if self.roi_qp_map is not None and self.engine != "jax":

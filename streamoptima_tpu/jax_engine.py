@@ -362,6 +362,89 @@ class JaxCodec:
             outs["sub_ok"] = ssad != np.int32(2**31 - 1)
         return outs
 
+    def _fast_search_rowscan(self, cur32, refs, fme, initial_refs: bool, g0=None):
+        """Fast-ME chain solved row-segmented on the MXU (fast_me_chain
+        "rowscan", the default): a lax.scan over block COLUMNS advances every
+        block row simultaneously — within each row the recurrence
+        mv[r, j] = f(mv[r, j-1]) is then EXACT forward substitution — so the
+        Jacobi iteration runs only over the per-row seed MVs (the raster
+        chain's hand-off mv[r, 0] = f(mv[r-1, nbc-1])) and converges in a
+        couple of outer passes instead of one sweep per intra-row
+        discontinuity (plain Jacobi measured 19.5 warm / 30 cold sweeps per
+        frame at CIF qp=5; see _fast_search_fixpoint for the fixpoint =
+        forward-substitution bit-exactness argument, which applies verbatim
+        with rows in place of blocks).
+
+        The block eval is core/fastme.py: per-block windows fetched from the
+        UNPADDED half-pel parity planes by two 0/1 MXU matmuls (the 2x
+        upsample is never materialized), and a final confirm pass at the
+        converged MVPs re-derives the winners while folding in the VBS quad
+        searches and the winner predictions (bit-exact
+        pred.gather_predictions semantics) from the same fetched regions —
+        the quad sweep and both prediction gathers cost ~10 ms/frame of
+        XLA slice-gathers at CIF before this.
+
+        ``refs`` are the RAW (nref, h, w) reconstructions; ``g0`` warm-starts
+        the row seeds from the previous frame's converged guesses (any start
+        converges to the same unique fixpoint)."""
+        cfg = self.cfg
+        from streamoptima_tpu.core import fastme as FM
+
+        scale = 2 if fme else 1
+        n = self.bs
+        nbr, nbc = self.nbr, self.nbc
+        planes = FM.plane_stack(refs, fme, jnp, wrap_row_pass=not initial_refs)
+        dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
+        cur_b = self._blockify(cur32)
+        curT = cur_b.reshape(nbr, nbc, n, n).swapaxes(0, 1)  # (nbc, nbr, n, n)
+        ys = self.by.reshape(nbr, nbc)[:, 0].astype(jnp.int32)  # (nbr,) pixel rows
+        xs = self.bx.reshape(nbr, nbc)[0, :].astype(jnp.int32)  # (nbc,) pixel cols
+        Ys = ys * scale
+
+        def row_pass(seeds):
+            def step(g, inp):
+                cb, x = inp  # (nbr, n, n), () pixel column
+                xv = jnp.full((nbr,), x, jnp.int32)
+                by0, bx0 = FM._region_base(g, ys, xv, n, fme, jnp)
+                win = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+                mv, _ = FM.eval9(win, cb, g, xv * scale, Ys, n, dims, fme, None, jnp)
+                return mv, mv
+
+            return jax.lax.scan(step, seeds, (curT, xs))  # (m_last, mT)
+
+        def body(state):
+            seeds, _, _, it = state
+            m_last, mT = row_pass(seeds)
+            seeds2 = jnp.concatenate([jnp.zeros((1, 3), jnp.int32), m_last[:-1]], axis=0)
+            return (seeds2, mT, jnp.any(seeds2 != seeds), it + 1)
+
+        def cond(state):
+            return jnp.logical_and(state[2], state[3] <= nbr + 1)
+
+        seeds0 = (
+            jnp.zeros((nbr, 3), jnp.int32) if g0 is None else g0.reshape(nbr, nbc, 3)[:, 0]
+        )
+        init = (seeds0, jnp.zeros((nbc, nbr, 3), jnp.int32), jnp.asarray(True),
+                jnp.asarray(0, jnp.int32))
+        _, mT, _, _ = jax.lax.while_loop(cond, body, init)
+        m = mT.swapaxes(0, 1).reshape(self.nb, 3)
+        # at the seed fixpoint every block satisfies m[i] = f_i(m[i-1]), so
+        # the confirm pass at the guesses vector re-derives m bit-exactly
+        # while producing quads + predictions from the same regions
+        g_fin = jnp.concatenate([jnp.zeros((1, 3), jnp.int32), m[:-1]], axis=0)
+        by0, bx0 = FM._region_base(g_fin, self.by.astype(jnp.int32), self.bx.astype(jnp.int32),
+                                   n, fme, jnp)
+        win = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+        cur_q = self._quads_of(cur_b) if cfg.vbs_enable else \
+            jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
+        outs = FM.confirm(
+            win, cur_b, cur_q, g_fin,
+            (self.bx * scale).astype(jnp.int32), (self.by * scale).astype(jnp.int32),
+            n, self.sbs, dims, fme, cfg.vbs_enable, None, by0, bx0, jnp,
+        )
+        outs["g_next"] = g_fin
+        return outs
+
     def _fast_search(self, cur32, search_refs, fme, zero_mvp: bool, g0=None):
         """Fast-ME dispatch (all variants bit-identical): the chain-free
         zero-MVP case (ParallelMode-2 worker semantics) goes to the fully
@@ -481,9 +564,18 @@ class JaxCodec:
         fme = cfg.fme_enable
         cur32 = cur.astype(jnp.int32)
         fast = cfg.fast_me and cfg.parallel_mode != 1
+        rowscan = fast and cfg.parallel_mode != 2 and cfg.fast_me_chain in ("auto", "rowscan")
         if not fast and self._use_pallas():
             search_refs = None  # kernel consumes raw refs and returns preds
             s, pred_full, pred_q = self._full_search_pallas(cur32, refs, fme, initial_refs)
+        elif rowscan:
+            # raw refs: the rowscan eval reads the parity planes directly and
+            # its confirm pass returns the predictions — no upsample, no
+            # prediction gathers
+            search_refs = None
+            s = self._fast_search_rowscan(cur32, refs, fme, initial_refs, g0=g0)
+            pred_full = s["pred_full"]
+            pred_q = s.get("pred_quads")
         else:
             search_refs = self._prep_refs(refs, initial_refs)
             if fast:

@@ -350,6 +350,91 @@ class ShardedCodec:
             outs["sub_ok"] = ssad != inf32
         return outs
 
+    def _fast_tile_rowscan(self, cur32, band, nvalid, y0_px, fme, g0=None):
+        """Fast-ME on the mesh, row-segmented (fast_me_chain "rowscan", the
+        default): a lax.scan over block COLUMNS advances every local block
+        row simultaneously (exact forward substitution within each row), so
+        the Jacobi iteration runs only over the per-row seed MVs — locally
+        the hand-off mv[r, 0] = f(mv[r-1, nbc-1]), across tiles a single
+        (3,)-vector ppermute of the tile's last MV exactly like
+        _fast_tile_fixpoint (whose fixpoint = forward-substitution argument
+        applies verbatim with rows in place of blocks).  Convergence is
+        checked mesh-wide (psum) so the while trip count stays uniform.
+
+        The block eval is core/fastme.py on the UNPADDED parity planes of
+        the all_gather'd full-height band — the (2H-1, 2W-1) upsample is
+        never materialized (round-2 ADVICE item 2: it bounded mesh fast-ME
+        memory at ~265 MB/ref at 4K) — and the confirm pass at the converged
+        MVPs folds in the VBS quad searches and the winner predictions
+        (bit-exact pred.gather_predictions semantics), so no XLA slice
+        gathers remain anywhere on the fast path."""
+        from streamoptima_tpu.core import fastme as FM
+
+        cfg = self.cfg
+        scale = 2 if fme else 1
+        n = self.bs
+        nbr_t, nbc = self.nbr_t, self.nbc
+        planes = FM.plane_stack(band, fme, jnp, wrap_row_pass=True)
+        dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
+        cur_b = cur32.reshape(nbr_t, n, nbc, n).swapaxes(1, 2).reshape(-1, n, n)
+        curT = cur_b.reshape(nbr_t, nbc, n, n).swapaxes(0, 1)  # (nbc, nbr_t, n, n)
+        ys = (self._by_local.reshape(nbr_t, nbc)[:, 0] + y0_px).astype(jnp.int32)
+        xs = self._bx.reshape(nbr_t, nbc)[0, :].astype(jnp.int32)
+        Ys = ys * scale
+        perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
+
+        def row_pass(seeds):
+            def step(g, inp):
+                cb, x = inp
+                xv = jnp.full((nbr_t,), x, jnp.int32)
+                by0, bx0 = FM._region_base(g, ys, xv, n, fme, jnp)
+                win = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+                mv, _ = FM.eval9(win, cb, g, xv * scale, Ys, n, dims, fme, nvalid, jnp)
+                return mv, mv
+
+            return jax.lax.scan(step, seeds, (curT, xs))
+
+        def body(state):
+            seeds, _, _, it = state
+            m_last, mT = row_pass(seeds)
+            cross = jax.lax.ppermute(m_last[-1], "tile", perm_dn)  # tile 0: zeros
+            seeds2 = jnp.concatenate([cross[None], m_last[:-1]], axis=0)
+            # mesh-wide convergence: the ppermute is one SPMD collective per
+            # sweep shared by every device, so the trip count must be
+            # uniform — converged "data" groups keep iterating idempotently
+            changed = jax.lax.psum(jnp.any(seeds2 != seeds).astype(jnp.int32), ("data", "tile")) > 0
+            return (seeds2, mT, changed, it + 1)
+
+        def cond(state):
+            return jnp.logical_and(state[2], state[3] <= self.nbr + 1)
+
+        seeds0 = (
+            jnp.zeros((nbr_t, 3), jnp.int32) if g0 is None else g0.reshape(nbr_t, nbc, 3)[:, 0]
+        )
+        init = (seeds0, jnp.zeros((nbc, nbr_t, 3), jnp.int32), jnp.asarray(True),
+                jnp.asarray(0, jnp.int32))
+        seeds_fin, mT, _, _ = jax.lax.while_loop(cond, body, init)
+        m = mT.swapaxes(0, 1).reshape(self.nb_t, 3)
+        # the guesses vector: local shift + the converged cross-tile seed
+        # (seeds_fin[0] = the neighbor's last MV, already exchanged in-loop)
+        g_fin = jnp.concatenate([seeds_fin[0][None], m[:-1]], axis=0)
+        by0, bx0 = FM._region_base(
+            g_fin, (self._by_local + y0_px).astype(jnp.int32), self._bx.astype(jnp.int32),
+            n, fme, jnp,
+        )
+        win = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+        cur_q = cur_b.reshape(-1, 2, self.sbs, 2, self.sbs).swapaxes(2, 3).reshape(
+            -1, 4, self.sbs, self.sbs
+        ) if cfg.vbs_enable else jnp.zeros((self.nb_t, 4, self.sbs, self.sbs), jnp.int32)
+        outs = FM.confirm(
+            win, cur_b, cur_q, g_fin,
+            (self._bx * scale).astype(jnp.int32),
+            ((self._by_local + y0_px) * scale).astype(jnp.int32),
+            n, self.sbs, dims, fme, cfg.vbs_enable, nvalid, by0, bx0, jnp,
+        )
+        outs["g_fin"] = g_fin
+        return outs
+
     def _inter_tile(self, cur_l, refs_l, nvalid, y0_blocks, row_qps_tile, roi_tile, g0=None):
         """Inter-code the local band against the FIFO of reference bands.
 
@@ -437,13 +522,19 @@ class ShardedCodec:
                 )
             search_refs = None
         elif cfg.fast_me:
-            # refs are real uint8 reconstructions (every GOP opens intra),
-            # so the row-pass wrap (quirk K17) is always live
-            if fme:
-                search_refs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(band)
+            if cfg.fast_me_chain in ("auto", "rowscan"):
+                # rowscan reads the parity planes directly (no upsample) and
+                # returns the predictions from its confirm pass
+                search_refs = None
+                s = self._fast_tile_rowscan(cur32, band, nvalid, y0_px, fme, g0=g0)
             else:
-                search_refs = band.astype(jnp.int32)
-            s = self._fast_tile_fixpoint(cur32, search_refs, nvalid, y0_px, fme, g0=g0)
+                # refs are real uint8 reconstructions (every GOP opens
+                # intra), so the row-pass wrap (quirk K17) is always live
+                if fme:
+                    search_refs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(band)
+                else:
+                    search_refs = band.astype(jnp.int32)
+                s = self._fast_tile_fixpoint(cur32, search_refs, nvalid, y0_px, fme, g0=g0)
         else:
             if fme:
                 # refs are real uint8 reconstructions (every GOP opens intra),
@@ -477,6 +568,8 @@ class ShardedCodec:
                 s["pred"].reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs),
                 128,  # no valid candidate => mv=(0,0,0) all-128 FME fallback
             )
+        elif "pred_full" in s:  # fast-ME rowscan: confirm-pass predictions
+            pred_full = s["pred_full"]
         elif not wfetch:
             pred_full = P.gather_predictions(mv, search_refs, self._bx, by_g, self.bs, fme, jnp,
                                              grid_dims=grid_dims, origin_row=pred_origin)
@@ -489,6 +582,8 @@ class ShardedCodec:
             sub_ok = s["sub_ok"]
             if wfetch:
                 pred_q = pred_q_w
+            elif cfg.fast_me and "pred_quads" in s:  # rowscan confirm pass
+                pred_q = s["pred_quads"]
             elif use_pallas:
                 sbs = self.sbs
                 pq = s["pred_quads"].reshape(self.nbr_t, 2, sbs, self.nbc, 2, sbs).transpose(

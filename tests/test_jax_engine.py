@@ -228,8 +228,8 @@ def test_ssim_jax_matches_host():
     dict(n_ref_frames=3, fme_enable=True),
 ])
 def test_fast_me_fixpoint_matches_scan(flags):
-    """The Jacobi fixpoint chain solver (fast_me_chain="fixpoint", the
-    default) must be bit-identical to the literal lax.scan of the MVP chain
+    """The Jacobi fixpoint and row-segmented (rowscan, the default) chain
+    solvers must be bit-identical to the literal lax.scan of the MVP chain
     — on pure noise, the worst case for convergence (every block's MV breaks
     the previous block's prediction)."""
     import dataclasses
@@ -239,12 +239,13 @@ def test_fast_me_fixpoint_matches_scan(flags):
     y = rng.integers(0, 256, size=(frames, h, w), dtype=np.uint8)
     cfg = make_cfg(h, w, frames, "jax", fast_me=True, fast_me_chain="scan", **flags)
     a = JaxCodec(cfg, y).encode()
-    b = JaxCodec(dataclasses.replace(cfg, fast_me_chain="fixpoint"), y).encode()
-    np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
-    for fa, fb in zip(a["MVS per Frame"], b["MVS per Frame"]):
-        assert fa == fb
-    for fa, fb in zip(a["approx residual"], b["approx residual"]):
-        assert str(fa) == str(fb)
+    for chain in ("fixpoint", "rowscan"):
+        b = JaxCodec(dataclasses.replace(cfg, fast_me_chain=chain), y).encode()
+        np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
+        for fa, fb in zip(a["MVS per Frame"], b["MVS per Frame"]):
+            assert fa == fb
+        for fa, fb in zip(a["approx residual"], b["approx residual"]):
+            assert str(fa) == str(fb)
 
 
 def test_roi_bitstream_self_describing(tmp_path):
