@@ -96,9 +96,21 @@ class CodecConfig:
     # (me_pallas.pred_fetch_compact, one DMA per distinct winner MV; the DMA
     # table is built ON DEVICE — me_pallas.build_fetch_table_jax — and sized
     # to the exact worst-case distinct-winner bound, so no fallback path
-    # exists).  "inkernel" keeps the masked-select path; "auto" => fetch.
-    # Bit-identical either way (tests/test_pallas.py).
+    # exists).  "inkernel" keeps the masked-select path.  "auto" picks by
+    # config: fetch under VBS (where the in-kernel full+quad selects shrink
+    # the search band — 79 -> 94 fps 720p VBS+FME), in-kernel otherwise (the
+    # search already streams every window through VMEM, so the select adds
+    # no HBM traffic while the fetch re-reads one band-wide window per
+    # distinct winner — measured 36 -> 22.7 fps at 4K plain full search when
+    # fetch ran unconditionally).  Bit-identical paths (tests/test_pallas.py).
     winner_fetch: str = "auto"
+
+    @property
+    def winner_fetch_mode(self) -> str:
+        """Resolved winner_fetch: 'fetch' or 'inkernel' (never 'auto')."""
+        if self.winner_fetch != "auto":
+            return self.winner_fetch
+        return "fetch" if self.vbs_enable else "inkernel"
 
     def __post_init__(self) -> None:
         if self.height % self.block_size or self.width % self.block_size:

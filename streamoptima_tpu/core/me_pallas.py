@@ -84,14 +84,26 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
 
 
 def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd: int):
-    """(column tiles, band rows) for very wide frames.  The w^2/4-byte
-    aggregation/expansion matrices leave no scoped VMEM at 4K with
-    prediction output — _band_rows collapses to one block row per program
-    and every matmul goes 16 rows thin.  Split the frame into 128-aligned
-    column tiles until a >=4-row band fits again (measured: 4K VBS+FME
-    4.5 -> 8.1 fps with ncol=2).  ncol == 1 reproduces the untiled program
-    exactly.  The band is returned with the ncol so the decision and the
-    sizing share one budget."""
+    """(column tiles, band rows): split the frame into 128-aligned column
+    tiles of width >= 512.
+
+    The per-candidate cost is DOMINATED by the column-aggregation matmul
+    (block sums on the MXU): (band_px, w_t) x (w_t, w_t/8) = 2*w_t/8 FLOPs
+    PER PIXEL — linear in the tile width, 960/px untiled at 4K vs 160/px at
+    ncol=6 (the one-hot structure can't be exploited by a systolic array,
+    and Mosaic cannot lower lane-splitting reshapes, so shrinking w_t is the
+    only lever).  The same scaling holds for the in-kernel prediction
+    expand_mask matmuls.  DMA traffic grows only by the 2*ksr halo re-read
+    per extra tile (~1 ms/frame total at 4K vs tens of ms of aggregation),
+    so the smallest admissible tile wins; the >=512 floor keeps the matmul
+    N dimension (w_t/8 >= 64) wide enough for healthy MXU utilization.
+
+    Tiles must also fit VMEM with a >=4-row band (the w_t^2/4-byte agg/
+    expansion matrices used to collapse 4K-with-predictions to 1-row bands;
+    measured 4.5 -> 8.1 fps at ncol=2 in round 2 — superseded by the cost
+    rule above, which tiles argmin-only programs too).  ncol == 1
+    reproduces the untiled program exactly.  The band is returned with the
+    ncol so the decision and the sizing share one budget."""
     def probe(ncol):
         # one budget for tiled and untiled: the ~2.4M bias the old reduced
         # tiled budget papered over is now an explicit const term, so 15.8
@@ -99,15 +111,20 @@ def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd:
         # while excluding the measured 16.32M OOM at 720p band 16
         return _band_rows(nbr, w // ncol, bs, want_pred, want_qpred, nd, budget_mb=15.8)
 
-    if want_pred or want_qpred:
-        for ncol in (1, 2, 3, 4, 5, 6):
-            w_t = w // ncol
-            if w % ncol or w_t % 128:
-                continue
-            band = probe(ncol)
-            if band >= min(4, nbr):
-                return ncol, band
-    return 1, probe(1)
+    best = (1, probe(1), w)
+    for ncol in (2, 3, 4, 5, 6, 7, 8):
+        w_t = w // ncol
+        if w % ncol or w_t % 128 or w_t < 512:
+            continue
+        band = probe(ncol)
+        if band < min(4, nbr):
+            continue
+        if w_t < best[2] or (w_t == best[2] and band > best[1]):
+            best = (ncol, band, w_t)
+    # untiled fallback must still fit: if even ncol=1 collapses below 4 rows
+    # the loop above found any admissible tiling first (best updated), so
+    # reaching here with best[0]==1 means no 128-aligned >=512 tiling exists
+    return best[0], best[1]
 
 
 def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bool,
@@ -582,7 +599,8 @@ FETCH_BUCKETS = (64, 256, 512)
 
 
 def fetch_decodable(mv_np, smv_np, sr: int, fme: bool, vbs: bool,
-                    h: int, w: int, bs: int, sub_bs: int, nref: int | None = None) -> bool:
+                    h: int, w: int, bs: int, sub_bs: int, nref: int | None = None,
+                    pad: int | None = None) -> bool:
     """Host predicate: a frame's transmitted MVs fit pred_fetch_compact.
 
     Whole-pel needs only |d| <= sr (cases A and C both come out of the
@@ -590,10 +608,12 @@ def fetch_decodable(mv_np, smv_np, sr: int, fme: bool, vbs: bool,
     (primary bounds valid in FRAME-global coordinates — case C reads a
     stride-1 window of the upsampled frame, which only the XLA gather path
     serves).  Well-formed full-search streams always pass; fast-ME MVP
-    chains can exceed sr (those ride the WIDE fetch mode instead —
-    JaxCodec._decode dispatch).  |d| < _MV_OFF guards the code packing.
+    chains can exceed sr — pass ``pad`` (from wide_pad) to check against a
+    WIDE plane padding instead (JaxCodec.decode dispatch).  |d| < _MV_OFF
+    guards the code packing.
     """
-    bound = min(2 * sr if fme else sr, _MV_OFF - 1)
+    base = pad if pad is not None else sr
+    bound = min(2 * base if fme else base, _MV_OFF - 1)
     allmv = np.concatenate([mv_np.reshape(-1, 3), smv_np.reshape(-1, 3)]) \
         if vbs else mv_np.reshape(-1, 3)
     if np.abs(allmv[:, :2]).max(initial=0) > bound:
@@ -623,6 +643,38 @@ def fetch_decodable(mv_np, smv_np, sr: int, fme: bool, vbs: bool,
         qy = by[:, None] + offs[None, :, 0]
         ok = ok and valid1(smv_np.reshape(-1, 4, 3), qx, qy, sub_bs).all()
     return bool(ok)
+
+
+#: widest supported wide-mode plane pad (k-units).  Beyond this the padded
+#: plane's HBM cost dwarfs the fetch win and the XLA gather path is better.
+WIDE_PAD_MAX = 512
+
+
+def wide_pad(mvs_np_list, sr: int, fme: bool):
+    """Clip-wide WIDE-mode plane pad for fast-ME streams: the smallest
+    32-multiple (bounding recompiles: pad is a static kernel argument)
+    covering every transmitted displacement's plane offset, or the narrow
+    sr-derived pad when that already covers them, or None when the stream
+    needs more than WIDE_PAD_MAX (the XLA gather path serves it instead).
+
+    ``mvs_np_list``: (N, 3) int arrays (full + sub MVs of every inter
+    frame).  One pad for the whole clip so every frame's decode step shares
+    a single compiled kernel."""
+    base = sr + 1 if fme else sr
+    need = 0
+    for a in mvs_np_list:
+        a = a.reshape(-1, 3).astype(np.int64)
+        if a.size == 0:
+            continue
+        if np.abs(a[:, :2]).max(initial=0) >= _MV_OFF:
+            return None
+        d = a[:, :2]
+        k = (d - d % 2) // 2 if fme else d
+        need = max(need, int(np.abs(k).max(initial=0)))
+    if need <= base:
+        return base
+    pad = -(-need // 32) * 32
+    return pad if pad <= WIDE_PAD_MAX else None
 
 
 def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 0,
@@ -768,10 +820,15 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
     mv (nb, 3) / sub_mv (nb, 4, 3): transmitted MVs; refs (nref, h, w) RAW
     reconstructions; table/pad from build_fetch_table on the same MVs.  For
     each candidate the kernel DMAs its (band, w) window rows from the padded
-    (parity-)plane stack and keeps them wherever the per-block code map
-    equals the candidate's code (block mask -> pixel mask via two 0/1 MXU
-    matmuls).  Under FME the parity planes come straight from the raw refs
-    (core/me.fme_parity_planes) — the (2H-1, 2W-1) upsample is never built.
+    (parity-)plane stack, barrel-shifts the sub-128 lane remainder (7
+    conditional static slices), and keeps the window wherever the PIXEL-
+    resolution code map equals the candidate's code — the maps are expanded
+    outside the kernel by XLA broadcast-repeats, so the per-candidate cost
+    is one integer compare per pixel (the earlier block->pixel expand_mask
+    ran two MXU matmuls per candidate, ~w/16 + w/8 MACs per pixel — the
+    kernel's dominant cost once candidate counts grew).  Under FME the
+    parity planes come straight from the raw refs (core/me.fme_parity_planes)
+    — the (2H-1, 2W-1) upsample is never built.
 
     Returns (pred_full (h, w), pred_quads (h, w)) int16 pixel planes holding
     each (sub-)block's window at its own position.  Exact for case-A blocks
@@ -802,7 +859,15 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
     else:
         planes = refs.astype(jnp.int32)
     ncand = table.shape[1]
-    band = _band_rows(nbr, w, bs, True, vbs, nd=1)
+    # VMEM residency of THIS kernel per band row-pixel: 2 int16 pred outputs
+    # + the int32 pixel-code maps (full, + quad under VBS) + ~2 live int16
+    # barrel-shift temporaries, plus the (band_px, Wk) int16 DMA scratch —
+    # no quadratic mask/agg matrices anymore (the code maps are expanded to
+    # pixel resolution OUTSIDE the kernel, so each candidate's keep-mask is
+    # one integer compare instead of two block->pixel expansion matmuls)
+    per_px = 2 * 2 + 4 + (4 if vbs else 0) + 2 * 2
+    wk_est = (-(-(w + 136) // 128) * 128) * 2 * 2  # double-buffered scratch
+    band = max(1, min(int(13.5 * 2**20) // (w * per_px + wk_est) // bs, 16, nbr))
     band_px = band * bs
     # VMEM-sized band, not a divisor of nbr (VERDICT r3 item 3): pad the
     # code maps with -2 (matches no table code, not even the -1 bucket
@@ -815,80 +880,104 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
         codes_q = jnp.concatenate(
             [codes_q, jnp.full((2 * row_pad, nbc2), -2, jnp.int32)], axis=0)
     nbr2_b = band_px // sub_bs
+    # pixel-resolution code maps (one XLA broadcast-repeat per frame): the
+    # kernel compares these against each candidate's code directly — exact,
+    # and removes the per-candidate expand_mask matmuls (2 MXU passes per
+    # candidate, ~w/16 + w/8 MACs/px) that used to dominate at large nc
+    pix_f = jnp.repeat(jnp.repeat(codes_f, bs, axis=0), bs, axis=1)
+    pix_q = jnp.repeat(jnp.repeat(codes_q, sub_bs, axis=0), sub_bs, axis=1) \
+        if vbs else jnp.full((nprog * band_px, w), -2, jnp.int32)
 
-    Wp = -(-(w + 2 * pad) // 128) * 128  # DMA slice width must be 128-aligned
+    # the per-candidate column offset c0 in [0, 2*pad] is resolved as a
+    # 128-aligned dynamic DMA lane start (c0 // 128 * 128) plus a <=127
+    # remainder barrel-shifted by a two-level static-slice select — so the
+    # DMA window is Wk lanes wide regardless of pad, and the select count
+    # is min(15, 2*pad//8) + 7 regardless of search range (round-2 ADVICE:
+    # the flat chain was linear in sr; and WIDE pads — fast-ME streams whose
+    # MVP chains exceed sr — would have made it unbounded)
+    Wk = -(-(w + 136) // 128) * 128  # 127 (max rem) + 8 (level-1 headroom)
+    Wp = 128 * ((2 * pad) // 128) + Wk  # covers the largest lane start
     planes_p = jnp.pad(planes.astype(jnp.int16),
                        ((0, 0), (pad, pad + 8 + row_pad * bs), (pad, Wp - w - pad)))
     Hp = bandh + 2 * pad + row_pad * bs
     shift = jnp.stack([planes_p[:, k : k + Hp, :] for k in range(8)], axis=1)
-    cf = codes_f.reshape(nprog, band, nbc)
-    cq = codes_q.reshape(nprog, nbr2_b, nbc2)
+    pf3 = pix_f.reshape(nprog, band_px, w)
+    pq3 = pix_q.reshape(nprog, band_px, w)
     scalars = jnp.stack([
         jnp.sum(table[4] != -1).astype(jnp.int32),
         jnp.asarray(read_row0, jnp.int32),
     ]).reshape(2)
 
-    def kernel(nc_ref, tab_ref, cf_ref, cq_ref, planes_hbm, predf_ref, predq_ref, band_vmem, dma_sem):
+    def kernel(nc_ref, tab_ref, pf_ref, pq_ref, planes_hbm, predf_ref, predq_ref, band_vmem, dma_sem):
         prog = pl.program_id(0)
         rr0 = nc_ref[1]  # traced band-row origin (8-aligned by contract)
         y0 = prog * band_px
-        codes = cf_ref[0]
-        codesq = cq_ref[0]
-
-        def expander_rows(npx, nblk, group):
-            a = jax.lax.broadcasted_iota(jnp.int32, (npx, nblk), 0) // group
-            b = jax.lax.broadcasted_iota(jnp.int32, (npx, nblk), 1)
-            return (a == b).astype(jnp.bfloat16)
-
-        def expander_cols(nblk, npx, group):
-            a = jax.lax.broadcasted_iota(jnp.int32, (nblk, npx), 1) // group
-            b = jax.lax.broadcasted_iota(jnp.int32, (nblk, npx), 0)
-            return (a == b).astype(jnp.bfloat16)
-
-        er_f = expander_rows(band_px, band, bs)
-        ec_f = expander_cols(nbc, w, bs)
-        if vbs:
-            er_q = expander_rows(band_px, nbr2_b, sub_bs)
-            ec_q = expander_cols(nbc2, w, sub_bs)
-
-        def expand_mask(m, er, ec):
-            t = jnp.dot(er, m, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-            return jnp.dot(t, ec, preferred_element_type=jnp.float32)
+        pixf = pf_ref[0]
+        pixq = pq_ref[0]
 
         predf_ref[0] = jnp.zeros((band_px, w), jnp.int16)
         predq_ref[0] = jnp.zeros((band_px, w), jnp.int16)
+        nc = nc_ref[0]
 
-        def body(ci, carry):
+        def dma_for(ci, slot):
             lead = tab_ref[0, ci]
             kk = tab_ref[1, ci]
-            row8 = tab_ref[2, ci]
+            start8 = pl.multiple_of(y0 + tab_ref[2, ci] + rr0, 8)
+            lane0 = pl.multiple_of((tab_ref[3, ci] // 128) * 128, 128)
+            return pltpu.make_async_copy(
+                planes_hbm.at[lead, kk, pl.ds(start8, band_px), pl.ds(lane0, Wk)],
+                band_vmem.at[slot], dma_sem.at[slot],
+            )
+
+        # double-buffered candidate windows: start candidate ci+1's copy
+        # before waiting on ci's, so the (cheap) compare work and every DMA's
+        # latency overlap the next transfer.  No conditionals (the Mosaic
+        # conditional-DMA pathologies in docs/TPU_DESIGN.md): the last body
+        # iteration redundantly re-starts candidate nc-1 into the other slot
+        # and the epilogue waits it — starts and waits stay balanced for any
+        # nc >= 1 (every dispatched frame has at least one transmitted MV).
+        dma_for(0, 0).start()
+
+        def body(ci, carry):
+            slot = jax.lax.rem(ci, 2)
+            nxt = jnp.minimum(ci + 1, nc - 1)
+            dma_for(nxt, jax.lax.rem(ci + 1, 2)).start()
             c0 = tab_ref[3, ci]
             cand = tab_ref[4, ci]
-            start8 = pl.multiple_of(y0 + row8 + rr0, 8)
-            dma = pltpu.make_async_copy(
-                planes_hbm.at[lead, kk, pl.ds(start8, band_px), :],
-                band_vmem, dma_sem,
-            )
-            dma.start()
-            dma.wait()
+            dma_for(ci, slot).wait()
             # column shift: DMA lane starts/shapes must be 128-aligned and
-            # dynamic_rotate is 32-bit-only and per-tile, but the offset is
-            # bounded (c0 in [0, 2*pad]) — select among the 2*pad+1 STATIC
-            # lane slices (the same slice form the search kernel streams)
-            rows = band_vmem[...]
-            win = rows[:, 0:w]
-            for d in range(1, 2 * pad + 1):
-                win = jnp.where(c0 == d, rows[:, d : d + w], win)
-            mf = (codes == cand).astype(jnp.bfloat16)
-            predf_ref[0] = jnp.where(expand_mask(mf, er_f, ec_f) > 0.5, win, predf_ref[0])
+            # dynamic_rotate is 32-bit-only and per-tile — the 128-aligned
+            # part of c0 rode the DMA above, and the <=127 remainder is a
+            # LOG barrel shifter: 7 conditional static-offset lane slices
+            # (the same slice form the search kernel streams), constant for
+            # ANY pad (round-2 ADVICE: the flat chain was 2*pad selects —
+            # linear in search range; WIDE pads — fast-ME streams whose MVP
+            # chains exceed sr — would have made it unbounded)
+            rem = c0 % 128
+            cur = band_vmem[slot]
+            wleft = w + 127
+            for k in (64, 32, 16, 8, 4, 2, 1):
+                nxt = wleft - k
+                cur = jnp.where((rem & k) != 0, cur[:, k : k + nxt], cur[:, :nxt])
+                wleft = nxt
+            win = cur  # (band_px, w)
+            # keep-mask: ONE integer compare against the pixel-resolution
+            # code map (each block has exactly one code, so candidate order
+            # cannot matter)
+            predf_ref[0] = jnp.where(pixf == cand, win, predf_ref[0])
             if vbs:
-                mq = (codesq == cand).astype(jnp.bfloat16)
-                predq_ref[0] = jnp.where(expand_mask(mq, er_q, ec_q) > 0.5, win, predq_ref[0])
+                predq_ref[0] = jnp.where(pixq == cand, win, predq_ref[0])
             return carry
 
         # trip count is the REAL candidate count (the table is padded up to
         # a bucket size only to bound recompiles)
-        jax.lax.fori_loop(0, nc_ref[0], body, jnp.int32(0))
+        jax.lax.fori_loop(0, nc, body, jnp.int32(0))
+        # the last body iteration re-started candidate nc-1 into slot nc%2;
+        # drain it so every started DMA is waited before the program ends
+        # (nc==0 cannot happen for a dispatched frame, but the max keeps the
+        # SMEM index in bounds and the prologue/epilogue pair balanced even
+        # then: prologue started slot 0, epilogue waits slot 0)
+        dma_for(jnp.maximum(nc - 1, 0), jax.lax.rem(nc, 2)).wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -896,8 +985,8 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
         in_specs=[
             pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((5, ncand), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, band, nbc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nbr2_b, nbc2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band_px, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band_px, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -905,8 +994,8 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
             pl.BlockSpec((1, band_px, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((band_px, Wp), jnp.int16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, band_px, Wk), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     predf, predq = pl.pallas_call(
@@ -917,6 +1006,6 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
             jax.ShapeDtypeStruct((nprog, band_px, w), jnp.int16),
         ],
         interpret=interpret,
-    )(scalars, table, cf, cq, shift)
+    )(scalars, table, pf3, pq3, shift)
     return (predf.reshape(nprog * band_px, w)[:h],
             predq.reshape(nprog * band_px, w)[:h])

@@ -87,7 +87,7 @@ class JaxCodec:
         self._intra_step_j = jax.jit(self._intra_step)
         self._dec_inter_j = jax.jit(self._decode_inter_step, static_argnames=("nref", "initial_refs"))
         self._dec_inter_pallas_j = jax.jit(
-            self._decode_inter_pallas_step, static_argnames=("nref", "initial_refs")
+            self._decode_inter_pallas_step, static_argnames=("nref", "initial_refs", "pad")
         )
         self._dec_intra_j = jax.jit(self._decode_intra_step)
 
@@ -139,15 +139,16 @@ class JaxCodec:
         all-128 fallback.
 
         Winner predictions come from one of two bit-identical paths
-        (cfg.winner_fetch): the kernel's in-kernel masked select, or —
-        default — an argmin-only search followed by the decode-side
-        compact-DMA fetch (_winner_fetch_preds; round-2 VERDICT item 2: the
-        masked select cost ~half the VBS+FME step)."""
+        (cfg.winner_fetch_mode): the kernel's in-kernel masked select
+        (default for plain search — the windows are already streaming
+        through VMEM), or an argmin-only search followed by the decode-side
+        compact-DMA fetch (default under VBS — round-2 VERDICT item 2: the
+        masked full+quad select cost ~half the VBS+FME step)."""
         from streamoptima_tpu.core import me_pallas
 
         cfg = self.cfg
         interp = jax.default_backend() != "tpu"
-        want_pred = cfg.winner_fetch == "inkernel"
+        want_pred = cfg.winner_fetch_mode == "inkernel"
         if fme:
             s = me_pallas.full_search_pallas_fme(
                 cur32, refs, cfg.search_range, self.bs, self.sbs, cfg.vbs_enable,
@@ -664,7 +665,7 @@ class JaxCodec:
         return self._recon_inter(pred_refs, mv, split, sub_mv, qtc_full, qtc_quads, row_qps, self.cfg.fme_enable)
 
     def _decode_inter_pallas_step(self, refs, mv, split, sub_mv, qtc_full, qtc_quads, row_qps,
-                                  table, nref: int, initial_refs: bool):
+                                  table, nref: int, initial_refs: bool, pad: int | None = None):
         """Decode an inter frame with the Pallas prediction-fetch kernel
         (core/me_pallas.pred_fetch_compact): the per-block XLA element
         gathers — the decode hot spot once everything else is fused — become
@@ -685,7 +686,8 @@ class JaxCodec:
 
         cfg = self.cfg
         fme = cfg.fme_enable
-        pad = cfg.search_range + 1 if fme else cfg.search_range
+        if pad is None:
+            pad = cfg.search_range + 1 if fme else cfg.search_range
         interp = jax.default_backend() != "tpu"
         sub_mv_k = sub_mv if cfg.vbs_enable else jnp.zeros((self.nb, 4, 3), jnp.int32)
         predf, predq = me_pallas.pred_fetch_compact(
@@ -719,21 +721,27 @@ class JaxCodec:
         )
         return None if t is None else jnp.asarray(t[0])
 
-    def _fetch_table_np(self, mv_np, smv_np, nref: int | None = None):
+    def _fetch_table_np(self, mv_np, smv_np, nref: int | None = None,
+                        pad: int | None = None):
         """_fetch_table without the device upload: the batched facade decode
-        packs all frames' tables into one clip-wide H2D transfer instead."""
+        packs all frames' tables into one clip-wide H2D transfer instead.
+        ``pad``: WIDE-mode plane pad (me_pallas.wide_pad) for fast-ME streams
+        whose MVP chains exceed the search range; None = narrow mode."""
         if not self._use_pallas():
             return None
         from streamoptima_tpu.core import me_pallas
 
-        if not self._pallas_decodable(mv_np, smv_np, nref=nref):
+        if not self._pallas_decodable(mv_np, smv_np, nref=nref, pad=pad):
             return None
+        base = self.cfg.search_range + (1 if self.cfg.fme_enable else 0)
         t = me_pallas.build_fetch_table(
-            mv_np, smv_np, self.cfg.search_range, self.cfg.fme_enable, self.cfg.vbs_enable
+            mv_np, smv_np, self.cfg.search_range, self.cfg.fme_enable, self.cfg.vbs_enable,
+            pads=None if pad is None or pad == base else (pad, pad),
         )
         return None if t is None else t[0]
 
-    def _pallas_decodable(self, mv_np, smv_np, nref: int | None = None) -> bool:
+    def _pallas_decodable(self, mv_np, smv_np, nref: int | None = None,
+                          pad: int | None = None) -> bool:
         """Host predicate: this frame's transmitted MVs fit the fetch kernel
         (me_pallas.fetch_decodable — shared with the mesh decoder)."""
         from streamoptima_tpu.core import me_pallas
@@ -741,35 +749,26 @@ class JaxCodec:
         cfg = self.cfg
         return me_pallas.fetch_decodable(
             mv_np, smv_np, cfg.search_range, cfg.fme_enable, cfg.vbs_enable,
-            self.h, self.w, self.bs, self.sbs, nref=nref,
+            self.h, self.w, self.bs, self.sbs, nref=nref, pad=pad,
         )
 
     def _decode_intra_step(self, mv, split, sub_mv, qtc_full, qtc_quads, row_qps):
         return self._recon_intra(mv, split, sub_mv, qtc_full, qtc_quads, row_qps)
 
     # ------------------------------------------------------------ encode
-    def _two_pass_qps(self, out, ftype):
-        """Second-pass per-row QPs from first-pass row bit shares
-        (rc.two_pass_row_budgets; the README-promised consumer of the stats
-        the reference computes then discards, Encoder.py:1627-1639)."""
-        qps = rc_mod.second_pass_row_qps(
-            self.cfg, np.asarray(out["row_bits"]), ftype, self.row_qps_by_type[ftype]
-        )
-        return jnp.asarray(qps)
+    def _encode_pass(self, package: bool, ftypes_fixed=None, rqps_pf=None,
+                     light: bool = False):
+        """One GOP-structured encode pass over the clip.
 
-    def encode(self, package: bool = True):
-        """Encode the clip.  ``package=False`` skips the host-side conversion
-        to the list-structured interchange format ("MVS per Frame" /
-        "approx residual" left as device arrays in "per_frame") — use it when
-        only reconstructions/metrics are needed (benchmarks, metric sweeps).
-        """
+        ``ftypes_fixed`` / ``rqps_pf``: per-frame frame types and row-QP
+        vectors for the SECOND two-pass pass (frame types come from pass 1 —
+        promotion is not re-decided, matching the mesh engine).  ``light``
+        keeps only each frame's ``row_bits`` (first two-pass pass: the stats
+        are all that survives, so the outputs' HBM is freed as the loop
+        advances).  Returns (per_frame, ftypes)."""
         cfg = self.cfg
-        assert self.y is not None, "construct with y_frames to encode"
-        two_pass = cfg.two_pass and cfg.rc_active
-        frames = []
         ftypes = []
         per_frame = []
-        qp_rows_pf = []
         refs = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)]
         initial = True
         # fast-ME: warm-start each frame's Jacobi solve from the previous
@@ -777,37 +776,33 @@ class JaxCodec:
         g_carry = jnp.zeros((self.nb, 3), jnp.int32) if cfg.fast_me else None
         for i in range(cfg.frames):
             cur = self._y_dev[i]
-            if i % cfg.intra_dur == 0 and cfg.parallel_mode != 1:
-                out = self._intra_step_j(cur, self.row_qps_by_type[0], cur)
+            want_intra = (i % cfg.intra_dur == 0 and cfg.parallel_mode != 1) \
+                if ftypes_fixed is None else ftypes_fixed[i] == 0
+            rqp = rqps_pf[i] if rqps_pf is not None else None
+            if want_intra:
+                out = self._intra_step_j(cur, rqp if rqp is not None else self.row_qps_by_type[0], cur)
                 ftype = 0
             else:
                 if cfg.parallel_mode in (1, 3):
                     use, use_initial = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)], True
                 else:
                     use, use_initial = refs, initial
-                out = self._inter_step_j(cur, jnp.stack(use), self.row_qps_by_type[1], cur, nref=len(use), initial_refs=use_initial, g0=g_carry)
+                out = self._inter_step_j(cur, jnp.stack(use), rqp if rqp is not None else self.row_qps_by_type[1], cur, nref=len(use), initial_refs=use_initial, g0=g_carry)
                 ftype = 1
-                if cfg.rc_flag is not None and cfg.rc_flag > 1 and int(out["size"]) > cfg.intra_thresh:
-                    out = self._intra_step_j(cur, self.row_qps_by_type[0], cur)
+                if ftypes_fixed is None and cfg.rc_flag is not None and cfg.rc_flag > 1 \
+                        and int(out["size"]) > cfg.intra_thresh:
+                    out = self._intra_step_j(cur, rqp if rqp is not None else self.row_qps_by_type[0], cur)
                     ftype = 0
-            if two_pass:
-                row_qps2 = self._two_pass_qps(out, ftype)
-                if ftype == 0:
-                    out = self._intra_step_j(cur, row_qps2, cur)
-                else:
-                    out = self._inter_step_j(cur, jnp.stack(use), row_qps2, cur, nref=len(use), initial_refs=use_initial, g0=out.get("g_next", g_carry))
-                qp_rows_pf.append([int(q) for q in np.asarray(row_qps2)])
-            else:
-                qp_rows_pf.append(
-                    [int(q) for q in np.asarray(self.row_qps_by_type[ftype])] if cfg.rc_active else []
-                )
             g_carry = out.pop("g_next", g_carry)
             ftypes.append(ftype)
-            per_frame.append(out)
-            frames.append(out["recon"])
             # start device->host copies now so they overlap the next frames'
             # compute (transfers are the bottleneck on tunneled chips)
-            fetch = out.values() if package else (out["recon"], out["size"], out["psnr"], out["mae"])
+            if light:
+                per_frame.append({"row_bits": out["row_bits"]})
+                fetch = (out["row_bits"],)
+            else:
+                per_frame.append(out)
+                fetch = out.values() if package else (out["recon"], out["size"], out["psnr"], out["mae"])
             for v in fetch:
                 try:
                     v.copy_to_host_async()
@@ -820,6 +815,47 @@ class JaxCodec:
                     refs.pop(0)
                 refs.append(out["recon"])
                 initial = False
+        return per_frame, ftypes
+
+    def encode(self, package: bool = True):
+        """Encode the clip.  ``package=False`` skips the host-side conversion
+        to the list-structured interchange format ("MVS per Frame" /
+        "approx residual" left as device arrays in "per_frame") — use it when
+        only reconstructions/metrics are needed (benchmarks, metric sweeps).
+
+        Two-pass RC runs CLIP-LEVEL (the classic two-pass VBR structure,
+        shared bitwise with the mesh engine): pass 1 encodes the whole clip
+        at the table QPs (async-pipelined, no per-frame host sync beyond
+        promotion's size check), the per-frame row bits come back in ONE
+        device->host transfer, rc.second_pass_row_qps reallocates each
+        frame's row budgets on the host, and pass 2 re-encodes the clip at
+        the reallocated QPs with pass-1's frame types.  The earlier
+        per-frame interleave (first pass -> sync -> second pass -> next
+        frame) cost ~4 blocking syncs per frame and ran at 7 fps at 720p on
+        a thin link; the clip-level form is two full async passes plus one
+        round trip (measured: the same config tracks ~half the one-pass
+        throughput)."""
+        cfg = self.cfg
+        assert self.y is not None, "construct with y_frames to encode"
+        two_pass = cfg.two_pass and cfg.rc_active
+        if two_pass:
+            pf1, ftypes1 = self._encode_pass(False, light=True)
+            rb = np.asarray(jnp.stack([o["row_bits"] for o in pf1]))  # ONE sync
+            rqps = [
+                rc_mod.second_pass_row_qps(cfg, rb[i], t, np.asarray(self.row_qps_by_type[t]))
+                for i, t in enumerate(ftypes1)
+            ]
+            per_frame, ftypes = self._encode_pass(
+                package, ftypes_fixed=ftypes1, rqps_pf=[jnp.asarray(q) for q in rqps]
+            )
+            qp_rows_pf = [[int(q) for q in r] for r in rqps]
+        else:
+            per_frame, ftypes = self._encode_pass(package)
+            qp_rows_pf = [
+                [int(q) for q in np.asarray(self.row_qps_by_type[t])] if cfg.rc_active else []
+                for t in ftypes
+            ]
+        frames = [o["recon"] for o in per_frame]
         pkg = {
             "block size": self.bs,
             "num frames": cfg.frames,
@@ -867,6 +903,7 @@ class JaxCodec:
         nref_seq = [1] * n
         cnt = 1  # mirror of the device loop's reference-FIFO length
         s = self.sbs
+        inter_mvs: list = [None] * n
         for i in range(n):
             ft = frame_types[i]
             mv_np, split_np, smv_np = list_to_mvs_np(mvs_per_frame[i], ft, nb)
@@ -887,9 +924,29 @@ class JaxCodec:
                 rqp_all[i] = np.asarray(qp_rows_per_frame[i], dtype=np.int32)
             if ft != 0 or cfg.parallel_mode == 1:
                 nref_seq[i] = 1 if cfg.parallel_mode in (1, 3) else cnt
-                tabs[i] = self._fetch_table_np(mv_np, smv_np, nref=nref_seq[i])
+                inter_mvs[i] = (mv_np, smv_np)
             if i < n - 1:
                 cnt = 1 if ft == 0 else min(cnt + 1, cfg.n_ref_frames)
+        # WIDE fetch mode: fast-ME MVP chains aren't bounded by the search
+        # range, so the narrow sr-derived plane pad can't serve them — one
+        # clip-wide pad (me_pallas.wide_pad; 32-multiple, so recompiles stay
+        # bounded) keeps those frames on the Pallas fetch path.  pad=None =
+        # the narrow mode, bit-for-bit the old dispatch.
+        from streamoptima_tpu.core import me_pallas as _mp
+        base_pad = cfg.search_range + (1 if cfg.fme_enable else 0)
+        wpad = None
+        if cfg.fast_me and self._use_pallas():
+            wp = _mp.wide_pad(
+                [a for p in inter_mvs if p is not None for a in
+                 (p[0].reshape(-1, 3), p[1].reshape(-1, 3)) if a.shape[-1] == 3],
+                cfg.search_range, cfg.fme_enable,
+            )
+            if wp is not None and wp != base_pad:
+                wpad = wp
+        for i in range(n):
+            if inter_mvs[i] is not None:
+                tabs[i] = self._fetch_table_np(inter_mvs[i][0], inter_mvs[i][1],
+                                               nref=nref_seq[i], pad=wpad)
         # one bucket for the clip: pad every frame's table to the widest one
         # (padding rows carry code -1 — fetched and discarded by the kernel)
         widths = [t.shape[1] for t in tabs if t is not None]
@@ -945,7 +1002,8 @@ class JaxCodec:
                     ref128 = jnp.stack([jnp.full((self.h, self.w), 128, dtype=jnp.uint8)])
                     if fetchable[i]:
                         f = self._dec_inter_pallas_j(
-                            ref128, mv, split, smv, qf, qq, row_qps, d_tab[j], nref=1, initial_refs=True
+                            ref128, mv, split, smv, qf, qq, row_qps, d_tab[j], nref=1,
+                            initial_refs=True, pad=wpad,
                         )
                     else:
                         f = self._dec_inter_j(
@@ -969,7 +1027,7 @@ class JaxCodec:
                     if fetchable[i]:
                         f = self._dec_inter_pallas_j(
                             jnp.stack(use), mv, split, smv, qf, qq, row_qps, d_tab[j],
-                            nref=len(use), initial_refs=use_init,
+                            nref=len(use), initial_refs=use_init, pad=wpad,
                         )
                     else:
                         f = self._dec_inter_j(

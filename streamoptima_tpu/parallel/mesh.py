@@ -24,11 +24,13 @@ Fast-ME (the raster-sequential MVP chain, Encoder.py:719-742) runs sharded
 too: the chain is solved as a global Jacobi fixpoint — each sweep evaluates
 every tile's blocks in parallel and passes one (3,)-vector per tile boundary
 over ICI (_fast_tile_fixpoint) — bit-identical to the single-chip chain.
-intra_mode 0 only (mode 1's column chain crosses tiles).  Scene-change
-promotion (RCFlag>1) consumes a per-frame scalar on the host and stays a
-single-chip engine feature.  Two-pass RC runs sharded via per-frame steps
-(see _encode_two_pass) and decode shards exactly like encode (see decode) —
-both bit-identical to the single-chip engine.
+intra_mode 1 shards the GOP axis only (its column chain crosses row tiles).
+Scene-change promotion (RCFlag>1) runs via per-frame sharded steps — its
+decision consumes one host scalar per frame (_encode_fsteps).  Two-pass RC
+runs CLIP-LEVEL: one full GOP-scan pass for the row-bit stats, one host
+reallocation, one per-frame-QP GOP-scan pass (_first_pass_rqps /
+_encode_gops_shard_pf).  Decode shards exactly like encode (see decode) —
+all bit-identical to the single-chip engine.
 
 Output parity: with parallel_mode=0 the sharded encoder is bit-identical to
 the single-chip JaxCodec (tested in tests/test_parallel.py).
@@ -114,7 +116,7 @@ class ShardedCodec:
         )
         # scene-change promotion (RCFlag>1) consumes one host scalar per frame
         # (the inter residual size, Encoder.py:1851-1856); it runs on the mesh
-        # through the same per-frame-step path as two-pass RC (_encode_fsteps).
+        # through the per-frame-step path (_encode_fsteps).
         assert cfg.parallel_mode == 0, "mesh sharding replaces the reference's ParallelModes"
         # fast-ME is supported: the raster-sequential MVP chain
         # (Encoder.py:719-742) is solved as a global Jacobi fixpoint with a
@@ -129,6 +131,7 @@ class ShardedCodec:
         self._decode_js = {}  # jitted sharded decodes, keyed (with_tables, comm)
         self._dsteps = {}  # per-frame decode steps for promoted streams, keyed comm
         self._fsteps = None  # jitted per-frame steps for two-pass RC (lazy)
+        self._encode2_j = None  # per-frame-QP GOP scan (two-pass pass 2, lazy)
         self.ndata = mesh.devices.shape[0]
         self.ntile = mesh.devices.shape[1]
         self.h, self.w = cfg.height, cfg.width
@@ -181,6 +184,7 @@ class ShardedCodec:
             "sqerr": P_("data", None),
             "mae_sum": P_("data", None),
             "recon": P_("data", None, "tile", None),
+            "row_bits": P_("data", None, "tile"),
         }
 
     # ------------------------------------------------------ per-tile steps
@@ -202,6 +206,7 @@ class ShardedCodec:
         g["sqerr"] = out["sqerr"]
         g["mae_sum"] = out["mae_sum"]
         g["recon"] = out["recon"]
+        g["row_bits"] = out["row_bits"]  # (nbr_t,) — two-pass pass-1 stats
         return g
 
     def _intra_tile(self, cur_l, y0_blocks, row_qps_tile, roi_tile):
@@ -507,7 +512,7 @@ class ShardedCodec:
             from streamoptima_tpu.core import me_pallas
 
             interp = jax.default_backend() != "tpu"
-            wp = cfg.winner_fetch == "inkernel"
+            wp = cfg.winner_fetch_mode == "inkernel"
             if fme:
                 s = me_pallas.full_search_pallas_fme(
                     cur32, band, cfg.search_range, self.bs, self.sbs, cfg.vbs_enable,
@@ -554,7 +559,7 @@ class ShardedCodec:
         by_g = self._by_local + y0_px
 
         cur_blocks = cur32.reshape(self.nbr_t, self.bs, self.nbc, self.bs).swapaxes(1, 2).reshape(-1, self.bs, self.bs)
-        wfetch = use_pallas and cfg.winner_fetch != "inkernel"
+        wfetch = use_pallas and cfg.winner_fetch_mode != "inkernel"
         if wfetch:
             # winner fetch (VERDICT r3 item 2, mesh edition): argmin-only
             # search above, winners' windows fetched by the compact-DMA
@@ -674,13 +679,16 @@ class ShardedCodec:
         return pf, pq
 
     # -------------------------------------------------------- shard program
-    def _encode_gop_local(self, frames_l, row_qps_tile, roi_tile, y0_blocks):
+    def _encode_gop_local(self, frames_l, qps_pf_tile, roi_tile, y0_blocks):
         """Encode one GOP's local band: intra frame 0, scan over inter frames
-        carrying the reference-band FIFO."""
+        carrying the reference-band FIFO.  ``qps_pf_tile`` is (gl, nbr_t) —
+        PER-FRAME row QPs (the normal path broadcasts the per-type rows to
+        this shape in _encode_gops_shard; two-pass pass 2 supplies real
+        per-frame reallocations)."""
         cfg = self.cfg
         nref = cfg.n_ref_frames
         cur0 = frames_l[0]
-        out0 = self._intra_tile(cur0, y0_blocks, row_qps_tile[0], roi_tile)
+        out0 = self._intra_tile(cur0, y0_blocks, qps_pf_tile[0], roi_tile)
         out0["sqerr"] = jax.lax.psum(
             jnp.sum((out0["recon"].astype(jnp.float32) - cur0.astype(jnp.float32)) ** 2), "tile"
         )
@@ -695,9 +703,10 @@ class ShardedCodec:
         # start cannot change results)
         g0 = jnp.zeros((self.nb_t, 3), jnp.int32) if cfg.fast_me else None
 
-        def step(carry, cur):
+        def step(carry, x):
+            cur, rqp = x
             refs, nvalid, g = carry
-            out = self._inter_tile(cur, refs, nvalid, y0_blocks, row_qps_tile[1], roi_tile, g0=g)
+            out = self._inter_tile(cur, refs, nvalid, y0_blocks, rqp, roi_tile, g0=g)
             g_next = out.pop("g_next", None)
             out["sqerr"] = jax.lax.psum(
                 jnp.sum((out["recon"].astype(jnp.float32) - cur.astype(jnp.float32)) ** 2), "tile"
@@ -709,17 +718,34 @@ class ShardedCodec:
             new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, out["recon"][None], idx, axis=0)
             return (new_refs, jnp.minimum(nvalid + 1, nref), g_next), self._grid_out(out)
 
-        (_, _, _), outs = jax.lax.scan(step, (refs0, jnp.int32(1), g0), frames_l[1:])
+        (_, _, _), outs = jax.lax.scan(step, (refs0, jnp.int32(1), g0), (frames_l[1:], qps_pf_tile[1:]))
         out0g = self._grid_out(out0)
         return jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], axis=0), out0g, outs)
 
     def _encode_gops_shard(self, frames_g, row_qps, roi):
-        """Per-device program: frames_g (G_local, gl, h_t, w)."""
+        """Per-device program: frames_g (G_local, gl, h_t, w); row_qps is the
+        per-TYPE (2, nbr) table, broadcast to per-frame rows (frame 0 intra,
+        rest inter — the GOP-regular sequence this scan serves)."""
         tile_idx = jax.lax.axis_index("tile")
         y0_blocks = tile_idx * self.nbr_t
         row_qps_tile = jax.lax.dynamic_slice_in_dim(row_qps, y0_blocks, self.nbr_t, axis=1)  # (2, nbr_t)
         roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0_blocks, self.nbr_t, axis=0)
-        return jax.vmap(lambda fl: self._encode_gop_local(fl, row_qps_tile, roi_tile, y0_blocks))(frames_g)
+        qps_pf = jnp.concatenate(
+            [row_qps_tile[0:1], jnp.broadcast_to(row_qps_tile[1], (self.gl - 1, self.nbr_t))]
+        ) if self.gl > 1 else row_qps_tile[0:1]
+        return jax.vmap(lambda fl: self._encode_gop_local(fl, qps_pf, roi_tile, y0_blocks))(frames_g)
+
+    def _encode_gops_shard_pf(self, frames_g, qps_pf_g, roi):
+        """Per-device program with PER-FRAME row QPs: qps_pf_g (G_local, gl,
+        nbr) — the two-pass second pass (each frame re-encoded at its
+        reallocated row budgets, rc.second_pass_row_qps)."""
+        tile_idx = jax.lax.axis_index("tile")
+        y0_blocks = tile_idx * self.nbr_t
+        roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0_blocks, self.nbr_t, axis=0)
+        qps_t = jax.lax.dynamic_slice_in_dim(qps_pf_g, y0_blocks, self.nbr_t, axis=2)  # (G, gl, nbr_t)
+        return jax.vmap(
+            lambda fl, qp: self._encode_gop_local(fl, qp, roi_tile, y0_blocks)
+        )(frames_g, qps_t)
 
     # -------------------------------------------------------------- encode
     def encode(self, fetch: str = "full"):
@@ -734,37 +760,25 @@ class ShardedCodec:
         """
         cfg = self.cfg
         assert self.y is not None, "construct with y_frames to encode"
-        if (cfg.two_pass and cfg.rc_active) or (cfg.rc_flag is not None and cfg.rc_flag > 1):
+        if cfg.rc_flag is not None and cfg.rc_flag > 1:
+            # scene promotion consumes one host scalar per frame: fsteps path
+            # (handles the two-pass composition clip-level too)
             return self._encode_fsteps(fetch)
         n = cfg.frames
         gl = self.gl
         n_gops = math.ceil(n / gl)
         g_pad = math.ceil(n_gops / self.ndata) * self.ndata
-        if self._frames_dev is None or self._frames_dev.shape[0] != g_pad:
-            frames_g = np.zeros((g_pad, gl, self.h, self.w), dtype=np.uint8)
-            flat = frames_g.reshape(-1, self.h, self.w)
-            flat[:n] = self.y[:n]
-            # pad by repeating the last real frame (padding output is dropped)
-            flat[n:] = self.y[n - 1]
-            # one host->device upload for the whole clip; per-batch slices
-            # below are device ops (re-uploading every batch serializes the
-            # tunnel link against compute: measured 70+ ms per 8-frame batch,
-            # dominating the encode once the device side dropped to ~5 ms/f)
-            self._frames_dev = jax.device_put(jnp.asarray(frames_g))
-        outs = []
-        light_keys = ("size", "sqerr", "mae_sum") if fetch == "metrics" else ("recon", "size", "sqerr", "mae_sum")
-        for b in range(g_pad // self.ndata):
-            batch = self._frames_dev[b * self.ndata : (b + 1) * self.ndata]
-            o = self._encode_j(batch, self._row_qps, self._roi)
-            if fetch in ("light", "metrics"):
-                o = {k: o[k] for k in light_keys}
-            for v in o.values():  # overlap D2H with the next batch's compute
-                try:
-                    v.copy_to_host_async()
-                except AttributeError:
-                    pass
-            outs.append(o)
-        out = jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *outs)
+        self._stage_frames(g_pad)
+        rqp_pf = None
+        if cfg.two_pass and cfg.rc_active:
+            # clip-level two-pass (bitwise shared with JaxCodec.encode):
+            # pass 1 = this same GOP scan at the table QPs, keeping only the
+            # per-frame row bits; host reallocates each frame's row budgets;
+            # pass 2 below re-runs the scan with per-frame QPs.  The per-frame
+            # interleave this replaces synced the host 4x per frame (7 fps at
+            # 720p on a thin link vs ~70 for two async passes).
+            rqp_pf = self._first_pass_rqps(g_pad)
+        out = self._run_scan_batches(g_pad, fetch, rqp_pf)
 
         nb = self.nbr * self.nbc
         rq = np.asarray(self._row_qps)
@@ -801,7 +815,9 @@ class ShardedCodec:
             "MAE per Frame": mae_pf,
             "frame_type_seq": ftypes,
             "Qp_per_row_per_frame": [
-                (row_qps_host[ft] if cfg.rc_active else []) for ft in ftypes
+                ([int(q) for q in rqp_pf[divmod(i, gl)[0], divmod(i, gl)[1]]] if rqp_pf is not None
+                 else row_qps_host[ftypes[i]] if cfg.rc_active else [])
+                for i in range(n)
             ],
             "residual size per frame": sizes,
             "reconstructed frames": recon,
@@ -810,6 +826,77 @@ class ShardedCodec:
             pkg["MVS per Frame"] = mvs_pf
             pkg["approx residual"] = res_pf
         return pkg
+
+    def _stage_frames(self, g_pad):
+        """Device-resident GOP-batched clip (one H2D upload for the clip;
+        re-uploading every batch serializes the tunnel link against compute:
+        measured 70+ ms per 8-frame batch once compute dropped to ~5 ms/f)."""
+        n, gl = self.cfg.frames, self.gl
+        if self._frames_dev is None or self._frames_dev.shape[0] != g_pad:
+            frames_g = np.zeros((g_pad, gl, self.h, self.w), dtype=np.uint8)
+            flat = frames_g.reshape(-1, self.h, self.w)
+            flat[:n] = self.y[:n]
+            # pad by repeating the last real frame (padding output is dropped)
+            flat[n:] = self.y[n - 1]
+            self._frames_dev = jax.device_put(jnp.asarray(frames_g))
+
+    def _run_scan_batches(self, g_pad, fetch, rqp_pf=None):
+        """Dispatch the GOP scan over fixed-shape ndata-sized batches and
+        concatenate the host results.  ``rqp_pf`` (g_pad, gl, nbr) switches to
+        the per-frame-QP program (two-pass pass 2)."""
+        if rqp_pf is not None and self._encode2_j is None:
+            self._encode2_j = jax.jit(
+                shard_map(
+                    self._encode_gops_shard_pf, mesh=self.mesh,
+                    in_specs=(P_("data", None, "tile", None), P_("data", None, None), P_(None, None)),
+                    out_specs=self._out_specs(), check_vma=False,
+                )
+            )
+        rqp_dev = None if rqp_pf is None else jax.device_put(jnp.asarray(rqp_pf))
+        outs = []
+        light_keys = ("size", "sqerr", "mae_sum") if fetch == "metrics" else ("recon", "size", "sqerr", "mae_sum")
+        for b in range(g_pad // self.ndata):
+            sl = slice(b * self.ndata, (b + 1) * self.ndata)
+            if rqp_dev is None:
+                o = self._encode_j(self._frames_dev[sl], self._row_qps, self._roi)
+            else:
+                o = self._encode2_j(self._frames_dev[sl], rqp_dev[sl], self._roi)
+            if fetch in ("light", "metrics"):
+                o = {k: o[k] for k in light_keys}
+            for v in o.values():  # overlap D2H with the next batch's compute
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:
+                    pass
+            outs.append(o)
+        return jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *outs)
+
+    def _first_pass_rqps(self, g_pad):
+        """Two-pass pass 1: run the normal GOP scan, keep each frame's row
+        bits (tiny — one async D2H per batch), and reallocate every frame's
+        row budgets on the host (rc.second_pass_row_qps, shared with
+        JaxCodec so mesh two-pass stays bitwise identical to single-chip).
+        Returns (g_pad, gl, nbr) int32 per-frame row QPs."""
+        cfg = self.cfg
+        rbs = []
+        for b in range(g_pad // self.ndata):
+            o = self._encode_j(
+                self._frames_dev[b * self.ndata : (b + 1) * self.ndata], self._row_qps, self._roi
+            )
+            rb = o["row_bits"]
+            try:
+                rb.copy_to_host_async()
+            except AttributeError:
+                pass
+            rbs.append(rb)
+        row_bits = np.concatenate([np.asarray(r) for r in rbs], axis=0)  # (g_pad, gl, nbr)
+        type_rows = np.asarray(self._row_qps)
+        out = np.empty_like(row_bits, dtype=np.int32)[..., : self.nbr]
+        for g in range(g_pad):
+            for f in range(self.gl):
+                ft = 0 if f == 0 else 1
+                out[g, f] = rc_mod.second_pass_row_qps(cfg, row_bits[g, f], ft, type_rows[ft])
+        return out
 
     # -------------------------------------------------------------- decode
     # GOP- and row-sharded decode (round-1 VERDICT item 4): same mesh layout
@@ -1311,10 +1398,7 @@ class ShardedCodec:
             out["sqerr"] = jax.lax.psum(
                 jnp.sum((out["recon"].astype(jnp.float32) - cur_l.astype(jnp.float32)) ** 2), "tile"
             )
-            row_bits = out["row_bits"]
-            g = self._grid_out(out)
-            g["row_bits"] = row_bits
-            return g
+            return self._grid_out(out)
 
         def intra_shard(cur_g, rqp_g, roi):
             tile_idx = jax.lax.axis_index("tile")
@@ -1382,46 +1466,51 @@ class ShardedCodec:
             return {k: sel(take[k], keep[k]) for k in keep}
         return sel(take, keep)
 
-    def _encode_fsteps(self, fetch: str = "full"):
-        """Per-frame sharded encode: two-pass RC and/or scene-change
-        promotion (RCFlag>1) — both consume host scalars between frames
-        (measured row bits / the inter residual size, Encoder.py:1851-1856),
-        so the GOP scan unrolls into per-frame dispatches here.  GOPs stay
-        data-parallel; when GOPs in a batch disagree (one promotes, another
-        doesn't) both step kinds run and the outputs select per GOP.
-        Semantics mirror the single-chip loop (jax_engine.encode) exactly:
-        promotion decided on the pass-1 size at table QPs, two-pass
-        re-encode at the reallocated row QPs, promoted frames reset the
-        reference FIFO."""
+    def _fsteps_pass(self, g_pad, ftypes_fixed=None, rqps_pf=None):
+        """One per-frame sharded pass over the clip.
+
+        Pass 1 (``ftypes_fixed`` None): table QPs, promotion decided per
+        frame from the measured inter size (one host scalar per frame —
+        inherent to RCFlag>1, Encoder.py:1851-1856).  Pass 2: frame types
+        fixed from pass 1 and per-frame row QPs supplied — NO host syncs
+        inside, so the whole pass pipelines asynchronously.  Returns
+        (outs [(grid_out, rqp, ftypes_b) per (batch, frame)],
+        ftypes (g_pad_batches, gl, ndata))."""
         cfg = self.cfg
-        n, gl = cfg.frames, self.gl
-        promotion = cfg.rc_flag is not None and cfg.rc_flag > 1
-        two_pass = cfg.two_pass and cfg.rc_active
-        n_gops = math.ceil(n / gl)
-        g_pad = math.ceil(n_gops / self.ndata) * self.ndata
-        if self._frames_dev is None or self._frames_dev.shape[0] != g_pad:
-            frames_g = np.zeros((g_pad, gl, self.h, self.w), dtype=np.uint8)
-            flat = frames_g.reshape(-1, self.h, self.w)
-            flat[:n] = self.y[:n]
-            flat[n:] = self.y[n - 1]
-            self._frames_dev = jax.device_put(jnp.asarray(frames_g))
+        gl = self.gl
+        promotion = ftypes_fixed is None and cfg.rc_flag is not None and cfg.rc_flag > 1
         if self._fsteps is None:
             self._fsteps = self._build_fsteps()
         intra_j, inter_j = self._fsteps
         type_rows = np.asarray(self._row_qps)  # (2, nbr)
         bcast = lambda t: jnp.asarray(np.broadcast_to(type_rows[t], (self.ndata, self.nbr)))  # noqa: E731
         outs = []  # per (batch, frame): (grid_out, rqp (ndata, nbr), ftypes (ndata,))
+        ftypes_all = []
         nref = cfg.n_ref_frames
         for b in range(g_pad // self.ndata):
             refs = None
             nvalid = np.zeros(self.ndata, np.int32)
             for f in range(gl):
+                k = b * gl + f
                 cur = self._frames_dev[b * self.ndata : (b + 1) * self.ndata, f]
                 refs_prev, nvalid_prev = refs, jnp.asarray(nvalid)
-                # ---- pass 1 at the table QPs (+ promotion decision)
+                rqp_j = None if rqps_pf is None else jnp.asarray(rqps_pf[k])
                 if f == 0:
                     ftypes_b = np.zeros(self.ndata, np.int32)
-                    o, refs_new = intra_j(cur, bcast(0), self._roi)
+                    o, refs_new = intra_j(cur, rqp_j if rqp_j is not None else bcast(0), self._roi)
+                elif ftypes_fixed is not None:
+                    ftypes_b = ftypes_fixed[k]
+                    is_intra = ftypes_b == 0
+                    use_q = rqp_j if rqp_j is not None else bcast(1)
+                    if is_intra.all():
+                        o, refs_new = intra_j(cur, use_q, self._roi)
+                    elif not is_intra.any():
+                        o, refs_new = inter_j(cur, refs_prev, nvalid_prev, use_q, self._roi)
+                    else:
+                        oP, refsP = inter_j(cur, refs_prev, nvalid_prev, use_q, self._roi)
+                        oI, refsI = intra_j(cur, use_q, self._roi)
+                        o = self._select_gops(is_intra, oI, oP)
+                        refs_new = self._select_gops(is_intra, refsI, refsP)
                 else:
                     ftypes_b = np.ones(self.ndata, np.int32)
                     o, refs_new = inter_j(cur, refs_prev, nvalid_prev, bcast(1), self._roi)
@@ -1432,29 +1521,46 @@ class ShardedCodec:
                             o = self._select_gops(promote, oI, o)
                             refs_new = self._select_gops(promote, refsI, refs_new)
                             ftypes_b = np.where(promote, 0, 1).astype(np.int32)
-                # ---- pass 2 at the reallocated row QPs
-                if two_pass:
-                    row_bits = np.asarray(o["row_bits"])  # (ndata, nbr)
-                    rqp = np.stack([
-                        rc_mod.second_pass_row_qps(cfg, row_bits[g], int(ftypes_b[g]), type_rows[ftypes_b[g]])
-                        for g in range(self.ndata)
-                    ])
-                    rqp_j = jnp.asarray(rqp)
-                    is_intra = ftypes_b == 0
-                    if is_intra.all():
-                        o, refs_new = intra_j(cur, rqp_j, self._roi)
-                    elif not is_intra.any():
-                        o, refs_new = inter_j(cur, refs_prev, nvalid_prev, rqp_j, self._roi)
-                    else:
-                        oP, refsP = inter_j(cur, refs_prev, nvalid_prev, rqp_j, self._roi)
-                        oI, refsI = intra_j(cur, rqp_j, self._roi)
-                        o = self._select_gops(is_intra, oI, oP)
-                        refs_new = self._select_gops(is_intra, refsI, refsP)
-                else:
-                    rqp = type_rows[ftypes_b]  # (ndata, nbr)
+                rqp = type_rows[ftypes_b] if rqps_pf is None else rqps_pf[k]
                 refs = refs_new
                 nvalid = np.where(ftypes_b == 0, 1, np.minimum(nvalid + 1, nref)).astype(np.int32)
                 outs.append((o, rqp, ftypes_b))
+                ftypes_all.append(ftypes_b)
+        return outs, ftypes_all
+
+    def _encode_fsteps(self, fetch: str = "full"):
+        """Per-frame sharded encode for scene-change promotion (RCFlag>1) —
+        the promotion decision consumes one host scalar per frame (the
+        measured inter residual size, Encoder.py:1851-1856), so the GOP scan
+        unrolls into per-frame dispatches here.  GOPs stay data-parallel;
+        when GOPs in a batch disagree (one promotes, another doesn't) both
+        step kinds run and the outputs select per GOP.
+
+        The two-pass composition runs CLIP-LEVEL, mirroring the GOP-scan
+        path and jax_engine.encode: pass 1 decides promotion and collects
+        row bits, the host reallocates every frame's row budgets at once
+        (rc.second_pass_row_qps), and pass 2 re-runs the per-frame steps
+        with fixed frame types and NO host syncs — both engines share the
+        semantics, so mesh two-pass stays bitwise identical to single-chip."""
+        cfg = self.cfg
+        n, gl = cfg.frames, self.gl
+        two_pass = cfg.two_pass and cfg.rc_active
+        n_gops = math.ceil(n / gl)
+        g_pad = math.ceil(n_gops / self.ndata) * self.ndata
+        self._stage_frames(g_pad)
+        outs, ftypes_all = self._fsteps_pass(g_pad)
+        if two_pass:
+            type_rows = np.asarray(self._row_qps)
+            # ONE stacked sync for the whole clip's row bits
+            row_bits = np.asarray(jnp.stack([o["row_bits"] for o, _, _ in outs]))
+            rqps_pf = []
+            for k in range(len(outs)):
+                ftypes_b = ftypes_all[k]
+                rqps_pf.append(np.stack([
+                    rc_mod.second_pass_row_qps(cfg, row_bits[k][g], int(ftypes_b[g]), type_rows[ftypes_b[g]])
+                    for g in range(self.ndata)
+                ]))
+            outs, _ = self._fsteps_pass(g_pad, ftypes_fixed=ftypes_all, rqps_pf=rqps_pf)
         return self._package_fsteps(outs, g_pad, fetch)
 
     def _package_fsteps(self, outs, g_pad, fetch):

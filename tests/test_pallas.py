@@ -337,6 +337,33 @@ def test_pallas_nondivisor_band_matches(fme, monkeypatch):
     search._clear_cache()
 
 
+@pytest.mark.parametrize("fme", [False, True])
+def test_pallas_column_tiled_matches(fme, monkeypatch):
+    """Column tiling (the 2*w_t/8-FLOPs-per-pixel aggregation cost rule,
+    round-3) must be bit-identical to the untiled program — forced ncol=2 on
+    a small frame, both prediction-carrying and argmin-only variants."""
+    from streamoptima_tpu.core import me_pallas
+
+    rng = np.random.default_rng(6)
+    h, w, sr, nref = 64, 256, 4, 2
+    cur = rng.integers(0, 256, (h, w)).astype(np.int32)
+    refs = rng.integers(0, 256, (nref, h, w)).astype(np.int32)
+    search = full_search_pallas_fme if fme else full_search_pallas
+    for want_pred in (True, False):
+        base = search(jnp.asarray(cur), jnp.asarray(refs), sr, 16, 8, True,
+                      interpret=True, want_pred=want_pred)
+        monkeypatch.setattr(me_pallas, "_col_tiles", lambda *a, **k: (2, 2))
+        search._clear_cache()
+        tiled = search(jnp.asarray(cur), jnp.asarray(refs), sr, 16, 8, True,
+                       interpret=True, want_pred=want_pred)
+        monkeypatch.undo()
+        search._clear_cache()
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(tiled[k]), err_msg=f"{k} pred={want_pred}"
+            )
+
+
 def test_band_model_pinned_points():
     """VMEM-model pinning (VERDICT r2 item 9): band/column-tile selections
     for the supported shape matrix, anchored to on-chip Mosaic scoped-
@@ -349,10 +376,17 @@ def test_band_model_pinned_points():
     collapses a supported class below 4 rows) fails here, compile-free."""
     from streamoptima_tpu.core.me_pallas import _band_rows, _col_tiles
 
-    # (w, nbr, nd, pred, qpred) -> (ncol, band)
-    assert _col_tiles(1280, 45, 16, True, True, 17) == (1, 15)   # 720p vbs+fme sr8
-    assert _col_tiles(3840, 135, 16, True, True, 17) == (2, 9)   # 4K vbs+fme sr8
-    assert _col_tiles(1280, 45, 16, False, False, 17) == (1, 16)  # 720p argmin-only
+    # model anchor: the measured 16.32M OOM at (w=1280 untiled, band 16,
+    # pred+qpred) means the model must cap that class at band 15
+    assert _band_rows(45, 1280, 16, True, True, 17, budget_mb=15.8) == 15
+    # cost-rule selections: smallest 128-aligned tile width >= 512 (the
+    # column-aggregation matmul costs 2*w_t/8 FLOPs per pixel per candidate)
+    # with a >=4-row band; every supported class lands at w_t <= 640 with a
+    # full 16-row band
+    assert _col_tiles(1280, 45, 16, True, True, 17) == (2, 16)   # 720p vbs+fme sr8
+    assert _col_tiles(3840, 135, 16, True, True, 17) == (6, 16)  # 4K vbs+fme sr8
+    assert _col_tiles(1280, 45, 16, False, False, 17) == (2, 16)  # 720p argmin-only
+    assert _col_tiles(352, 18, 16, True, True, 17) == (1, 16)    # CIF: untiled
     # the supported matrix never collapses below 4 rows
     for w, nbr in ((352, 18), (1280, 45), (1920, 68), (3840, 135)):
         for nd in (17, 33):

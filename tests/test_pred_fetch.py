@@ -272,3 +272,101 @@ def test_pred_fetch_nondivisor_band(monkeypatch):
     me_pallas.pred_fetch_compact._clear_cache()
     np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(padded[0]))
     np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(padded[1]))
+
+
+@pytest.mark.parametrize("fme", [False, True])
+def test_wide_fetch_matches_gather(fme):
+    """WIDE fetch mode: transmitted displacements far beyond the search
+    range (fast-ME MVP chains are unbounded) served by a wide_pad-sized
+    plane, bit-identical to gather_predictions on the servable cases."""
+    rng = np.random.default_rng(11)
+    h, w, bs, sbs, nref, sr = 64, 128, 16, 8, 2, 2
+    refs = rng.integers(0, 256, (nref, h, w), dtype=np.uint8).astype(np.int32)
+    bx, by, qx, qy = _grids(h, w, bs, sbs)
+    nb = len(bx)
+    bound = 80  # >> sr: the narrow sr-derived pad cannot serve these
+
+    def rand_mv(n):
+        mv = np.zeros((n, 3), np.int32)
+        mv[:, 0] = rng.integers(-bound, bound + 1, n)
+        mv[:, 1] = rng.integers(-bound, bound + 1, n)
+        mv[:, 2] = rng.integers(0, nref, n)
+        return mv
+
+    mv = rand_mv(nb)
+    smv = np.stack([rand_mv(nb) for _ in range(4)], 1)
+    wpad = MP.wide_pad([mv, smv.reshape(-1, 3)], sr, fme)
+    assert wpad is not None and wpad > (sr + 1 if fme else sr)
+    assert wpad % 32 == 0
+    t = MP.build_fetch_table(mv, smv, sr, fme, True, pads=(wpad, wpad))
+    assert t is not None
+    predf, predq = MP.pred_fetch_compact(
+        jnp.asarray(mv), jnp.asarray(smv), jnp.asarray(refs), jnp.asarray(t[0]),
+        wpad, bs, sbs, True, fme, interpret=True, wrap_row_pass=True,
+    )
+    predf, predq = np.asarray(predf).astype(np.int64), np.asarray(predq).astype(np.int64)
+
+    stack = np.stack([M.fme_upsample(r, np, wrap_row_pass=True) for r in refs]) if fme else refs
+    exp_f = _plane(P.gather_predictions(mv, stack, bx, by, bs, fme, np), bx, by, bs, h, w)
+    exp_q = _plane(
+        P.gather_predictions(smv.reshape(-1, 3), stack, qx.reshape(-1), qy.reshape(-1), sbs, fme, np),
+        qx.reshape(-1), qy.reshape(-1), sbs, h, w,
+    )
+    if not fme:
+        np.testing.assert_array_equal(predf, exp_f)
+        np.testing.assert_array_equal(predq, exp_q)
+        return
+    H2, W2 = 2 * h - 1, 2 * w - 1
+
+    def caseA(mv3, xs, ys, n):
+        px, py = 2 * xs + mv3[:, 0], 2 * ys + mv3[:, 1]
+        v1 = (px >= 0) & (px < W2 - n) & (py >= 0) & (py < H2 - n)
+        v2 = (px + 2 * n >= 0) & (px + 2 * n < W2 - n) & (py + 2 * n >= 0) & (py + 2 * n < H2 - n)
+        return v1 & v2
+
+    a_f = caseA(mv, bx, by, bs)
+    a_q = caseA(smv.reshape(-1, 3), qx.reshape(-1), qy.reshape(-1), sbs)
+    assert a_f.sum() and a_q.sum(), "degenerate draw: no case-A blocks"
+    maskf = np.repeat(np.repeat(a_f.reshape(h // bs, w // bs), bs, 0), bs, 1)
+    maskq = _plane(a_q.astype(np.int64), qx.reshape(-1), qy.reshape(-1), sbs, h, w) > 0
+    np.testing.assert_array_equal(np.where(maskf, predf, 0), np.where(maskf, exp_f, 0))
+    np.testing.assert_array_equal(np.where(maskq, predq, 0), np.where(maskq, exp_q, 0))
+
+
+@pytest.mark.parametrize("fme", [False, True])
+def test_wide_fetch_decode_roundtrip_fast_me(fme):
+    """Facade decode of a fast-ME stream whose MVP chain walks beyond the
+    search range: the WIDE fetch mode must keep the Pallas path and
+    reproduce the encoder's reconstructions bit-exactly."""
+    # smooth vertical sinusoid panning 8px/frame with sr=2: its SAD gradient
+    # walks the MVP chain far past the search range (same construction as
+    # test_parallel.test_halo_decode_fast_me_large_motion)
+    h, w, frames, pan = 128, 64, 4, 8
+    y = np.arange(h + pan * frames)
+    base = np.clip(128 + 100 * np.sin(2 * np.pi * y / 32.0), 0, 255)[:, None]
+    rng = np.random.default_rng(3)
+    tex = rng.integers(-8, 9, size=(h + pan * frames, w))
+    sheet = np.clip(base + tex, 0, 255).astype(np.uint8)
+    clip = np.stack([sheet[i * pan : i * pan + h] for i in range(frames)])
+    cfg = CodecConfig(height=h, width=w, frames=frames, qp=3, intra_dur=frames,
+                      search_range=2, vbs_enable=fme, fme_enable=fme, fast_me=True,
+                      engine="jax", me_search="pallas")
+    codec = JaxCodec(cfg, clip)
+    pkg = codec.encode()
+    # the stream must actually exceed the narrow bound somewhere
+    big = max(
+        abs(m[1][1])
+        for ft, mvs in zip(pkg["frame_type_seq"], pkg["MVS per Frame"]) if ft == 1
+        for m in mvs if m[0] == 0
+    )
+    assert big > (2 * cfg.search_range if fme else cfg.search_range), big
+    # ... and the wide dispatch must actually serve it (not the XLA fallback)
+    from streamoptima_tpu.core import me_pallas as _mp
+    allmv = [np.asarray(codec._list_to_mvs(f, 1)[0]).reshape(-1, 3)
+             for f, t in zip(pkg["MVS per Frame"], pkg["frame_type_seq"]) if t == 1]
+    wp = _mp.wide_pad(allmv, cfg.search_range, fme)
+    assert wp is not None and wp > (cfg.search_range + (1 if fme else 0))
+    dec = codec.decode(pkg["frame_type_seq"], pkg["approx residual"],
+                       pkg["Qp_per_row_per_frame"], pkg["MVS per Frame"])
+    for i, (d, r) in enumerate(zip(dec, pkg["reconstructed frames"])):
+        np.testing.assert_array_equal(np.asarray(d), r, err_msg=f"frame {i}")
