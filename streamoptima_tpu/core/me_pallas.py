@@ -68,10 +68,12 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
         # (w_t=1920, band=144px, pred+qpred, ncol=2) = model+2.4M (r2) —
         # both measurements agree on a ~2.4M constant the w^2/4 term misses
         const = n_quadratic * (w * w) // 4 + int(2.4 * 2**20)
-        a, b = (15.0, 1.5) if want_qpred else (9.0, 1.5)
+        # +2 B/px over the round-2 fits: the ref band DMA scratch is now
+        # double-buffered (two (band_px, wtp) int16 buffers)
+        a, b = (17.0, 1.5) if want_qpred else (11.0, 1.5)
     else:
         const = (w * w) // 4
-        a, b = 6.0, 1.2
+        a, b = 8.0, 1.2
     if const >= budget:
         return 1
     cap_px = (budget - const) / (w * (a + b * nd))
@@ -258,11 +260,7 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         def one_ref(refi, best):
             ref_ok = refi < nvv
 
-            def one_dy(kyi, best):
-                dy = dyv_ref[kyi]  # original-grid displacement (traced)
-                dyi = dyiv_ref[kyi]  # grid index for the secondary key
-                absdy = jnp.where(dy < 0, -dy, dy)
-                dy_ok = absdy <= grid_sr  # odd plane's extra k is no candidate
+            def dma_for(kyi, slot):
                 # row shift at DMA time, from the (k mod 8) pre-shifted plane
                 # so the start row is provably 8-aligned (read_row0 must be
                 # a multiple of 8)
@@ -275,10 +273,23 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     # provably tile-aligned
                     c0 = pl.multiple_of(ctile * w_t, 128)
                     src = refs_hbm.at[refi, kk, pl.ds(start8, band_px), pl.ds(c0, wtp)]
-                dma = pltpu.make_async_copy(src, band_vmem, dma_sem)
-                dma.start()
-                dma.wait()
-                rows = band_vmem[...]
+                return pltpu.make_async_copy(src, band_vmem.at[slot], dma_sem.at[slot])
+
+            # double-buffered dy bands: dy+1's copy is in flight while dy's
+            # 17-candidate compute runs.  No conditionals (Mosaic conditional
+            # -DMA pathologies): the last iteration redundantly re-starts
+            # dy=nd_y-1 into the other slot and the per-ref epilogue waits it.
+            dma_for(0, 0).start()
+
+            def one_dy(kyi, best):
+                dy = dyv_ref[kyi]  # original-grid displacement (traced)
+                dyi = dyiv_ref[kyi]  # grid index for the secondary key
+                absdy = jnp.where(dy < 0, -dy, dy)
+                dy_ok = absdy <= grid_sr  # odd plane's extra k is no candidate
+                slot = jax.lax.rem(kyi, 2)
+                dma_for(jnp.minimum(kyi + 1, nd_y - 1), jax.lax.rem(kyi + 1, 2)).start()
+                dma_for(kyi, slot).wait()
+                rows = band_vmem[slot]
                 bsad, bsec, qsad, qsec = best["sad"], best["sec"], best["qsad"], best["qsec"]
                 bpredf = best.get("predf")
                 bpredq = best.get("predq")
@@ -335,7 +346,10 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     new["predq"] = bpredq
                 return new
 
-            return jax.lax.fori_loop(0, nd_y, one_dy, best)
+            best = jax.lax.fori_loop(0, nd_y, one_dy, best)
+            # drain the last redundant prefetch (starts == waits per ref)
+            dma_for(nd_y - 1, nd_y % 2).wait()
+            return best
 
         for refi in range(nref):  # static unroll: nref is small
             best = one_ref(refi, best)
@@ -384,8 +398,8 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((band_px, wtp), jnp.int16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, band_px, wtp), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     res = pl.pallas_call(

@@ -377,8 +377,9 @@ def test_band_model_pinned_points():
     from streamoptima_tpu.core.me_pallas import _band_rows, _col_tiles
 
     # model anchor: the measured 16.32M OOM at (w=1280 untiled, band 16,
-    # pred+qpred) means the model must cap that class at band 15
-    assert _band_rows(45, 1280, 16, True, True, 17, budget_mb=15.8) == 15
+    # pred+qpred) means the model must cap that class below 16 (the round-3
+    # double-buffered DMA scratch adds 2 B/px, so the cap sits at 14-15)
+    assert 14 <= _band_rows(45, 1280, 16, True, True, 17, budget_mb=15.8) <= 15
     # cost-rule selections: smallest 128-aligned tile width >= 512 (the
     # column-aggregation matmul costs 2*w_t/8 FLOPs per pixel per candidate)
     # with a >=4-row band; every supported class lands at w_t <= 640 with a
