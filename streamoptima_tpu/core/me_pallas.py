@@ -691,10 +691,48 @@ def wide_pad(mvs_np_list, sr: int, fme: bool):
     return pad if pad <= WIDE_PAD_MAX else None
 
 
-def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 0,
-                      pads=None):
+def fetch_band_rows(nbr: int, w: int, bs: int, vbs: bool) -> int:
+    """Block rows per pred_fetch_compact band program.  VMEM residency per
+    band row-pixel: 2 int16 pred outputs + the int32 pixel-code maps (full,
+    + quad under VBS) + ~2 live int16 barrel-shift temporaries, plus the
+    double-buffered (2, band_px, Wk) int16 DMA scratch.  Shared with the
+    table builders: tables are BANDED (one candidate list per band program,
+    only the MVs whose blocks live in that band), so builder and kernel must
+    agree on the banding."""
+    per_px = 2 * 2 + 4 + (4 if vbs else 0) + 2 * 2
+    wk_est = (-(-(w + 136) // 128) * 128) * 2 * 2
+    return max(1, min(int(13.5 * 2**20) // (w * per_px + wk_est) // bs, 16, nbr))
+
+
+def _fetch_rows_from_mvs(allmv, sr: int, fme: bool, row0: int, pads):
+    """Shared per-candidate DMA-row arithmetic: (n, 3) distinct MVs ->
+    (5, n) int32 rows (see build_fetch_table's row layout)."""
+    dx, dy, rf = allmv[:, 0], allmv[:, 1], allmv[:, 2]
+    base = sr + 1 if fme else sr
+    padr, padc = (base, base) if pads is None else pads
+    if fme:
+        pyp, pxp = dy % 2, dx % 2
+        ky, kx = (dy - pyp) // 2, (dx - pxp) // 2
+        lead = rf * 4 + pyp * 2 + pxp
+        t, c0 = ky + padr, kx + padc
+    else:
+        lead = rf
+        t, c0 = dy + padr, dx + padc
+    t = t + row0
+    assert (t >= 0).all() and (c0 >= 0).all(), "MV outside the padded plane"
+    code = (rf << 26) | ((dx + _MV_OFF) << 13) | (dy + _MV_OFF)
+    kk = t % 8
+    return np.stack([lead, kk, t - kk, c0, code]).astype(np.int32)
+
+
+def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool,
+                      nbr: int, nbc: int, bs: int, row0: int = 0, pads=None):
     """HOST side of the decode prediction fetch: the distinct transmitted MVs
-    of one frame -> a (5, ncand_pad) int32 DMA table for pred_fetch_compact.
+    of one frame -> a BANDED (nprog, 5, ncand_pad) int32 DMA table for
+    pred_fetch_compact — band i's list holds only the MVs transmitted by
+    blocks in band i's rows, so each band program DMAs only the windows its
+    own blocks reference (the global table made every program fetch every
+    candidate: nprog x the HBM traffic on spatially-coherent content).
 
     Decode is the inverse problem of search: the encoder must SWEEP every
     candidate, but the decoder is TOLD the winners — and the bitstream is host
@@ -711,10 +749,10 @@ def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 
       [2] 8-aligned plane row offset (row shift - [1])
       [3] plane column offset (column shift + pad, >= 0)
       [4] the packed MV code (ref<<26)|((dx+4096)<<13)|(dy+4096) matched
-          against the per-block code maps — -1 on padding rows (matches
-          nothing; the window is fetched and discarded)
+          against the per-block code maps — -1 on padding slots (the
+          kernel's per-band trip count stops before them)
 
-    Returns (table, pad) or None when the frame has more distinct MVs than
+    Returns (table, pad) or None when any band has more distinct MVs than
     the largest bucket (the XLA gather path is then the better program
     anyway).  ncand is padded up to a FETCH_BUCKETS size so recompiles are
     bounded by the bucket count, not the per-frame MV diversity.
@@ -731,34 +769,28 @@ def build_fetch_table(mv_np, smv_np, sr: int, fme: bool, vbs: bool, row0: int = 
     lane start plus a <=127 barrel-shift remainder).  None = narrow mode,
     pad = sr(+1) on both axes exactly as before.
     """
-    rows = [mv_np.reshape(-1, 3)]
-    if vbs:
-        rows.append(smv_np.reshape(-1, 3))
-    allmv = np.unique(np.concatenate(rows, axis=0), axis=0).astype(np.int64)
-    if allmv.shape[0] > FETCH_BUCKETS[-1]:
-        return None
-    dx, dy, rf = allmv[:, 0], allmv[:, 1], allmv[:, 2]
     base = sr + 1 if fme else sr
-    padr, padc = (base, base) if pads is None else pads
-    if fme:
-        pyp, pxp = dy % 2, dx % 2
-        ky, kx = (dy - pyp) // 2, (dx - pxp) // 2
-        lead = rf * 4 + pyp * 2 + pxp
-        t, c0 = ky + padr, kx + padc
-    else:
-        lead = rf
-        t, c0 = dy + padr, dx + padc
-    t = t + row0
-    assert (t >= 0).all() and (c0 >= 0).all(), "MV outside the padded plane"
-    code = (rf << 26) | ((dx + _MV_OFF) << 13) | (dy + _MV_OFF)
-    kk = t % 8
-    tab = np.stack([lead, kk, t - kk, c0, code]).astype(np.int32)
-    ncand = tab.shape[1]
+    band = fetch_band_rows(nbr, nbc * bs, bs, vbs)
+    nprog = -(-nbr // band)
+    mv_g = np.asarray(mv_np).reshape(nbr, nbc, 3)
+    smv_g = np.asarray(smv_np).reshape(nbr, nbc, 4, 3) if vbs else None
+    per_band = []
+    for i in range(nprog):
+        rows = [mv_g[i * band : (i + 1) * band].reshape(-1, 3)]
+        if vbs:
+            rows.append(smv_g[i * band : (i + 1) * band].reshape(-1, 3))
+        allmv = np.unique(np.concatenate(rows, axis=0), axis=0).astype(np.int64)
+        if allmv.shape[0] > FETCH_BUCKETS[-1]:
+            return None
+        per_band.append(_fetch_rows_from_mvs(allmv, sr, fme, row0, pads))
+    ncand = max(t.shape[1] for t in per_band)
     npad = next(b for b in FETCH_BUCKETS if ncand <= b)
-    padcols = np.zeros((5, npad - ncand), np.int32)
-    padcols[4] = -1
-    pad_out = base if pads is None else (padr, padc)
-    return np.ascontiguousarray(np.concatenate([tab, padcols], axis=1)), pad_out
+    tab = np.zeros((nprog, 5, npad), np.int32)
+    tab[:, 4, :] = -1
+    for i, t in enumerate(per_band):
+        tab[i, :, : t.shape[1]] = t
+    pad_out = base if pads is None else pads
+    return np.ascontiguousarray(tab), pad_out
 
 
 def winner_bucket(nb: int, sr: int, fme: bool, vbs: bool, nref: int) -> int:
@@ -775,28 +807,41 @@ def winner_bucket(nb: int, sr: int, fme: bool, vbs: bool, nref: int) -> int:
     return max(64, -(-min(grid, blocks) // 64) * 64)
 
 
-def build_fetch_table_jax(mv, smv, sr: int, fme: bool, vbs: bool, bucket: int, row0: int = 0):
+def build_fetch_table_jax(mv, smv, sr: int, fme: bool, vbs: bool,
+                          nbr: int, nbc: int, bs: int, nref: int, row0: int = 0):
     """DEVICE-side build_fetch_table: the ENCODE winner fetch (round-2
     VERDICT item 2) needs the DMA table for the argmin's own winner MVs
     without a host round trip (a host sync between search and the rest of
     the encode step would serialize the per-frame pipeline — ~30 ms/frame on
-    tunneled links).  Same arithmetic as the host builder, vectorized over a
-    STATIC ``bucket`` of candidate slots (jnp.unique with a fill).
+    tunneled links).  Same arithmetic as the host builder — BANDED like it
+    (one jnp.unique per band over that band's block rows), vectorized over a
+    STATIC per-band bucket.
 
     Encode winners always satisfy the kernel's bounds (search validity under
     FME is strictly tighter than case A, and |d| <= 2*sr <= 126 for any
-    config's search range), and callers size ``bucket`` with winner_bucket —
-    the exact worst-case distinct-code bound — so the table can never
-    overflow and no fallback path exists.  A wide bucket is cheap: the fetch
-    kernel's trip count is the REAL candidate count (jnp.sum(code != -1)),
-    the width only sizes the SMEM table.  Padding slots carry code -1
-    (matching the host builder's)."""
-    rows = [mv.reshape(-1, 3)]
+    config's search range), and the per-band bucket is winner_bucket over
+    the BAND's block count — the exact worst-case distinct-code bound — so
+    the table can never overflow and no fallback path exists.  A wide bucket
+    is cheap: the fetch kernel's per-band trip count is the REAL candidate
+    count (jnp.sum(code != -1)), the width only sizes the SMEM table.
+    Padding slots carry code -1 (matching the host builder's); a sentinel
+    keeps the last (row-padded) band's real candidates contiguous from slot
+    0 (jnp.unique sorts ascending and pads its TAIL with the fill)."""
+    band = fetch_band_rows(nbr, nbc * bs, bs, vbs)
+    nprog = -(-nbr // band)
+    row_pad = nprog * band - nbr
+    bucket = winner_bucket(band * nbc, sr, fme, vbs, nref)
+    _SENT = jnp.int32(2**31 - 1)  # sorts after every real code
+    cf = mv_codes(mv.reshape(-1, 3), nbr, nbc)
+    rows = [jnp.pad(cf, ((0, row_pad), (0, 0)), constant_values=_SENT)
+            .reshape(nprog, band * nbc)]
     if vbs:
-        rows.append(smv.reshape(-1, 3))
-    allmv = jnp.concatenate(rows, axis=0)
-    code = (allmv[:, 2] << 26) | ((allmv[:, 0] + _MV_OFF) << 13) | (allmv[:, 1] + _MV_OFF)
-    u = jnp.unique(code, size=bucket, fill_value=-1)
+        cq = sub_mv_codes(smv.reshape(-1, 4, 3), nbr, nbc)
+        rows.append(jnp.pad(cq, ((0, 2 * row_pad), (0, 0)), constant_values=_SENT)
+                    .reshape(nprog, 4 * band * nbc))
+    codes_b = jnp.concatenate(rows, axis=1)  # (nprog, per-band codes)
+    u = jax.vmap(lambda c: jnp.unique(c, size=bucket, fill_value=_SENT))(codes_b)
+    u = jnp.where(u == _SENT, -1, u)
     valid = u >= 0
     rf = u >> 26
     dx = ((u >> 13) & 0x1FFF) - _MV_OFF
@@ -818,8 +863,8 @@ def build_fetch_table_jax(mv, smv, sr: int, fme: bool, vbs: bool, bucket: int, r
     t = jnp.where(valid, t, zero)
     c0 = jnp.where(valid, c0, zero)
     kk = t % 8
-    tab = jnp.stack([lead, kk, t - kk, c0, u]).astype(jnp.int32)
-    return tab
+    tab = jnp.stack([lead, kk, t - kk, c0, u], axis=1).astype(jnp.int32)
+    return tab  # (nprog, 5, bucket)
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "bs", "sub_bs", "vbs", "fme",
@@ -872,17 +917,13 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
         planes = planes.reshape(nref * 4, bandh, w)
     else:
         planes = refs.astype(jnp.int32)
-    ncand = table.shape[1]
-    # VMEM residency of THIS kernel per band row-pixel: 2 int16 pred outputs
-    # + the int32 pixel-code maps (full, + quad under VBS) + ~2 live int16
-    # barrel-shift temporaries, plus the (band_px, Wk) int16 DMA scratch —
-    # no quadratic mask/agg matrices anymore (the code maps are expanded to
-    # pixel resolution OUTSIDE the kernel, so each candidate's keep-mask is
-    # one integer compare instead of two block->pixel expansion matmuls)
-    per_px = 2 * 2 + 4 + (4 if vbs else 0) + 2 * 2
-    wk_est = (-(-(w + 136) // 128) * 128) * 2 * 2  # double-buffered scratch
-    band = max(1, min(int(13.5 * 2**20) // (w * per_px + wk_est) // bs, 16, nbr))
+    ncand = table.shape[-1]
+    band = fetch_band_rows(nbr, w, bs, vbs)
     band_px = band * bs
+    assert table.shape[0] == -(-nbr // band), (
+        "banded fetch table was built for a different banding "
+        f"({table.shape[0]} bands vs {-(-nbr // band)})"
+    )
     # VMEM-sized band, not a divisor of nbr (VERDICT r3 item 3): pad the
     # code maps with -2 (matches no table code, not even the -1 bucket
     # padding) and the planes with blank rows; outputs sliced back below
@@ -917,27 +958,29 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
     shift = jnp.stack([planes_p[:, k : k + Hp, :] for k in range(8)], axis=1)
     pf3 = pix_f.reshape(nprog, band_px, w)
     pq3 = pix_q.reshape(nprog, band_px, w)
-    scalars = jnp.stack([
-        jnp.sum(table[4] != -1).astype(jnp.int32),
-        jnp.asarray(read_row0, jnp.int32),
-    ]).reshape(2)
+    # [0] = read_row0; [1 + i] = band i's REAL candidate count (its trip count)
+    scalars = jnp.concatenate([
+        jnp.asarray(read_row0, jnp.int32).reshape(1),
+        jnp.sum(table[:, 4, :] != -1, axis=1).astype(jnp.int32),
+    ])
 
-    def kernel(nc_ref, tab_ref, pf_ref, pq_ref, planes_hbm, predf_ref, predq_ref, band_vmem, dma_sem):
+    def kernel(nc_ref, tab3_ref, pf_ref, pq_ref, planes_hbm, predf_ref, predq_ref, band_vmem, dma_sem):
         prog = pl.program_id(0)
-        rr0 = nc_ref[1]  # traced band-row origin (8-aligned by contract)
+        rr0 = nc_ref[0]  # traced band-row origin (8-aligned by contract)
+        tab = lambda r, ci: tab3_ref[0, r, ci]  # noqa: E731 — this band's rows
         y0 = prog * band_px
         pixf = pf_ref[0]
         pixq = pq_ref[0]
 
         predf_ref[0] = jnp.zeros((band_px, w), jnp.int16)
         predq_ref[0] = jnp.zeros((band_px, w), jnp.int16)
-        nc = nc_ref[0]
+        nc = nc_ref[1 + prog]
 
         def dma_for(ci, slot):
-            lead = tab_ref[0, ci]
-            kk = tab_ref[1, ci]
-            start8 = pl.multiple_of(y0 + tab_ref[2, ci] + rr0, 8)
-            lane0 = pl.multiple_of((tab_ref[3, ci] // 128) * 128, 128)
+            lead = tab(0, ci)
+            kk = tab(1, ci)
+            start8 = pl.multiple_of(y0 + tab(2, ci) + rr0, 8)
+            lane0 = pl.multiple_of((tab(3, ci) // 128) * 128, 128)
             return pltpu.make_async_copy(
                 planes_hbm.at[lead, kk, pl.ds(start8, band_px), pl.ds(lane0, Wk)],
                 band_vmem.at[slot], dma_sem.at[slot],
@@ -956,8 +999,8 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
             slot = jax.lax.rem(ci, 2)
             nxt = jnp.minimum(ci + 1, nc - 1)
             dma_for(nxt, jax.lax.rem(ci + 1, 2)).start()
-            c0 = tab_ref[3, ci]
-            cand = tab_ref[4, ci]
+            c0 = tab(3, ci)
+            cand = tab(4, ci)
             dma_for(ci, slot).wait()
             # column shift: DMA lane starts/shapes must be 128-aligned and
             # dynamic_rotate is 32-bit-only and per-tile — the 128-aligned
@@ -997,8 +1040,8 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
         num_scalar_prefetch=0,
         grid=(nprog,),
         in_specs=[
-            pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((5, ncand), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1 + nprog,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5, ncand), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, band_px, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, band_px, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),

@@ -187,8 +187,10 @@ class JaxCodec:
         mv = s["mv"]
         smv = s["sub_mv"].reshape(self.nb, 4, 3) if cfg.vbs_enable else \
             jnp.zeros((self.nb, 4, 3), jnp.int32)
-        bucket = me_pallas.winner_bucket(self.nb, sr, fme, cfg.vbs_enable, refs.shape[0])
-        table = me_pallas.build_fetch_table_jax(mv, smv, sr, fme, cfg.vbs_enable, bucket)
+        table = me_pallas.build_fetch_table_jax(
+            mv, smv, sr, fme, cfg.vbs_enable,
+            self.h // self.bs, self.w // self.bs, self.bs, refs.shape[0],
+        )
         pad = sr + 1 if fme else sr
         predf, predq = me_pallas.pred_fetch_compact(
             mv, smv, refs, table, pad, self.bs, self.sbs, cfg.vbs_enable, fme,
@@ -717,7 +719,8 @@ class JaxCodec:
         if not self._pallas_decodable(mv_np, smv_np, nref=nref):
             return None
         t = me_pallas.build_fetch_table(
-            mv_np, smv_np, self.cfg.search_range, self.cfg.fme_enable, self.cfg.vbs_enable
+            mv_np, smv_np, self.cfg.search_range, self.cfg.fme_enable, self.cfg.vbs_enable,
+            self.h // self.bs, self.w // self.bs, self.bs,
         )
         return None if t is None else jnp.asarray(t[0])
 
@@ -736,6 +739,7 @@ class JaxCodec:
         base = self.cfg.search_range + (1 if self.cfg.fme_enable else 0)
         t = me_pallas.build_fetch_table(
             mv_np, smv_np, self.cfg.search_range, self.cfg.fme_enable, self.cfg.vbs_enable,
+            self.h // self.bs, self.w // self.bs, self.bs,
             pads=None if pad is None or pad == base else (pad, pad),
         )
         return None if t is None else t[0]
@@ -947,20 +951,22 @@ class JaxCodec:
             if inter_mvs[i] is not None:
                 tabs[i] = self._fetch_table_np(inter_mvs[i][0], inter_mvs[i][1],
                                                nref=nref_seq[i], pad=wpad)
-        # one bucket for the clip: pad every frame's table to the widest one
-        # (padding rows carry code -1 — fetched and discarded by the kernel)
-        widths = [t.shape[1] for t in tabs if t is not None]
+        # one bucket for the clip: pad every frame's (banded) table to the
+        # widest one (padding slots carry code -1 — below each band's trip
+        # count, so they are never fetched)
+        widths = [t.shape[-1] for t in tabs if t is not None]
         fetchable = [t is not None for t in tabs]
         if widths:
             wmax = max(widths)
+            nprog_t = next(t.shape[0] for t in tabs if t is not None)
             for i, t in enumerate(tabs):
                 if t is None:
-                    tabs[i] = np.full((5, wmax), -1, np.int32)
-                    tabs[i][:4] = 0
-                elif t.shape[1] < wmax:
-                    pad = np.zeros((5, wmax - t.shape[1]), np.int32)
-                    pad[4] = -1
-                    tabs[i] = np.concatenate([t, pad], axis=1)
+                    tabs[i] = np.zeros((nprog_t, 5, wmax), np.int32)
+                    tabs[i][:, 4] = -1
+                elif t.shape[-1] < wmax:
+                    pad = np.zeros((nprog_t, 5, wmax - t.shape[-1]), np.int32)
+                    pad[:, 4] = -1
+                    tabs[i] = np.concatenate([t, pad], axis=2)
         # device-side payload unpack: one jitted op per chunk
         unpack = jax.jit(lambda sp, pay: (
             jnp.where(sp[:, None, None], jnp.int16(0), pay),

@@ -659,8 +659,10 @@ class ShardedCodec:
         sub_ok = s.get("sub_ok")
         smv = s["sub_mv"].reshape(self.nb_t, 4, 3) if cfg.vbs_enable else \
             jnp.zeros((self.nb_t, 4, 3), jnp.int32)
-        bucket = me_pallas.winner_bucket(self.nb_t, sr, fme, cfg.vbs_enable, cfg.n_ref_frames)
-        table = me_pallas.build_fetch_table_jax(mv, smv, sr, fme, cfg.vbs_enable, bucket)
+        table = me_pallas.build_fetch_table_jax(
+            mv, smv, sr, fme, cfg.vbs_enable, self.nbr_t, self.nbc, self.bs,
+            cfg.n_ref_frames,
+        )
         pad = sr + 1 if fme else sr
         predf, predq = me_pallas.pred_fetch_compact(
             mv, smv, band, table, pad, self.bs, self.sbs, cfg.vbs_enable, fme,
@@ -985,13 +987,14 @@ class ShardedCodec:
                                  qtc_full, qtc_quads, row_qps_tile, roi_tile, tab, comm):
         """Tile inter decode through the compact prediction-fetch kernel
         (me_pallas.pred_fetch_compact): one banded DMA per distinct
-        transmitted MV of the FRAME (the host builds one table for the whole
-        frame — shard-uniform, so every tile runs the same program; windows
-        no tile's blocks match cost only their DMA).  Halo mode folds the
-        static halo height into the table's row offsets; all_gather mode
-        rides the kernel's traced ``read_row0`` (tile origins are
-        block-aligned, hence sublane-aligned).  Mirrors decoder.py:97-211
-        exactly like _inter_tile_decode, which remains the XLA fallback."""
+        transmitted MV per band — the host builds PER-TILE banded tables
+        (each tile's candidate lists cover only its own block rows), stacked
+        on a tile axis the shard spec splits, so no tile fetches windows its
+        blocks don't reference.  Halo mode folds the static halo height into
+        the table's row offsets; all_gather mode rides the kernel's traced
+        ``read_row0`` (tile origins are block-aligned, hence sublane-
+        aligned).  Mirrors decoder.py:97-211 exactly like
+        _inter_tile_decode, which remains the XLA fallback."""
         from streamoptima_tpu.core import me_pallas
 
         cfg = self.cfg
@@ -1119,7 +1122,9 @@ class ShardedCodec:
             P_(None, None),                             # roi
         )
         if with_tables:
-            in_specs = in_specs + (P_("data", None, None, None),)  # tables (G, gl, 5, B)
+            # banded per-TILE tables (G, gl, ntile*nprog_t, 5, B): the tile
+            # axis splits so each tile's kernel call gets its own bands
+            in_specs = in_specs + (P_("data", None, "tile", None, None),)
 
         def fn(*args):
             if with_tables:
@@ -1224,22 +1229,35 @@ class ShardedCodec:
                         cfg.vbs_enable, self.h, self.w, self.bs, self.sbs,
                         nref=cfg.n_ref_frames,
                     ):
-                        t = me_pallas.build_fetch_table(
-                            mv_g[g, f], smv_g[g, f], cfg.search_range, cfg.fme_enable,
-                            cfg.vbs_enable, row0=row0,
-                        )
+                        # per-TILE banded tables (each tile's kernel call sees
+                        # only its own nbr_t rows), stacked on a tile axis the
+                        # shard spec splits
+                        mv4 = mv_g[g, f].reshape(self.ntile, self.nb_t, 3)
+                        smv4 = smv_g[g, f].reshape(self.ntile, self.nb_t, 4, 3)
+                        parts = []
+                        for ti in range(self.ntile):
+                            t = me_pallas.build_fetch_table(
+                                mv4[ti], smv4[ti], cfg.search_range, cfg.fme_enable,
+                                cfg.vbs_enable, self.nbr_t, self.nbc, self.bs, row0=row0,
+                            )
+                            if t is None:
+                                break
+                            parts.append(t[0])
+                        t = None if len(parts) < self.ntile else parts
                     if t is None:
                         tabs = None
                         break
-                    tabs[(g, f)] = t[0]
+                    tabs[(g, f)] = parts
                 if tabs is None:
                     break
             if tabs:
-                B = max(t.shape[1] for t in tabs.values())
-                tab_g = np.zeros((g_pad, gl, 5, B), np.int32)
-                tab_g[:, :, 4, :] = -1  # trip count sees only real candidates
-                for (g, f), t in tabs.items():
-                    tab_g[g, f, :, : t.shape[1]] = t
+                B = max(p.shape[-1] for ps in tabs.values() for p in ps)
+                nprog_t = next(iter(tabs.values()))[0].shape[0]
+                tab_g = np.zeros((g_pad, gl, self.ntile * nprog_t, 5, B), np.int32)
+                tab_g[:, :, :, 4, :] = -1  # per-band trip counts see only real slots
+                for (g, f), ps in tabs.items():
+                    for ti, p in enumerate(ps):
+                        tab_g[g, f, ti * nprog_t : (ti + 1) * nprog_t, :, : p.shape[-1]] = p
         key = (tab_g is not None, comm)
         if key not in self._decode_js:
             self._decode_js[key] = self._build_decode_j(with_tables=key[0], comm=comm)

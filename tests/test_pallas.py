@@ -252,14 +252,17 @@ def test_build_fetch_table_jax_matches_host():
         smv = np.stack([rng.integers(-bound, bound + 1, (nb, 4)),
                         rng.integers(-bound, bound + 1, (nb, 4)),
                         rng.integers(0, 2, (nb, 4))], axis=2).astype(np.int32)
-        host_t, host_pad = build_fetch_table(mv, smv, sr, fme, True)
-        dev_t = build_fetch_table_jax(
-            jnp.asarray(mv), jnp.asarray(smv), sr, fme, True, bucket=512
-        )
+        nbr, nbc, bs = 6, 8, 16
+        host_t, host_pad = build_fetch_table(mv, smv, sr, fme, True, nbr, nbc, bs)
+        dev_t = np.asarray(build_fetch_table_jax(
+            jnp.asarray(mv), jnp.asarray(smv), sr, fme, True, nbr, nbc, bs, nref=2
+        ))
         assert host_pad == (sr + 1 if fme else sr)
-        hcols = {tuple(c) for c in np.asarray(host_t).T.tolist() if c[4] != -1}
-        dcols = {tuple(c) for c in np.asarray(dev_t).T.tolist() if c[4] != -1}
-        assert hcols == dcols, fme
+        assert host_t.shape[0] == dev_t.shape[0]  # same banding
+        for b in range(host_t.shape[0]):
+            hcols = {tuple(c) for c in host_t[b].T.tolist() if c[4] != -1}
+            dcols = {tuple(c) for c in dev_t[b].T.tolist() if c[4] != -1}
+            assert hcols == dcols, (fme, b)
 
 
 def test_winner_bucket_bounds():

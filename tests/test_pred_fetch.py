@@ -56,7 +56,7 @@ def test_fetch_matches_gather(fme):
 
     mv = rand_mv(nb)
     smv = np.stack([rand_mv(nb) for _ in range(4)], 1)
-    tab, pad = MP.build_fetch_table(mv, smv, sr, fme, True)
+    tab, pad = MP.build_fetch_table(mv, smv, sr, fme, True, h // bs, w // bs, bs)
     predf, predq = MP.pred_fetch_compact(
         jnp.asarray(mv), jnp.asarray(smv), jnp.asarray(refs), jnp.asarray(tab),
         pad, bs, sbs, True, fme, interpret=True, wrap_row_pass=True,
@@ -95,16 +95,19 @@ def test_fetch_matches_gather(fme):
 def test_fetch_table_buckets_and_reject():
     rng = np.random.default_rng(0)
     mv = np.zeros((9000, 3), np.int32)
-    smv = np.zeros((2, 4, 3), np.int32)
-    t, pad = MP.build_fetch_table(mv[:4], smv, 8, False, True)
-    assert t.shape == (5, MP.FETCH_BUCKETS[0]) and pad == 8
-    assert int((t[4] != -1).sum()) == 1  # one distinct MV
-    # > largest bucket -> None (XLA fallback)
+    smv = np.zeros((4, 4, 3), np.int32)
+    t, pad = MP.build_fetch_table(mv[:4], smv, 8, False, True, 1, 4, 16)
+    assert t.shape == (1, 5, MP.FETCH_BUCKETS[0]) and pad == 8
+    assert int((t[0, 4] != -1).sum()) == 1  # one distinct MV
+    # a band with more distinct MVs than the largest bucket -> None (XLA
+    # fallback); 75x120 grid, band<=16 rows -> ~1900 distinct per band
     mv[:, 0] = rng.integers(-60, 61, 9000)
     mv[:, 1] = rng.integers(-60, 61, 9000)
     mv[:, 2] = rng.integers(0, 4, 9000)
-    if len(np.unique(mv, axis=0)) > MP.FETCH_BUCKETS[-1]:
-        assert MP.build_fetch_table(mv, smv, 60, False, False) is None
+    band = MP.fetch_band_rows(75, 120 * 16, 16, False)
+    per_band = len(np.unique(mv.reshape(75, 120, 3)[:band].reshape(-1, 3), axis=0))
+    if per_band > MP.FETCH_BUCKETS[-1]:
+        assert MP.build_fetch_table(mv, smv, 60, False, False, 75, 120, 16) is None
 
 
 @pytest.mark.parametrize("fme,vbs", [(False, False), (True, True)])
@@ -259,16 +262,20 @@ def test_pred_fetch_nondivisor_band(monkeypatch):
                    rng.integers(0, 2, nb)], axis=1).astype(np.int32)
     smv = np.stack([rng.integers(-sr, sr + 1, (nb, 4)), rng.integers(-sr, sr + 1, (nb, 4)),
                     rng.integers(0, 2, (nb, 4))], axis=2).astype(np.int32)
-    t = me_pallas.build_fetch_table(mv, smv, sr, False, True)
-    assert t is not None
-    tab, pad = jnp.asarray(t[0]), t[1]
-    args = (jnp.asarray(mv), jnp.asarray(smv), refs, tab, pad, 16, 8, True, False)
-    base = me_pallas.pred_fetch_compact(*args, interpret=True)
-    orig = me_pallas._band_rows
-    monkeypatch.setattr(me_pallas, "_band_rows", lambda *a, **k: 2)
+    def run():
+        # builder and kernel share fetch_band_rows, so the table must be
+        # rebuilt under the same banding the kernel will compute
+        t = me_pallas.build_fetch_table(mv, smv, sr, False, True, nbr, nbc, 16)
+        assert t is not None
+        args = (jnp.asarray(mv), jnp.asarray(smv), refs, jnp.asarray(t[0]),
+                t[1], 16, 8, True, False)
+        return me_pallas.pred_fetch_compact(*args, interpret=True)
+
+    base = run()
+    monkeypatch.setattr(me_pallas, "fetch_band_rows", lambda *a, **k: 2)
     me_pallas.pred_fetch_compact._clear_cache()
-    padded = me_pallas.pred_fetch_compact(*args, interpret=True)
-    monkeypatch.setattr(me_pallas, "_band_rows", orig)
+    padded = run()
+    monkeypatch.undo()
     me_pallas.pred_fetch_compact._clear_cache()
     np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(padded[0]))
     np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(padded[1]))
@@ -298,7 +305,8 @@ def test_wide_fetch_matches_gather(fme):
     wpad = MP.wide_pad([mv, smv.reshape(-1, 3)], sr, fme)
     assert wpad is not None and wpad > (sr + 1 if fme else sr)
     assert wpad % 32 == 0
-    t = MP.build_fetch_table(mv, smv, sr, fme, True, pads=(wpad, wpad))
+    t = MP.build_fetch_table(mv, smv, sr, fme, True, h // bs, w // bs, bs,
+                             pads=(wpad, wpad))
     assert t is not None
     predf, predq = MP.pred_fetch_compact(
         jnp.asarray(mv), jnp.asarray(smv), jnp.asarray(refs), jnp.asarray(t[0]),
