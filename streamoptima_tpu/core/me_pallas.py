@@ -192,7 +192,7 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
         prog = pl.program_id(0)
         ctile = pl.program_id(1)  # column tile (always 0 when ncol == 1)
         y0 = prog * band_px  # cur-local pixel row of this band's first row
-        cf32 = cur_ref[...].astype(jnp.float32)
+        cbf = cur_ref[...].astype(jnp.bfloat16)
         nvv = sc_ref[0, 0]
         rr0 = sc_ref[0, 1]  # read offset of cur row 0 inside the plane band
         gpx = sc_ref[0, 2]  # global frame pixel row of cur row 0
@@ -298,9 +298,12 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     dx = dx_list[kxi]  # static original-grid displacement
                     dxi = dxi_list[kxi]
                     win = rows[:, kxi : kxi + w_t]
-                    # abs in f32 (Mosaic has no vector integer abs); exact
-                    # for |diff| <= 255, and exact in bf16 too (ints <= 256)
-                    diff = jnp.abs(win.astype(jnp.float32) - cf32).astype(jnp.bfloat16)
+                    # the whole diff stage runs in bf16 (Mosaic has no vector
+                    # integer abs): pixels are ints <= 255 and every int in
+                    # [-255, 255] is exact in bf16 (8 significand bits), so
+                    # convert/sub/abs are all exact — and one f32 pass
+                    # cheaper per candidate than the old int16->f32->bf16
+                    diff = jnp.abs(win.astype(jnp.bfloat16) - cbf)
                     t = jnp.dot(diff, col_agg, preferred_element_type=jnp.float32)  # (band_px, nbc2)
                     ss_f = jnp.dot(row_agg, t, preferred_element_type=jnp.float32, precision=hi)
                     fs_f = jnp.dot(row_pair, jnp.dot(ss_f, col_pair, preferred_element_type=jnp.float32, precision=hi),
