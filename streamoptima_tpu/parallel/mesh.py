@@ -1385,15 +1385,15 @@ class ShardedCodec:
                 out[(b * self.ndata + np.arange(self.ndata)) * gl + f] = np.asarray(fr)
         return [out[i] for i in range(n)]
 
-    # ----------------------------------------------------- two-pass encode
-    # Per-frame sharded steps (round-1 VERDICT item 8): two-pass RC needs the
-    # first-pass row bits of EACH frame on the host before that frame's
-    # second pass, and the second-pass reconstruction before the next frame's
-    # first pass (the single-chip ordering, jax_engine.encode) — so the GOP
-    # scan unrolls into per-frame dispatches here.  The tile programs are the
-    # same _intra_tile/_inter_tile; the host math is rc.second_pass_row_qps,
-    # shared with JaxCodec, so mesh two-pass is bitwise identical to
-    # single-chip two-pass.
+    # ------------------------------------- per-frame steps (promotion path)
+    # Scene-change promotion (RCFlag>1) consumes one host scalar per frame
+    # (the measured inter size), so the GOP scan unrolls into per-frame
+    # dispatches here (round-1 VERDICT item 8).  The tile programs are the
+    # same _intra_tile/_inter_tile.  Two-pass WITHOUT promotion rides the
+    # GOP scan instead (clip-level: _first_pass_rqps + _encode_gops_shard_pf);
+    # the two-pass+promotion composition runs clip-level over these per-frame
+    # steps (_encode_fsteps), host math rc.second_pass_row_qps shared with
+    # JaxCodec, so mesh two-pass stays bitwise identical to single-chip.
 
     def _fstep_out_specs(self):
         return {
