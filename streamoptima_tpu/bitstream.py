@@ -64,21 +64,37 @@ def _reconcile_roi(stream_roi, cfg) -> None:
 
     - stream has a map, cfg has none: adopt it (the stream is
       self-describing — a default cfg decodes ROI streams correctly);
-    - both have maps: any difference raises (decoding with the wrong
-      offsets would silently reconstruct garbage);
-    - stream has none but cfg has a map: raises for the same reason.
-    """
+    - both have maps: a difference against a USER-set map raises (decoding
+      with the wrong offsets would silently reconstruct garbage); a map a
+      previous stream ADOPTED is just provenance, so the new stream's map
+      replaces it — one cfg can decode any sequence of streams;
+    - stream has none: a USER-set map raises for the same reason; an
+      adopted one is cleared.
+
+    Adoption provenance rides a private ``_roi_adopted`` attribute so a
+    stream-derived map is never mistaken for user configuration (the sticky
+    form made the first ROI stream poison every later decode)."""
+    adopted = bool(getattr(cfg, "_roi_adopted", False))
     cfg_roi = None if cfg.roi_qp_map is None else np.asarray(cfg.roi_qp_map, np.int32).reshape(-1)
     if stream_roi is None:
         if cfg_roi is not None:
-            raise ValueError(
-                "cfg carries a roi_qp_map but the bitstream has no ROI header: "
-                "decoding would apply QP offsets the encoder never used"
-            )
+            if not adopted:
+                raise ValueError(
+                    "cfg carries a roi_qp_map but the bitstream has no ROI header: "
+                    "decoding would apply QP offsets the encoder never used"
+                )
+            cfg.roi_qp_map = None
+            cfg._roi_adopted = False
         return
-    if cfg_roi is not None and not np.array_equal(cfg_roi, stream_roi.reshape(-1)):
+    if cfg_roi is not None and not adopted and not np.array_equal(cfg_roi, stream_roi.reshape(-1)):
         raise ValueError("cfg.roi_qp_map differs from the bitstream's ROI header")
+    if cfg.compat:
+        raise ValueError(
+            "the bitstream carries an ROI header but the compat engine replicates "
+            "the reference, which has no ROI — decode with engine='jax'"
+        )
     cfg.roi_qp_map = stream_roi
+    cfg._roi_adopted = cfg_roi is None or adopted
 
 
 def encode_mv_frame(frame_type: int, mvs, qp_per_row, rc_active: bool, blocks_per_row: int) -> str:

@@ -115,12 +115,18 @@ class VideoCodec:
         """File-level decode (decode_bitstream twin, decoder.py:692-709).
 
         ROI streams are self-describing: read_bitstream adopts the stream's
-        per-block QP-offset header into cfg (or raises on a conflicting
-        map), and the decode engines — which cache the map at construction —
-        are rebuilt when the header introduced one."""
-        had_roi = self.cfg.roi_qp_map is not None
+        per-block QP-offset header into cfg (or raises on a map conflicting
+        with a USER-set one; maps adopted from earlier streams are replaced
+        or cleared per stream, so one codec decodes any sequence).  The
+        decode engines cache the map at construction, so they are rebuilt
+        whenever the effective map changed."""
+        before = None if self.cfg.roi_qp_map is None else np.asarray(self.cfg.roi_qp_map)
         fts, mvs, qps, res = BS.read_bitstream(mv_file, residual_file, self.cfg)
-        if self.cfg.roi_qp_map is not None and not had_roi:
+        after = None if self.cfg.roi_qp_map is None else np.asarray(self.cfg.roi_qp_map)
+        changed = (before is None) != (after is None) or (
+            before is not None and not np.array_equal(before, after)
+        )
+        if changed:
             from streamoptima_tpu.jax_engine import JaxCodec
 
             self._dec = JaxCodec(self.cfg)

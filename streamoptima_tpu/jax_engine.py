@@ -65,7 +65,10 @@ class JaxCodec:
         offs = np.array([[0, 0], [0, 1], [1, 0], [1, 1]]) * self.sbs
         self.qx = jnp.asarray((xs.reshape(-1)[:, None] + offs[None, :, 1]))
         self.qy = jnp.asarray((ys.reshape(-1)[:, None] + offs[None, :, 0]))
-        self.vbs_eligible = jnp.asarray((xs.reshape(-1) != 0) & (ys.reshape(-1) != 0))
+        elig = (xs != 0) & (ys != 0)  # non-border blocks (VBS-eligible)
+        self.vbs_eligible = jnp.asarray(elig.reshape(-1))
+        # intra_mode-1 layout: same block SET, transposed raster order
+        self.vbs_eligible_t = jnp.asarray(elig.T.reshape(-1))
         if cfg.rc_active:
             # native K9 fix: per-frame-type rate tables (the reference indexes
             # the intra table for inter frames; compat replicates that)
@@ -92,11 +95,19 @@ class JaxCodec:
         self._dec_intra_j = jax.jit(self._decode_intra_step)
 
     # ----------------------------------------------------------- utilities
-    def _block_qps(self, row_qps):
-        q = jnp.repeat(row_qps.astype(jnp.int32), self.nbc)
+    def _block_qps(self, row_qps, transposed: bool = False):
+        """Per-block QPs in block raster order.  ``transposed`` = the
+        intra_mode-1 layout (the search runs on the TRANSPOSED frame, so
+        block b sits at pixel block (b % nbr, b // nbr)): row QPs and ROI
+        offsets must land on PIXEL rows either way — the untransposed vector
+        used to put them on transposed positions under mode 1 (invisible on
+        square no-RC test frames; round-3 review fix)."""
+        q = jnp.broadcast_to(row_qps.astype(jnp.int32)[:, None], (self.nbr, self.nbc))
         if self.roi is not None:
-            q = jnp.clip(q + self.roi, 0, 12)
-        return q
+            q = jnp.clip(q + self.roi.reshape(self.nbr, self.nbc), 0, 12)
+        if transposed:
+            q = q.T
+        return q.reshape(-1)
 
     def _prep_refs(self, refs, initial_refs: bool):
         """(nref, h, w) uint8/int32 -> search/pred ref stack (upsampled under
@@ -499,20 +510,23 @@ class JaxCodec:
 
     # ----------------------------------------------------- shared encode
     def _transform_and_select(self, res_full, res_quads, sad_full, sad_quads, frame_type, row_qps,
-                              ok_full=None, ok_quads=None):
+                              ok_full=None, ok_quads=None, transposed: bool = False):
         """DCT both variants once, RD-select, quantize at the RC row QPs
         (shared logic in core/rd.py).  Returns per-block lens in place of the
-        old scalar size; callers sum/row-sum as needed."""
+        old scalar size; callers sum/row-sum as needed.  ``transposed`` =
+        intra_mode-1 block order (QPs/ROI/eligibility remapped)."""
         cfg = self.cfg
         return rd.transform_and_select(
-            res_full, res_quads, sad_full, sad_quads, frame_type, self._block_qps(row_qps),
+            res_full, res_quads, sad_full, sad_quads, frame_type,
+            self._block_qps(row_qps, transposed),
             qp_nominal=int(cfg.qp), lam=cfg.lam, vbs_enable=cfg.vbs_enable,
-            vbs_eligible=self.vbs_eligible, bs=self.bs, sbs=self.sbs,
+            vbs_eligible=self.vbs_eligible_t if transposed else self.vbs_eligible,
+            bs=self.bs, sbs=self.sbs,
             ok_full=ok_full, ok_quads=ok_quads,
         )
 
-    def _dequant(self, qtc_full, qtc_quads, row_qps):
-        qps = self._block_qps(row_qps)
+    def _dequant(self, qtc_full, qtc_quads, row_qps, transposed: bool = False):
+        qps = self._block_qps(row_qps, transposed)
         # decode ships coefficients over the link as int16 (|qtc| <= 4080:
         # orthonormal 16x16 DCT of +-255 residuals); widen BEFORE rescale so
         # the 2^qp multiply never runs in 16-bit
@@ -549,7 +563,8 @@ class JaxCodec:
         return blocks.reshape(self.nbr, self.nbc, self.bs, self.bs).swapaxes(1, 2).reshape(self.h, self.w)
 
     def _recon_intra(self, mv, split, sub_mv, qtc_full, qtc_quads, row_qps):
-        rf, rq = self._dequant(qtc_full, qtc_quads, row_qps)
+        rf, rq = self._dequant(qtc_full, qtc_quads, row_qps,
+                               transposed=self.cfg.intra_mode == 1)
         sr = self.cfg.search_range
         if self.cfg.intra_mode == 1:
             # mode 1 = transpose of mode 0 (native-only; reference bug B2)
@@ -644,7 +659,8 @@ class JaxCodec:
             sub_sad = jnp.zeros((self.nb, 4), jnp.int32)
             smv3 = jnp.zeros((self.nb, 4), jnp.int32)
         split, qtc_full, qtc_quads, lens, mae_pb = self._transform_and_select(
-            res_full, res_quads, out["sad"].reshape(-1), sub_sad, 0, row_qps
+            res_full, res_quads, out["sad"].reshape(-1), sub_sad, 0, row_qps,
+            transposed=cfg.intra_mode == 1,
         )
         recon = self._recon_intra(out["mv"].reshape(-1), split, smv3, qtc_full, qtc_quads, row_qps)
         # block raster order is transposed under intra_mode 1 (search runs on
@@ -710,19 +726,10 @@ class JaxCodec:
     def _fetch_table(self, mv, smv, nref: int | None = None):
         """Host dispatch for the Pallas decode path: this frame's DMA table
         as a device array, or None when the MVs don't fit the kernel (the
-        frame then takes the XLA gather step)."""
-        if not self._use_pallas():
-            return None
-        from streamoptima_tpu.core import me_pallas
-
-        mv_np, smv_np = np.asarray(mv), np.asarray(smv)
-        if not self._pallas_decodable(mv_np, smv_np, nref=nref):
-            return None
-        t = me_pallas.build_fetch_table(
-            mv_np, smv_np, self.cfg.search_range, self.cfg.fme_enable, self.cfg.vbs_enable,
-            self.h // self.bs, self.w // self.bs, self.bs,
-        )
-        return None if t is None else jnp.asarray(t[0])
+        frame then takes the XLA gather step).  Thin device-upload wrapper
+        over _fetch_table_np so the dispatch logic lives once."""
+        t = self._fetch_table_np(np.asarray(mv), np.asarray(smv), nref=nref)
+        return None if t is None else jnp.asarray(t)
 
     def _fetch_table_np(self, mv_np, smv_np, nref: int | None = None,
                         pad: int | None = None):
@@ -967,15 +974,10 @@ class JaxCodec:
                     pad = np.zeros((nprog_t, 5, wmax - t.shape[-1]), np.int32)
                     pad[:, 4] = -1
                     tabs[i] = np.concatenate([t, pad], axis=2)
-        # device-side payload unpack: one jitted op per chunk
-        unpack = jax.jit(lambda sp, pay: (
-            jnp.where(sp[:, None, None], jnp.int16(0), pay),
-            jnp.where(
-                sp[:, None, None, None],
-                pay.reshape(-1, 2, s, 2, s).swapaxes(2, 3).reshape(-1, 4, s, s),
-                jnp.int16(0),
-            ),
-        ))
+        # device-side payload unpack: one jitted op per chunk (module-level
+        # function so jit's cache hits across decode() calls — a fresh
+        # lambda per call forced a retrace every decode)
+        unpack = functools.partial(_unpack_payload, s)
 
         out_frames = []
         n_conv = 0  # frames already drained to host (bounded HBM footprint)
@@ -1098,6 +1100,21 @@ def res_to_list(out, nb):
         else:
             res.append((0, qf[i]))
     return res
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _unpack_payload(s, sp, pay):
+    """Merged-coefficient payload -> (qtc_full, qtc_quads): a block is split
+    or not, so both share one (bs, bs) slot over the link (halves decode
+    H2D bytes); unpacked on device per chunk."""
+    return (
+        jnp.where(sp[:, None, None], jnp.int16(0), pay),
+        jnp.where(
+            sp[:, None, None, None],
+            pay.reshape(-1, 2, s, 2, s).swapaxes(2, 3).reshape(-1, 4, s, s),
+            jnp.int16(0),
+        ),
+    )
 
 
 def list_to_mvs_np(mvs_list, ftype, nb):

@@ -188,11 +188,16 @@ class ShardedCodec:
         }
 
     # ------------------------------------------------------ per-tile steps
-    def _qps_blocks(self, row_qps_tile, roi_tile):
-        q = jnp.repeat(row_qps_tile.astype(jnp.int32), self.nbc)
+    def _qps_blocks(self, row_qps_tile, roi_tile, transposed: bool = False):
+        """Per-block QPs in block raster order; ``transposed`` = the
+        intra_mode-1 layout (row QPs / ROI offsets land on PIXEL rows either
+        way — same round-3 review fix as JaxCodec._block_qps)."""
+        q = jnp.broadcast_to(row_qps_tile.astype(jnp.int32)[:, None], (self.nbr_t, self.nbc))
         if self.cfg.roi_qp_map is not None:
-            q = jnp.clip(q + roi_tile.reshape(-1), 0, 12)
-        return q
+            q = jnp.clip(q + roi_tile.reshape(self.nbr_t, self.nbc), 0, 12)
+        if transposed:
+            q = q.T
+        return q.reshape(-1)
 
     def _grid_out(self, out):
         """(nb_t, ...) flat block arrays -> (nbr_t, nbc, ...) grids."""
@@ -218,9 +223,10 @@ class ShardedCodec:
         mode1 = cfg.intra_mode == 1  # tile=1 asserted: band == whole frame
         if mode1:
             # mode 1 = transpose of mode 0, exactly as the single-chip
-            # _intra_step (native-only; reference bug B2).  Block raster
-            # order, QP and eligibility vectors stay in (nbr, nbc) layout —
-            # bit-identical to JaxCodec by construction.
+            # _intra_step (native-only; reference bug B2).  QP/ROI and
+            # eligibility vectors are remapped to the transposed block
+            # raster so they land on PIXEL rows/blocks — bit-identical to
+            # JaxCodec by construction.
             work = work.T
         canvas_w = self.h if mode1 else self.w
         out = I.intra_search_mode0(work, self.bs, cfg.search_range, canvas_w, cfg.vbs_enable, jnp)
@@ -239,13 +245,14 @@ class ShardedCodec:
             smv = jnp.zeros((self.nb_t, 4), jnp.int32)
         by_g = self._by_local + y0_blocks * self.bs
         eligible = (self._bx != 0) & (by_g != 0)
+        if mode1:  # same block SET, transposed raster order
+            eligible = eligible.reshape(self.nbr_t, self.nbc).T.reshape(-1)
+        qps = self._qps_blocks(row_qps_tile, roi_tile, transposed=mode1)
         split, qtc_full, qtc_quads, lens, mae_pb = rd.transform_and_select(
-            res_full, res_quads, out["sad"].reshape(-1), sub_sad, 0,
-            self._qps_blocks(row_qps_tile, roi_tile),
+            res_full, res_quads, out["sad"].reshape(-1), sub_sad, 0, qps,
             qp_nominal=int(cfg.qp), lam=cfg.lam, vbs_enable=cfg.vbs_enable,
             vbs_eligible=eligible, bs=self.bs, sbs=self.sbs,
         )
-        qps = self._qps_blocks(row_qps_tile, roi_tile)
         rf = idct2_int(rescale(qtc_full, qps).astype(jnp.int32))
         rq = idct2_int(rescale(qtc_quads, rd.qp_minus_1(qps)[:, None]).astype(jnp.int32))
         rqv = rq if cfg.vbs_enable else None
@@ -908,8 +915,9 @@ class ShardedCodec:
     # of the encoder's search halo; decode needs only search_range+1 border
     # rows for motion compensation).  Reference decode loop: decoder.py:487-545.
 
-    def _dequant_tile(self, qtc_full, qtc_quads, row_qps_tile, roi_tile):
-        qps = self._qps_blocks(row_qps_tile, roi_tile)
+    def _dequant_tile(self, qtc_full, qtc_quads, row_qps_tile, roi_tile,
+                      transposed: bool = False):
+        qps = self._qps_blocks(row_qps_tile, roi_tile, transposed)
         # int16 over the link (see JaxCodec._dequant); widen before rescale
         qtc_full = qtc_full.astype(jnp.int32)
         qtc_quads = qtc_quads.astype(jnp.int32)
@@ -930,7 +938,8 @@ class ShardedCodec:
         )
 
     def _intra_tile_decode(self, mv, split, smv, qtc_full, qtc_quads, row_qps_tile, roi_tile):
-        rf, rq = self._dequant_tile(qtc_full, qtc_quads, row_qps_tile, roi_tile)
+        rf, rq = self._dequant_tile(qtc_full, qtc_quads, row_qps_tile, roi_tile,
+                                    transposed=self.cfg.intra_mode == 1)
         rqv = rq if self.cfg.vbs_enable else None
         if self.cfg.intra_mode == 1:  # transpose of mode 0 (tile=1 asserted)
             frame = I.intra_reconstruct_mode0(

@@ -292,3 +292,83 @@ def test_roi_bitstream_self_describing(tmp_path):
                        plain["Qp_per_row_per_frame"], plain["approx residual"], plain_cfg)
     with pytest.raises(ValueError, match="no ROI header"):
         BS.read_bitstream(mv2, res2, dataclasses.replace(cfg, roi_qp_map=roi))
+
+
+def test_roi_adoption_not_sticky(tmp_path):
+    """A map ADOPTED from one stream must not poison later decodes (round-3
+    review): the same codec decodes an ROI stream, then a plain stream, then
+    a different-ROI stream; a USER-set map stays strict."""
+    from streamoptima_tpu.codec import VideoCodec
+
+    h, w, frames = 64, 64, 2
+    y = synthetic_clip(h, w, frames)
+    roi_a = np.zeros((4, 4), np.int32); roi_a[0, 3] = -3
+    roi_b = np.zeros((4, 4), np.int32); roi_b[3, 0] = -2
+    streams = {}
+    for name, roi in (("a", roi_a), ("b", roi_b), ("plain", None)):
+        cfg = make_cfg(h, w, frames, "jax", roi_qp_map=roi, intra_dur=2)
+        codec = VideoCodec(cfg, y)
+        pkg = codec.encode()
+        mv, res = str(tmp_path / f"mv_{name}.txt"), str(tmp_path / f"res_{name}.txt")
+        codec.transmit_bitstream(mv, res)
+        streams[name] = (mv, res, pkg["reconstructed frames"])
+    dec = VideoCodec(make_cfg(h, w, frames, "jax", intra_dur=2))
+    for name in ("a", "plain", "b", "a", "plain"):
+        mv, res, want = streams[name]
+        got = dec.decode_bitstream(mv, res)
+        np.testing.assert_array_equal(got, want, err_msg=name)
+    # a USER-set map still conflicts loudly in both directions
+    strict = VideoCodec(make_cfg(h, w, frames, "jax", roi_qp_map=roi_a, intra_dur=2))
+    with pytest.raises(ValueError, match="differs"):
+        strict.decode_bitstream(*streams["b"][:2])
+    with pytest.raises(ValueError, match="no ROI header"):
+        strict.decode_bitstream(*streams["plain"][:2])
+
+
+def test_roi_stream_compat_engine_loud(tmp_path):
+    """An ROI stream reaching the compat engine must raise a meaningful
+    error, not JaxCodec's bare constructor assert (round-3 review)."""
+    from streamoptima_tpu.codec import VideoCodec
+
+    h, w, frames = 64, 64, 2
+    y = synthetic_clip(h, w, frames)
+    roi = np.zeros((4, 4), np.int32); roi[0, 0] = -3
+    enc = VideoCodec(make_cfg(h, w, frames, "jax", roi_qp_map=roi, intra_dur=2), y)
+    enc.encode()
+    mv, res = str(tmp_path / "mv.txt"), str(tmp_path / "res.txt")
+    enc.transmit_bitstream(mv, res)
+    dec = VideoCodec(make_cfg(h, w, frames, "compat", intra_dur=2, search_range=2))
+    with pytest.raises(ValueError, match="compat"):
+        dec.decode_bitstream(mv, res)
+
+
+def test_intra_mode1_roi_lands_on_pixel_blocks():
+    """intra_mode=1 stores blocks in TRANSPOSED raster order; ROI offsets
+    (and RC row QPs) must still land on PIXEL positions (round-3 review:
+    they used to apply transposed — roi[0, 3] degraded pixel block (3, 0)).
+    Non-square frame so the transpose cannot alias."""
+    h, w, frames = 48, 80, 2
+    y = synthetic_clip(h, w, frames)
+    nbr, nbc = h // 16, w // 16
+    roi = np.zeros((nbr, nbc), np.int32)
+    roi[0, 4] = 6  # heavily degrade pixel block row 0, col 4 ONLY
+    base = make_cfg(h, w, frames, "jax", intra_mode=1, intra_dur=1, qp=1)
+    cj0 = JaxCodec(base, y)
+    p0 = cj0.encode()
+    cj1 = JaxCodec(make_cfg(h, w, frames, "jax", intra_mode=1, intra_dur=1, qp=1,
+                            roi_qp_map=roi), y)
+    p1 = cj1.encode()
+
+    def block_err(pkg, r, c):
+        d = pkg["reconstructed frames"][1].astype(np.int64) - y[1].astype(np.int64)
+        return np.abs(d[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16]).mean()
+
+    # the targeted pixel block degrades; the transposed-alias position (4, 0)
+    # must NOT be the degraded one
+    assert block_err(p1, 0, 4) > block_err(p0, 0, 4) + 1.0
+    assert block_err(p1, 2, 0) <= block_err(p0, 2, 0) + 0.5  # (4,0) OOB: nbr=3; spot-check col 0
+    # roundtrip stays exact
+    dec = cj1.decode(p1["frame_type_seq"], p1["approx residual"],
+                     p1["Qp_per_row_per_frame"], p1["MVS per Frame"])
+    np.testing.assert_array_equal(np.stack([np.asarray(f) for f in dec]),
+                                  p1["reconstructed frames"])
