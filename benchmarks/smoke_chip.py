@@ -81,4 +81,12 @@ timed("4k_vbsfme_auto", CodecConfig(height=2160, width=3840, search_range=8,
 timed("4k_vbsfme_inkernel", CodecConfig(height=2160, width=3840, search_range=8,
                                         vbs_enable=True, fme_enable=True,
                                         me_search="pallas", winner_fetch="inkernel", **base), 8)
+timed("4k_full_fetch", CodecConfig(height=2160, width=3840, search_range=8,
+                                   me_search="pallas", winner_fetch="fetch", **base), 8)
+# the round-3 sweep measured RC-active plain encode at 140 fps vs 234 plain
+# (same shapes, same kernels — only the QP VALUES differ): isolate
+rc_tables = [[2e5, 1.2e5, 8e4, 5e4, 3e4, 2e4, 1.2e4, 8e3, 5e3, 3e3, 2e3, 1.2e3]] * 2
+timed("720p_rc_active", CodecConfig(height=720, width=1280, search_range=8,
+                                    rc_flag=1, target_br="8 mbps", frame_rate=30,
+                                    qp_rate_tables=rc_tables, me_search="pallas", **base), 32)
 print("ALL DONE", flush=True)
