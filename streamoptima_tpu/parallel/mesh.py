@@ -993,7 +993,8 @@ class ShardedCodec:
         return self._merge_blocks(full_blocks, quad_blocks, split)
 
     def _inter_tile_decode_fetch(self, refs_l, y0_blocks, mv, split, smv,
-                                 qtc_full, qtc_quads, row_qps_tile, roi_tile, tab, comm):
+                                 qtc_full, qtc_quads, row_qps_tile, roi_tile, tab, comm,
+                                 pad=None):
         """Tile inter decode through the compact prediction-fetch kernel
         (me_pallas.pred_fetch_compact): one banded DMA per distinct
         transmitted MV per band — the host builds PER-TILE banded tables
@@ -1008,7 +1009,8 @@ class ShardedCodec:
 
         cfg = self.cfg
         fme = cfg.fme_enable
-        pad = cfg.search_range + 1 if fme else cfg.search_range
+        if pad is None:
+            pad = cfg.search_range + 1 if fme else cfg.search_range
         y0_px = y0_blocks * self.bs
         if self.ntile == 1 or comm == "all_gather":
             band = jax.lax.all_gather(refs_l, "tile", axis=1, tiled=True)
@@ -1050,7 +1052,7 @@ class ShardedCodec:
         return self._merge_blocks(full_blocks, quad_blocks, split)
 
     def _decode_gop_local(self, gop, row_qps_g, roi_tile, y0_blocks, tabs=None,
-                          comm="halo"):
+                          comm="halo", pad=None):
         """Decode one GOP's local band: intra frame 0, scan over inter frames
         carrying the reconstruction-band FIFO (decoder.py:487-545 semantics:
         refs reset at each intra, FIFO of n_ref_frames).  ``tabs``
@@ -1089,7 +1091,7 @@ class ShardedCodec:
             else:
                 mv, split, smv, qf, qq, rqp, tab = xs
                 f = self._inter_tile_decode_fetch(refs, y0_blocks, mv, split, smv, qf, qq,
-                                                  rqp, roi_tile, tab, comm)
+                                                  rqp, roi_tile, tab, comm, pad=pad)
             full = nvalid >= nref
             rolled = jnp.where(full, jnp.roll(refs, -1, axis=0), refs)
             idx = jnp.minimum(nvalid, nref - 1)
@@ -1105,7 +1107,7 @@ class ShardedCodec:
         return jnp.concatenate([f0[None], frames], axis=0)
 
     def _decode_gops_shard(self, mv_g, split_g, smv_g, qf_g, qq_g, rqp_g, roi, tab_g=None,
-                           comm="halo"):
+                           comm="halo", pad=None):
         tile_idx = jax.lax.axis_index("tile")
         y0_blocks = tile_idx * self.nbr_t
         roi_tile = jax.lax.dynamic_slice_in_dim(roi, y0_blocks, self.nbr_t, axis=0)
@@ -1113,13 +1115,14 @@ class ShardedCodec:
 
         def one(mv, split, smv, qf, qq, rqp, tabs=None):
             gop = {"mv": mv, "split": split, "sub_mv": smv, "qtc_full": qf, "qtc_quads": qq}
-            return self._decode_gop_local(gop, rqp, roi_tile, y0_blocks, tabs=tabs, comm=comm)
+            return self._decode_gop_local(gop, rqp, roi_tile, y0_blocks, tabs=tabs, comm=comm,
+                                          pad=pad)
 
         if tab_g is None:
             return jax.vmap(one)(mv_g, split_g, smv_g, qf_g, qq_g, rqp_tile)
         return jax.vmap(one)(mv_g, split_g, smv_g, qf_g, qq_g, rqp_tile, tab_g)
 
-    def _build_decode_j(self, with_tables: bool = False, comm: str = "halo"):
+    def _build_decode_j(self, with_tables: bool = False, comm: str = "halo", pad=None):
         spec_blk = P_("data", None, "tile", None)
         in_specs = (
             P_("data", None, "tile", None, None),      # mv (G, gl, nbr, nbc, 3)
@@ -1138,7 +1141,7 @@ class ShardedCodec:
         def fn(*args):
             if with_tables:
                 *rest, tab_g = args
-                return self._decode_gops_shard(*rest, tab_g=tab_g, comm=comm)
+                return self._decode_gops_shard(*rest, tab_g=tab_g, comm=comm, pad=pad)
             return self._decode_gops_shard(*args, comm=comm)
 
         return jax.jit(
@@ -1216,10 +1219,11 @@ class ShardedCodec:
             )
             if max_dy > dy_bound:
                 comm = "all_gather"
-        # Pallas fetch path: one host-built DMA table per inter frame (the
-        # frame's distinct MVs; shard-uniform).  Any frame outside the
-        # kernel's bounds sends the WHOLE call down the XLA gather path —
-        # the clip is one jitted program, so dispatch is all-or-nothing.
+        # Pallas fetch path: host-built per-TILE banded DMA tables per inter
+        # frame (each tile's candidate lists cover only its own block rows).
+        # Any frame outside the kernel's bounds sends the WHOLE call down
+        # the XLA gather path — the clip is one jitted program, so dispatch
+        # is all-or-nothing.
         if promoted:
             return self._decode_fsteps(mv_g, split_g, smv_g, qf_g, qq_g, rqp_g,
                                        frame_types, comm, g_pad)
@@ -1227,8 +1231,23 @@ class ShardedCodec:
         from streamoptima_tpu.core import me_pallas
 
         use_fetch = me_pallas.pallas_enabled(cfg.me_search)
+        wpad = None
         if use_fetch and gl > 1:
+            # WIDE fetch mode (mirrors JaxCodec.decode): fast-ME MVP chains
+            # exceed the search range; one clip-wide pad keeps those streams
+            # on the fetch kernel.  Wide displacements need whole-frame
+            # bands, so the all_gather comm (already forced above for
+            # |dy| > halo) is required — assert, don't assume.
+            base_pad = cfg.search_range + (1 if cfg.fme_enable else 0)
+            if cfg.fast_me:
+                wp = me_pallas.wide_pad(
+                    [mv_g[:, 1:].reshape(-1, 3), smv_g[:, 1:].reshape(-1, 3)],
+                    cfg.search_range, cfg.fme_enable,
+                )
+                if wp is not None and wp != base_pad and (self.ntile == 1 or comm == "all_gather"):
+                    wpad = wp
             row0 = (cfg.search_range + 1) if (self.ntile > 1 and comm == "halo") else 0
+            pads = None if wpad is None else (wpad, wpad)
             tabs = {}
             for g in range(g_pad):
                 for f in range(1, gl):
@@ -1236,7 +1255,7 @@ class ShardedCodec:
                     if me_pallas.fetch_decodable(
                         mv_g[g, f], smv_g[g, f], cfg.search_range, cfg.fme_enable,
                         cfg.vbs_enable, self.h, self.w, self.bs, self.sbs,
-                        nref=cfg.n_ref_frames,
+                        nref=cfg.n_ref_frames, pad=wpad,
                     ):
                         # per-TILE banded tables (each tile's kernel call sees
                         # only its own nbr_t rows), stacked on a tile axis the
@@ -1248,6 +1267,7 @@ class ShardedCodec:
                             t = me_pallas.build_fetch_table(
                                 mv4[ti], smv4[ti], cfg.search_range, cfg.fme_enable,
                                 cfg.vbs_enable, self.nbr_t, self.nbc, self.bs, row0=row0,
+                                pads=pads,
                             )
                             if t is None:
                                 break
@@ -1267,9 +1287,9 @@ class ShardedCodec:
                 for (g, f), ps in tabs.items():
                     for ti, p in enumerate(ps):
                         tab_g[g, f, ti * nprog_t : (ti + 1) * nprog_t, :, : p.shape[-1]] = p
-        key = (tab_g is not None, comm)
+        key = (tab_g is not None, comm, wpad)
         if key not in self._decode_js:
-            self._decode_js[key] = self._build_decode_j(with_tables=key[0], comm=comm)
+            self._decode_js[key] = self._build_decode_j(with_tables=key[0], comm=comm, pad=wpad)
         dec_j = self._decode_js[key]
         shp = lambda a: a.reshape((g_pad, gl, self.nbr, self.nbc) + a.shape[3:])  # noqa: E731
         outs = []

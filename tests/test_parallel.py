@@ -336,3 +336,34 @@ def test_halo_decode_fast_me_large_motion():
             pkg["MVS per Frame"])
     halo_dec = np.stack([np.asarray(f) for f in sc.decode(*args)])
     np.testing.assert_array_equal(halo_dec, pkg["reconstructed frames"])
+
+
+def test_mesh_wide_fetch_decode_fast_me():
+    """WIDE fetch mode on the MESH decoder (round-3): a fast-ME stream whose
+    MVP chain walked beyond search_range stays on the Pallas fetch path via
+    the clip-wide plane pad (facade parity: JaxCodec.decode's WIDE dispatch)
+    and reproduces the encoder bit-exactly."""
+    from streamoptima_tpu.core import me_pallas
+
+    h, w, frames, pan = 128, 64, 4, 8
+    y = np.arange(h + pan * frames)
+    base = np.clip(128 + 100 * np.sin(2 * np.pi * y / 32.0), 0, 255)[:, None]
+    rng = np.random.default_rng(3)
+    tex = rng.integers(-8, 9, size=(h + pan * frames, w))
+    sheet = np.clip(base + tex, 0, 255).astype(np.uint8)
+    clip = np.stack([sheet[i * pan : i * pan + h] for i in range(frames)])
+    cfg = CodecConfig(height=h, width=w, frames=frames, search_range=2, qp=3,
+                      intra_dur=frames, fast_me=True, me_search="pallas")
+    mesh = make_mesh(cfg)
+    sc = ShardedCodec(cfg, mesh, clip, tile_comm="halo")
+    pkg = sc.encode()
+    mvs = [np.array([m[1] for m in f_mvs if m[0] == 0], np.int32).reshape(-1, 3)
+           for ft, f_mvs in zip(pkg["frame_type_seq"], pkg["MVS per Frame"]) if ft == 1]
+    wp = me_pallas.wide_pad(mvs, cfg.search_range, cfg.fme_enable)
+    assert wp is not None and wp > cfg.search_range, "stream must need WIDE mode"
+    args = (pkg["frame_type_seq"], pkg["approx residual"], pkg["Qp_per_row_per_frame"],
+            pkg["MVS per Frame"])
+    dec = np.stack([np.asarray(f) for f in sc.decode(*args)])
+    np.testing.assert_array_equal(dec, pkg["reconstructed frames"])
+    # the WIDE fetch program was actually built (not the XLA fallback)
+    assert any(k[0] and k[2] == wp for k in sc._decode_js), sc._decode_js.keys()
