@@ -253,6 +253,8 @@ def intra_reconstruct_mode0(residual_full, residual_quads, split, mv, sub_mv, h:
         for c in range(nbc):
             band = _recon_step_np(band, c, bs, s, rf, rq, sp, mvr, smv, w)
         return band.reshape(h, w)
+    if sr is not None and sr < bs:
+        return _intra_reconstruct_jax_wavefront(rf, rq, sp, mvr, smv, h, w, bs, sr)
     if sr is not None:
         return _intra_reconstruct_jax_select(rf, rq, sp, mvr, smv, h, w, bs, sr)
     return _intra_reconstruct_jax(rf, rq, sp, mvr, smv, h, w, bs)
@@ -364,3 +366,59 @@ def _intra_reconstruct_jax_select(rf, rq, sp, mvr, smv, h, w, bs, sr):
 
     band, _ = jax.lax.scan(step, band0, jnp.arange(nbc))
     return band[:, :, sr:].reshape(h, w)
+
+
+def _intra_reconstruct_jax_wavefront(rf, rq, sp, mvr, smv, h, w, bs, sr):
+    """Bounded-depth parallel reconstruction for sr < bs (round-3).
+
+    The column scan looks like an nbc-long chain, but the TRUE dependency
+    depth is bounded: block c reads at most the last |mv| <= sr columns of
+    block c-1, and column x-k of block c-1 holds real (non-fill) data only
+    if |mv_{c-1}| > bs - k — so the reach decays by at least bs - sr per
+    hop.  Worst-case depth D = ceil(bs / (bs - sr)) - 1 (sr=8, bs=16: D=1),
+    so D+1 PARALLEL passes reach the sequential fixpoint exactly: every
+    pass recomputes all blocks from the previous iterate, with the >= x
+    half of each block's read region pinned to the 128 fill (the sequential
+    semantics read pre-write state right of the frontier).  The 80-step
+    720p scan (~145 us/step of tiny serialized ops) becomes 2 whole-frame
+    passes.  Values carry unwrapped int32 exactly like the scans: wrap at
+    the end == wrap before every read, mod 256.
+    """
+    import jax.numpy as jnp
+
+    s = bs // 2
+    nbr, nbc = rf.shape[:2]
+    q, r = divmod(bs, bs - sr)
+    iters = q + (1 if r else 0)  # D + 1
+    tail128 = jnp.full((nbr, nbc, bs, bs), 128, jnp.int32)
+
+    def select_all(regions, mv_cols, r0, c0, n):
+        # regions: (nbr, nbc, bs, sr+bs); mv_cols: (nbr, nbc) in [-sr, 0]
+        # (anything else keeps the 128 default — same corrupt-stream
+        # hardening as the scan's select)
+        win = jnp.full((nbr, nbc, n, n), 128, jnp.int32)
+        for m in range(-sr, 1):
+            cand = regions[:, :, r0 : r0 + n, c0 + sr + m : c0 + sr + m + n]
+            win = jnp.where((mv_cols == m)[:, :, None, None], cand, win)
+        return win
+
+    band = jnp.full((nbr, bs, w), 128, jnp.int32)
+    for _ in range(iters):
+        padded = jnp.pad(band, ((0, 0), (0, 0), (sr, 0)), constant_values=128)
+        # block c's read region: its last-sr-columns view of the previous
+        # iterate (cols [x-sr, x)) plus bs columns of fill — positions >= x
+        # are NEVER the iterate's values (the frontier rule above)
+        left = jnp.stack([padded[:, :, c * bs : c * bs + sr] for c in range(nbc)], axis=1)
+        regions = jnp.concatenate([left, tail128], axis=3)
+        blk = select_all(regions, mvr, 0, 0, bs) + rf
+        if rq is not None:
+            parts = []
+            for qi, (dr, dc) in enumerate(_QUAD_OFFS):
+                winq = select_all(regions, smv[:, :, qi], dr * s, dc * s, s)
+                parts.append(winq + rq[:, :, qi])
+            top = jnp.concatenate([parts[0], parts[1]], axis=3)
+            bot = jnp.concatenate([parts[2], parts[3]], axis=3)
+            blk_sp = jnp.concatenate([top, bot], axis=2)
+            blk = jnp.where(sp[:, :, None, None], blk_sp, blk)
+        band = blk.transpose(0, 2, 1, 3).reshape(nbr, bs, w)
+    return band.reshape(h, w)

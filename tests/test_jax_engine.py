@@ -372,3 +372,38 @@ def test_intra_mode1_roi_lands_on_pixel_blocks():
                      p1["Qp_per_row_per_frame"], p1["MVS per Frame"])
     np.testing.assert_array_equal(np.stack([np.asarray(f) for f in dec]),
                                   p1["reconstructed frames"])
+
+
+@pytest.mark.parametrize("sr", [2, 8, 15])
+def test_intra_wavefront_matches_scan(sr):
+    """The bounded-depth parallel intra reconstruction (sr < bs collapses
+    the column scan to ceil(bs/(bs-sr)) passes) must equal the sequential
+    select-scan bit for bit — including the adversarial max-reach pattern
+    (mv = -sr everywhere) and corrupt mvs outside [-sr, 0]."""
+    import jax.numpy as jnp
+    from streamoptima_tpu.core import intra as I
+
+    h, w, bs = 64, 128, 16
+    nbr, nbc, s = h // bs, w // bs, bs // 2
+    nb = nbr * nbc
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        rf = rng.integers(-50, 51, (nb, bs, bs)).astype(np.int32)
+        rq = rng.integers(-50, 51, (nb, 4, s, s)).astype(np.int32)
+        sp = rng.random(nb) < 0.5
+        if trial == 0:
+            mv = np.full(nb, -sr, np.int32); smv = np.full((nb, 4), -sr, np.int32)
+        elif trial == 1:
+            mv = rng.integers(-sr - 3, 3, nb).astype(np.int32)
+            smv = rng.integers(-sr - 3, 3, (nb, 4)).astype(np.int32)
+        else:
+            mv = rng.integers(-sr, 1, nb).astype(np.int32)
+            smv = rng.integers(-sr, 1, (nb, 4)).astype(np.int32)
+        mv.reshape(nbr, nbc)[:, 0] = -1
+        g = lambda a, shp: jnp.asarray(a).reshape(shp)  # noqa: E731
+        args = (g(rf, (nbr, nbc, bs, bs)), g(rq, (nbr, nbc, 4, s, s)),
+                g(sp, (nbr, nbc)), g(mv, (nbr, nbc)), g(smv, (nbr, nbc, 4)), h, w, bs, sr)
+        want = I._intra_reconstruct_jax_select(*args)
+        got = I._intra_reconstruct_jax_wavefront(*args)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"sr={sr} trial={trial}")
