@@ -19,10 +19,32 @@ from __future__ import annotations
 
 import ast
 import re
+from typing import NamedTuple
 
 import numpy as np
 
 from streamoptima_tpu.core.zigzag import rle_decode_block, rle_encode_block
+
+
+class FrameMVArrays(NamedTuple):
+    """Array-form MV interchange for one frame (the native text parser's
+    output): drop-in alternative to the list format wherever the JAX-engine
+    helpers (jax_engine.list_to_mvs_np) consume a frame's MVs.  Intra frames
+    use component 0 of ``mv``/``smv`` only (the other components are 0)."""
+
+    ftype: int
+    mv: np.ndarray  # (nb, 3) int32
+    split: np.ndarray  # (nb,) bool
+    smv: np.ndarray  # (nb, 4, 3) int32
+
+
+class FrameResArrays(NamedTuple):
+    """Array-form residual interchange for one frame (native parser output);
+    accepted by jax_engine.list_to_res_np in place of the list format."""
+
+    split: np.ndarray  # (nb,) bool
+    qf: np.ndarray  # (nb, bs, bs) int16
+    qq: np.ndarray  # (nb, 4, sbs, sbs) int16
 
 _NP_SCALAR = re.compile(r"np\.int(?:8|16|32|64)\((-?\d+)\)")
 
@@ -239,7 +261,7 @@ def write_bitstream_arrays(path_mv, path_res, frame_types, per_frame, qp_per_row
     """transmit_bitstream twin that consumes the native engine's device-array
     package (``encode(package=False)``) directly — no list interchange, C++
     serialization for the residual lines."""
-    from streamoptima_tpu import jax_engine
+    from streamoptima_tpu import jax_engine, native
 
     nb = cfg.n_blocks
     with open(path_mv, "w") as fm, open(path_res, "w") as fr:
@@ -247,10 +269,14 @@ def write_bitstream_arrays(path_mv, path_res, frame_types, per_frame, qp_per_row
             fm.write(encode_roi_header(cfg.roi_qp_map, cfg.block_rows, cfg.blocks_per_row) + "\n")
         for i, out in enumerate(per_frame):
             ft = int(frame_types[i])
-            mvs = jax_engine.mvs_to_list(out, ft, nb)
-            fm.write(
-                str(ft) + "|" + encode_mv_frame(ft, mvs, qp_per_row_per_frame[i], cfg.rc_active, cfg.blocks_per_row) + "\n"
+            line = native.encode_mv_line(
+                ft, out["mv"], out["split"], out["sub_mv"],
+                qp_per_row_per_frame[i], cfg.rc_active, cfg.blocks_per_row,
             )
+            if line is None:  # no native lib: byte-identical Python twin
+                mvs = jax_engine.mvs_to_list(out, ft, nb)
+                line = encode_mv_frame(ft, mvs, qp_per_row_per_frame[i], cfg.rc_active, cfg.blocks_per_row)
+            fm.write(str(ft) + "|" + line + "\n")
             fr.write(
                 encode_residual_frame_arrays(out["qtc_full"], out["qtc_quads"], out["split"], cfg.bitstream_numpy_repr)
                 + "\n"
@@ -301,23 +327,43 @@ def read_bitstream(path_mv, path_res, cfg):
     An ROI header (native extension) is reconciled with ``cfg`` in place: a
     cfg without a map adopts the stream's, a conflicting map raises.  NOTE
     engines cache the map at construction — (re)build the decoder from
-    ``cfg`` AFTER this call (VideoCodec.decode_bitstream does)."""
+    ``cfg`` AFTER this call (VideoCodec.decode_bitstream does).
+
+    Frames parse through the native C++ parser when available (into
+    FrameMVArrays / FrameResArrays — the Python text parse measured
+    ~370 ms/frame at 720p against ~2.5 ms of device decode), falling back
+    per line to the Python parser on unavailability or any anomaly (corrupt
+    streams keep their loud list-path errors).  The compat engine indexes
+    the list format directly, so ``cfg.compat`` keeps it."""
+    from streamoptima_tpu import native
+
     frame_types = []
     mvs = []
     qps = []
     residuals = []
     stream_roi = None
+    arrays = not cfg.compat and native.available()
+    nb, nbc, nrows = cfg.n_blocks, cfg.blocks_per_row, cfg.block_rows
     with open(path_mv) as f:
         for line in f:
             if line.startswith(_ROI_PREFIX):
                 stream_roi = decode_roi_header(line)
                 continue
-            ft, mv, qp = decode_mv_frame(line, cfg.rc_active, cfg.blocks_per_row)
+            r = native.parse_mv_line(line, cfg.rc_active, nbc, nb, nrows) if arrays else None
+            if r is not None:
+                ft, mv, sp, smv, qp = r
+                mvs.append(FrameMVArrays(ft, mv, sp, smv))
+            else:
+                ft, mv, qp = decode_mv_frame(line, cfg.rc_active, nbc)
+                mvs.append(mv)
             frame_types.append(ft)
-            mvs.append(mv)
             qps.append(qp)
     _reconcile_roi(stream_roi, cfg)
     with open(path_res) as f:
         for line in f:
-            residuals.append(decode_residual_frame(line, cfg.block_size))
+            r = native.parse_residual_line(line, nb, cfg.block_size) if arrays else None
+            if r is not None:
+                residuals.append(FrameResArrays(*r))
+            else:
+                residuals.append(decode_residual_frame(line, cfg.block_size))
     return frame_types, mvs, qps, residuals

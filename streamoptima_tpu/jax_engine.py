@@ -929,6 +929,7 @@ class JaxCodec:
             pay = qf
             if split_np.any():
                 merged = qq.reshape(nb, 2, 2, s, s).swapaxes(2, 3).reshape(nb, self.bs, self.bs)
+                pay = qf.copy()  # array-form interchange may be decoded again
                 pay[split_np] = merged[split_np]
             pay_all[i] = pay
             if cfg.rc_active and len(qp_rows_per_frame[i]):
@@ -1121,9 +1122,19 @@ def list_to_mvs_np(mvs_list, ftype, nb):
     """Host-side list_to_mvs: returns NumPy arrays (the mesh packer and the
     fetch-table dispatch consume these directly — no device round trip).
 
+    Also accepts the array-form interchange (bitstream.FrameMVArrays, the
+    native text parser's output) and passes it through with the same
+    (intra: scalar / inter: triple) shape contract as the list path.
+
     Batched np.array over index groups instead of per-block row assignment:
     element-wise `mv[i] = m` costs ~45 us each in NumPy, which made THIS
     loop (not the device step) the decode wall-time bottleneck at 720p."""
+    from streamoptima_tpu.bitstream import FrameMVArrays
+
+    if isinstance(mvs_list, FrameMVArrays):
+        if ftype == 0:
+            return mvs_list.mv[:, 0], mvs_list.split, mvs_list.smv[:, :, 0]
+        return mvs_list.mv, mvs_list.split, mvs_list.smv
     split = np.fromiter((sp for sp, _ in mvs_list), dtype=bool, count=nb)
     if ftype == 0:
         mv = np.zeros(nb, dtype=np.int32)
@@ -1150,7 +1161,15 @@ def list_to_res_np(res_list, nb, bs, sbs):
     orthonormal 16x16 DCT of +-255 residuals (|qtc| <= 4080), and decode is
     H2D-transfer-bound on thin links — int16 halves the bytes.  Out-of-range
     values (corrupt streams) raise OverflowError here instead of decoding
-    garbage silently."""
+    garbage silently.
+
+    Also accepts the array-form interchange (bitstream.FrameResArrays, the
+    native text parser's output — already int16 with overflow rejected at
+    parse time) and passes it through."""
+    from streamoptima_tpu.bitstream import FrameResArrays
+
+    if isinstance(res_list, FrameResArrays):
+        return res_list.qf, res_list.qq
     split = np.fromiter((sp for sp, _ in res_list), dtype=bool, count=nb)
     qf = np.zeros((nb, bs, bs), dtype=np.int16)
     qq = np.zeros((nb, 4, sbs, sbs), dtype=np.int16)

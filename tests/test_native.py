@@ -70,6 +70,124 @@ def test_edge_blocks():
         np.testing.assert_array_equal(native.rle_decode_blocks(vals, offs, bs)[0], blocks[0])
 
 
+@pytest.mark.parametrize("numpy_repr", [False, True])
+def test_parse_residual_line_matches_python(numpy_repr):
+    """Native text parse -> device-shaped arrays, bit-identical to the Python
+    decode_residual_frame + list_to_res_np chain."""
+    from streamoptima_tpu.jax_engine import list_to_res_np
+
+    rng = np.random.default_rng(4)
+    nb, bs, sbs = 24, 16, 8
+    qf = _random_blocks(rng, nb, bs, sparsity=0.9).clip(-3000, 3000)
+    qq = _random_blocks(rng, nb * 4, sbs, sparsity=0.9).clip(-3000, 3000).reshape(nb, 4, sbs, sbs)
+    split = rng.random(nb) < 0.4
+    qf[split] = 0
+    qq[~split] = 0
+    line = BS.encode_residual_frame_arrays(qf, qq, split, numpy_repr)
+    r = native.parse_residual_line(line, nb, bs)
+    assert r is not None
+    spn, qfn, qqn = r
+    pqf, pqq = list_to_res_np(BS.decode_residual_frame(line, bs), nb, bs, sbs)
+    np.testing.assert_array_equal(spn, split)
+    np.testing.assert_array_equal(qfn, pqf)
+    np.testing.assert_array_equal(qqn, pqq)
+
+
+@pytest.mark.parametrize("ft,rc", [(0, False), (0, True), (1, False), (1, True)])
+def test_parse_mv_line_matches_python(ft, rc):
+    """Native MV parse vs decode_mv_frame + list_to_mvs_np, including the
+    row-head QP chain (and quirk K11's intra-split-at-row-head never arises:
+    row heads are border blocks, which VBS never splits)."""
+    from streamoptima_tpu.jax_engine import list_to_mvs_np
+
+    rng = np.random.default_rng(5)
+    nb, nbc = 96, 8
+    mvs = []
+    for j in range(nb):
+        split = (rng.random() < 0.4) and (j % nbc != 0)
+        if ft == 0:
+            mvs.append((1, [int(v) for v in rng.integers(-9, 1, 4)]) if split
+                       else (0, int(rng.integers(-9, 1))))
+        else:
+            mk = lambda: tuple(int(v) for v in (rng.integers(-16, 17), rng.integers(-16, 17), rng.integers(0, 4)))  # noqa: E731
+            mvs.append((1, [mk() for _ in range(4)]) if split else (0, mk()))
+    qpr = [int(q) for q in rng.integers(0, 11, nb // nbc)]
+    line = f"{ft}|" + BS.encode_mv_frame(ft, mvs, qpr, rc, nbc)
+    r = native.parse_mv_line(line, rc, nbc, nb, nb // nbc)
+    assert r is not None
+    nft, nmv, nsp, nsmv, nqp = r
+    pft, pmv, pqp = BS.decode_mv_frame(line, rc, nbc)
+    assert nft == pft and nqp == pqp
+    lmv, lsp, lsmv = list_to_mvs_np(pmv, ft, nb)
+    amv, asp, asmv = list_to_mvs_np(BS.FrameMVArrays(nft, nmv, nsp, nsmv), ft, nb)
+    np.testing.assert_array_equal(asp, lsp)
+    np.testing.assert_array_equal(amv, lmv)
+    np.testing.assert_array_equal(asmv, lsmv)
+
+
+@pytest.mark.parametrize("ft,rc", [(0, False), (0, True), (1, False), (1, True)])
+def test_encode_mv_line_matches_python(ft, rc):
+    """Native MV-line serialization from device-shaped arrays is
+    byte-identical to mvs_to_list + encode_mv_frame."""
+    from streamoptima_tpu.jax_engine import list_to_mvs_np
+
+    rng = np.random.default_rng(6)
+    nb, nbc = 96, 8
+    mvs = []
+    for j in range(nb):
+        split = (rng.random() < 0.4) and (j % nbc != 0)
+        if ft == 0:
+            mvs.append((1, [int(v) for v in rng.integers(-9, 1, 4)]) if split
+                       else (0, int(rng.integers(-9, 1))))
+        else:
+            mk = lambda: tuple(int(v) for v in (rng.integers(-16, 17), rng.integers(-16, 17), rng.integers(0, 4)))  # noqa: E731
+            mvs.append((1, [mk() for _ in range(4)]) if split else (0, mk()))
+    qpr = [int(q) for q in rng.integers(0, 11, nb // nbc)]
+    want = BS.encode_mv_frame(ft, mvs, qpr, rc, nbc)
+    mv, sp, smv = list_to_mvs_np(mvs, ft, nb)
+    got = native.encode_mv_line(ft, mv, sp, smv, qpr, rc, nbc)
+    assert got == want
+
+
+def test_parse_anomalies_fall_back():
+    """Anomalous lines return None (the caller then re-parses in Python,
+    keeping the loud corrupt-stream errors)."""
+    assert native.parse_residual_line("0'([bogus])", 1, 16) is None
+    assert native.parse_residual_line("0'([-1, 40000])", 1, 16) is None  # > int16
+    assert native.parse_residual_line("0'([0]);0'([0])", 1, 16) is None  # too many
+    assert native.parse_residual_line("0'([0])", 2, 16) is None  # too few
+    assert native.parse_mv_line("2|0'(1, 2, 3)", False, 8, 1, 1) is None
+    assert native.parse_mv_line("1|0'(1, 2)", False, 8, 1, 1) is None  # arity
+    r = native.parse_mv_line("1|0'(np.int64(1), 2, 3)", False, 8, 1, 1)
+    assert r is not None and r[1][0].tolist() == [1, 2, 3]
+
+
+def test_read_bitstream_array_path_roundtrip(tmp_path):
+    """File decode through the native parse path (FrameMVArrays /
+    FrameResArrays interchange) reconstructs bit-exactly, twice over the
+    same parsed stream (the merged-payload step must not mutate it)."""
+    from streamoptima_tpu.config import CodecConfig
+    from streamoptima_tpu.jax_engine import JaxCodec
+
+    from conftest import synthetic_clip
+
+    clip = synthetic_clip(h=64, w=64, frames=4)
+    cfg = CodecConfig(height=64, width=64, frames=4, search_range=2, qp=4,
+                      intra_dur=2, vbs_enable=True, fme_enable=True, lam=0.02)
+    codec = JaxCodec(cfg, clip)
+    pkg = codec.encode(package=False)
+    mv_p, res_p = tmp_path / "mv.txt", tmp_path / "res.txt"
+    BS.write_bitstream_arrays(mv_p, res_p, pkg["frame_type_seq"], pkg["per_frame"],
+                              pkg["Qp_per_row_per_frame"], cfg)
+    fts, mvs, qps, res = BS.read_bitstream(mv_p, res_p, cfg)
+    assert all(isinstance(m, BS.FrameMVArrays) for m in mvs)
+    assert all(isinstance(r, BS.FrameResArrays) for r in res)
+    for _ in range(2):
+        dec = codec.decode(fts, res, qps, mvs)
+        np.testing.assert_array_equal(np.stack([np.asarray(f) for f in dec]),
+                                      pkg["reconstructed frames"])
+
+
 def test_write_bitstream_arrays_matches_list_path(tmp_path):
     """write_bitstream_arrays (device arrays + C++) produces byte-identical
     files to the list-based write_bitstream."""
