@@ -162,6 +162,67 @@ def test_parse_anomalies_fall_back():
     assert r is not None and r[1][0].tolist() == [1, 2, 3]
 
 
+def test_parser_differential_fuzz():
+    """Mutate valid lines at random bytes: the native parser must either
+    reject (None -> Python fallback) or agree with the Python parser
+    byte-for-byte whenever the Python parser itself succeeds.  Guards the
+    strict-fallback contract: no silent divergence on odd-but-parseable
+    streams."""
+    from streamoptima_tpu.jax_engine import list_to_mvs_np, list_to_res_np
+
+    rng = np.random.default_rng(7)
+    nb, bs, sbs, nbc = 24, 16, 8, 4
+    qf = _random_blocks(rng, nb, bs, sparsity=0.85).clip(-3000, 3000)
+    qq = _random_blocks(rng, nb * 4, sbs, sparsity=0.85).clip(-3000, 3000).reshape(nb, 4, sbs, sbs)
+    split = rng.random(nb) < 0.4
+    qf[split] = 0
+    qq[~split] = 0
+    res_line = BS.encode_residual_frame_arrays(qf, qq, split, False)
+    mvs = []
+    for j in range(nb):
+        sp = (rng.random() < 0.4) and (j % nbc != 0)
+        mk = lambda: tuple(int(v) for v in (rng.integers(-4, 5), rng.integers(-4, 5), rng.integers(0, 2)))  # noqa: E731
+        mvs.append((1, [mk() for _ in range(4)]) if sp else (0, mk()))
+    mv_line = "1|" + BS.encode_mv_frame(1, mvs, [], False, nbc)
+
+    alphabet = "0123456789-,;'()[]@| abn.int"
+    for base, kind in ((res_line, "res"), (mv_line, "mv")):
+        for _ in range(120):
+            s = list(base)
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(0, len(s)))
+                s[pos] = alphabet[int(rng.integers(0, len(alphabet)))]
+            line = "".join(s)
+            if kind == "res":
+                got = native.parse_residual_line(line, nb, bs)
+                if got is None:
+                    continue
+                try:
+                    py = list_to_res_np(BS.decode_residual_frame(line, bs), nb, bs, sbs)
+                    pysp = np.fromiter((sp for sp, _ in BS.decode_residual_frame(line, bs)),
+                                       dtype=bool, count=nb)
+                except Exception:
+                    continue  # python rejects what native accepted-as-valid:
+                              # cannot happen for well-formed text; mutation
+                              # made python's *error* path differ, fine
+                np.testing.assert_array_equal(got[0], pysp, err_msg=line[:80])
+                np.testing.assert_array_equal(got[1], py[0], err_msg=line[:80])
+                np.testing.assert_array_equal(got[2], py[1], err_msg=line[:80])
+            else:
+                got = native.parse_mv_line(line, False, nbc, nb, nb // nbc)
+                if got is None:
+                    continue
+                try:
+                    ft, pmv, _ = BS.decode_mv_frame(line, False, nbc)
+                    lmv, lsp, lsmv = list_to_mvs_np(pmv, ft, nb)
+                except Exception:
+                    continue
+                assert got[0] == ft
+                np.testing.assert_array_equal(got[1], lmv, err_msg=line[:80])
+                np.testing.assert_array_equal(got[2], lsp, err_msg=line[:80])
+                np.testing.assert_array_equal(got[3], lsmv, err_msg=line[:80])
+
+
 def test_read_bitstream_array_path_roundtrip(tmp_path):
     """File decode through the native parse path (FrameMVArrays /
     FrameResArrays interchange) reconstructs bit-exactly, twice over the
