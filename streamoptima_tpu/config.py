@@ -105,6 +105,19 @@ class CodecConfig:
     # fetch ran unconditionally).  Bit-identical paths (tests/test_pallas.py).
     winner_fetch: str = "auto"
 
+    #: bounded-HBM encode: frames this far behind the dispatch frontier have
+    #: their outputs converted to host arrays (freeing their device buffers —
+    #: ~75 MB/frame at 4K with both coefficient sets, so unbounded residency
+    #: OOMs long clips).  None = automatic: drain under ``encode(package=
+    #: True)``, where every output is already copy_to_host_async'd at
+    #: dispatch; ``encode(package=False)`` keeps outputs device-resident (its
+    #: callers — benchmarks, metric sweeps — read only recon/metrics, and the
+    #: coefficients' D2H would dominate wall time on thin links).  Set an int
+    #: lag for long production encodes with package=False + transmit: outputs
+    #: drain incrementally (overlapping compute) instead of cold-syncing per
+    #: frame at serialization time.
+    encode_drain: int | None = None
+
     @property
     def winner_fetch_mode(self) -> str:
         """Resolved winner_fetch: 'fetch' or 'inkernel' (never 'auto')."""

@@ -782,6 +782,27 @@ class JaxCodec:
         per_frame = []
         refs = [jnp.full((self.h, self.w), 128, dtype=jnp.uint8)]
         initial = True
+        # bounded HBM on long clips (the decode loop's drain, mirrored): a
+        # frame's outputs (~75 MB at 4K with both coefficient sets) were
+        # live on device for the whole clip; convert to host arrays a fixed
+        # lag behind the dispatch frontier — the values were
+        # copy_to_host_async'd at dispatch, so the np.asarray only joins a
+        # transfer already riding the link.  The reference FIFO keeps its
+        # own device handles, so reconstruction reuse is unaffected.  See
+        # CodecConfig.encode_drain for the package=False gating.
+        drain_on = not light and (package or cfg.encode_drain is not None)
+        lag = 16 if cfg.encode_drain is None else max(int(cfg.encode_drain), 1)
+        n_conv = 0
+
+        def drain(upto):
+            nonlocal n_conv
+            while n_conv < upto:
+                o = per_frame[n_conv]
+                for k, v in o.items():
+                    if isinstance(v, jax.Array):
+                        o[k] = np.asarray(v)
+                n_conv += 1
+
         # fast-ME: warm-start each frame's Jacobi solve from the previous
         # frame's converged guesses (unique fixpoint => bit-identical)
         g_carry = jnp.zeros((self.nb, 3), jnp.int32) if cfg.fast_me else None
@@ -813,7 +834,8 @@ class JaxCodec:
                 fetch = (out["row_bits"],)
             else:
                 per_frame.append(out)
-                fetch = out.values() if package else (out["recon"], out["size"], out["psnr"], out["mae"])
+                fetch = out.values() if (package or drain_on) \
+                    else (out["recon"], out["size"], out["psnr"], out["mae"])
             for v in fetch:
                 try:
                     v.copy_to_host_async()
@@ -826,6 +848,8 @@ class JaxCodec:
                     refs.pop(0)
                 refs.append(out["recon"])
                 initial = False
+            if drain_on:
+                drain(len(per_frame) - lag)
         return per_frame, ftypes
 
     def encode(self, package: bool = True):

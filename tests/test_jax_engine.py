@@ -374,6 +374,33 @@ def test_intra_mode1_roi_lands_on_pixel_blocks():
                                   p1["reconstructed frames"])
 
 
+def test_encode_drain_bounded_hbm(tmp_path):
+    """cfg.encode_drain: outputs behind the lag are host arrays (device
+    buffers freed — long clips used to grow HBM without bound), and the
+    drained per_frame still serializes byte-identically."""
+    import dataclasses
+
+    from streamoptima_tpu import bitstream as BS
+
+    y = synthetic_clip(64, 96, 10)
+    base = make_cfg(64, 96, 10, "jax", vbs_enable=True, intra_dur=5)
+    cfg = dataclasses.replace(base, encode_drain=2)
+    codec = JaxCodec(cfg, y)
+    pkg = codec.encode(package=False)
+    pf = pkg["per_frame"]
+    assert all(isinstance(o["qtc_full"], np.ndarray) for o in pf[:-2]), "not drained"
+    ref = JaxCodec(base, y).encode(package=False)
+    a_mv, a_res = tmp_path / "a.mv", tmp_path / "a.res"
+    b_mv, b_res = tmp_path / "b.mv", tmp_path / "b.res"
+    BS.write_bitstream_arrays(a_mv, a_res, pkg["frame_type_seq"], pf,
+                              pkg["Qp_per_row_per_frame"], cfg)
+    BS.write_bitstream_arrays(b_mv, b_res, ref["frame_type_seq"], ref["per_frame"],
+                              ref["Qp_per_row_per_frame"], base)
+    assert a_mv.read_text() == b_mv.read_text()
+    assert a_res.read_text() == b_res.read_text()
+    np.testing.assert_array_equal(pkg["reconstructed frames"], ref["reconstructed frames"])
+
+
 @pytest.mark.parametrize("sr", [2, 8, 15])
 def test_intra_wavefront_matches_scan(sr):
     """The bounded-depth parallel intra reconstruction (sr < bs collapses
