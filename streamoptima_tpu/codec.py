@@ -96,6 +96,27 @@ class VideoCodec:
                 p["Qp_per_row_per_frame"], p["approx residual"], self.cfg, raw_mv_path=raw_mv_file,
             )
 
+    def transmit_bitstream_binary(self, path):
+        """Write the single-file binary container (binstream.py, format
+        SOTPB1) — the production form behind the same serializer interface;
+        the two text files remain the reference-parity format."""
+        assert self._pkg is not None, "encode() first"
+        from streamoptima_tpu import binstream as BIN
+
+        p = self._pkg
+        if "per_frame" in p:
+            from streamoptima_tpu import jax_engine
+
+            pairs = [
+                jax_engine.frame_arrays_of(o, ft)
+                for o, ft in zip(p["per_frame"], p["frame_type_seq"])
+            ]
+            BIN.write_binary(path, p["frame_type_seq"], [m for m, _ in pairs],
+                             p["Qp_per_row_per_frame"], [r for _, r in pairs], self.cfg)
+        else:
+            BIN.write_binary(path, p["frame_type_seq"], p["MVS per Frame"],
+                             p["Qp_per_row_per_frame"], p["approx residual"], self.cfg)
+
     # ----------------------------------------------------------- decoding
     def decode(self, frame_types=None, residuals=None, qp_rows=None, mvs=None):
         """In-memory decode (decoder.decode twin, decoder.py:487).  With no
@@ -120,8 +141,23 @@ class VideoCodec:
         or cleared per stream, so one codec decodes any sequence).  The
         decode engines cache the map at construction, so they are rebuilt
         whenever the effective map changed."""
+        return self._decode_files(
+            lambda: BS.read_bitstream(mv_file, residual_file, self.cfg))
+
+    def decode_bitstream_binary(self, path):
+        """File-level decode of the binary container (binstream.py); same
+        ROI adoption/rebuild semantics as decode_bitstream.  Native-engine
+        only (the compat oracle replicates the reference, which has no
+        binary format)."""
+        if self.cfg.compat:
+            raise ValueError("the binary container requires engine='jax'")
+        from streamoptima_tpu import binstream as BIN
+
+        return self._decode_files(lambda: BIN.read_binary(path, self.cfg))
+
+    def _decode_files(self, read):
         before = None if self.cfg.roi_qp_map is None else np.asarray(self.cfg.roi_qp_map)
-        fts, mvs, qps, res = BS.read_bitstream(mv_file, residual_file, self.cfg)
+        fts, mvs, qps, res = read()
         after = None if self.cfg.roi_qp_map is None else np.asarray(self.cfg.roi_qp_map)
         changed = (before is None) != (after is None) or (
             before is not None and not np.array_equal(before, after)

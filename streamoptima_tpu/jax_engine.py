@@ -1098,6 +1098,31 @@ class JaxCodec:
 
 
 # ------------------------------------------------ interchange (module level)
+def frame_arrays_of(out, ftype):
+    """One per_frame entry (encode(package=False)) -> the array interchange
+    (bitstream.FrameMVArrays, FrameResArrays).  Intra MVs widen to the
+    (nb, 3) component-0 layout the interchange fixes."""
+    from streamoptima_tpu.bitstream import FrameMVArrays, FrameResArrays
+
+    sp = np.asarray(out["split"]).astype(bool)
+    nb = sp.shape[0]
+    mv = np.asarray(out["mv"])
+    smv = np.asarray(out["sub_mv"])
+    m3 = np.zeros((nb, 3), np.int32)
+    s3 = np.zeros((nb, 4, 3), np.int32)
+    if mv.ndim == 1:
+        m3[:, 0] = mv
+    else:
+        m3[:] = mv
+    if smv.ndim == 2:
+        s3[:, :, 0] = smv
+    else:
+        s3[:] = smv
+    res = FrameResArrays(sp, np.asarray(out["qtc_full"]).astype(np.int16),
+                         np.asarray(out["qtc_quads"]).astype(np.int16))
+    return FrameMVArrays(int(ftype), m3, sp, s3), res
+
+
 def mvs_to_list(out, ftype, nb):
     """Device arrays -> the list-structured MV interchange format shared with
     the compat engine and the bitstream module."""

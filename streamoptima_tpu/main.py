@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", action="store_true", help="multi-chip encode over all devices (engine=jax)")
     p.add_argument("--mv-file", default="files/mvs_per_frame.txt")
     p.add_argument("--residual-file", default="files/res_per_frame.txt")
+    p.add_argument("--binary", default=None, metavar="PATH",
+                   help="ALSO write + verify the single-file binary container "
+                        "(binstream.py; the text files stay the parity format)")
     p.add_argument("--out", default="yuv/y_only_decoded.yuv")
     p.add_argument("--recon-out", default="yuv/y_only_reconstructed.yuv")
     p.add_argument("--vbs-overlay", default=None, help="also write a partition-overlay clip")
@@ -114,6 +117,15 @@ def main(argv=None) -> int:
     print("[INFO] Generating Bitstream")
     codec.transmit_bitstream(args.mv_file, args.residual_file)
     codec.save_reconstructed(args.recon_out)
+    if args.binary:
+        d = os.path.dirname(args.binary)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        codec.transmit_bitstream_binary(args.binary)
+        dec_b = VideoCodec(cfg).decode_bitstream_binary(args.binary)
+        okb = np.array_equal(dec_b, pkg["reconstructed frames"])
+        print(f"[INFO] Binary container {os.path.getsize(args.binary)} bytes; "
+              f"decode {'matches' if okb else 'DOES NOT match'}.")
     print("[INFO] Decoding Bitstream")
     decoded = codec.decode_bitstream(args.mv_file, args.residual_file)
     ok = np.array_equal(decoded, pkg["reconstructed frames"])
