@@ -79,6 +79,24 @@ def test_binary_roi_self_describing(tmp_path):
         VideoCodec(wrong).decode_bitstream_binary(tmp_path / "roi.sob")
 
 
+def test_binary_mesh_decode(tmp_path):
+    """Mesh-encoded clip -> binary container -> sharded decode on the
+    8-virtual-device mesh, bit-exact (the array interchange flows through
+    the mesh packer exactly like the native text parse)."""
+    from streamoptima_tpu.parallel import make_mesh
+
+    clip = synthetic_clip(64, 64, 6)
+    cfg = CodecConfig(height=64, width=64, frames=6, block_size=16,
+                      search_range=4, qp=3, intra_dur=3, vbs_enable=True)
+    mesh = make_mesh(cfg)
+    codec = VideoCodec(dataclasses.replace(cfg), clip, mesh=mesh)
+    pkg = codec.encode()  # the mesh engine produces the list package
+    p = tmp_path / "mesh.sob"
+    codec.transmit_bitstream_binary(p)
+    dec = VideoCodec(dataclasses.replace(cfg), mesh=make_mesh(cfg)).decode_bitstream_binary(p)
+    np.testing.assert_array_equal(dec, pkg["reconstructed frames"])
+
+
 def test_binary_loud_failures(tmp_path):
     y = synthetic_clip(64, 96, 3)
     cfg = _cfg(frames=3)
