@@ -301,24 +301,60 @@ def decode_residual_frame(line: str, block_size: int):
     return out
 
 
+def mv_arrays_to_list(m: FrameMVArrays):
+    """Array-form MV interchange -> the list format (the exact inverse of
+    jax_engine.list_to_mvs_np's pass-through)."""
+    sp = m.split.tolist()
+    nb = len(sp)
+    if m.ftype == 0:
+        mv = m.mv[:, 0].tolist()
+        smv = m.smv[:, :, 0].tolist()
+        return [(1, smv[i]) if sp[i] else (0, mv[i]) for i in range(nb)]
+    mvl = list(map(tuple, m.mv.tolist()))
+    smvl = [[tuple(q) for q in b] for b in m.smv.tolist()]
+    return [(1, smvl[i]) if sp[i] else (0, mvl[i]) for i in range(nb)]
+
+
+def _mv_line(ft, m, qp_rows, cfg) -> str:
+    """One MV-line body from either interchange form (native fast path for
+    arrays; the two forms serialize byte-identically — the differential
+    chain reads only each block's CHOSEN variant, which both carry)."""
+    from streamoptima_tpu import native
+
+    if isinstance(m, FrameMVArrays):
+        line = native.encode_mv_line(ft, m.mv, m.split, m.smv, qp_rows,
+                                     cfg.rc_active, cfg.blocks_per_row)
+        if line is not None:
+            return line
+        m = mv_arrays_to_list(m)
+    return encode_mv_frame(ft, m, qp_rows, cfg.rc_active, cfg.blocks_per_row)
+
+
+def _res_line(r, cfg) -> str:
+    if isinstance(r, FrameResArrays):
+        return encode_residual_frame_arrays(r.qf, r.qq, r.split, cfg.bitstream_numpy_repr)
+    return encode_residual_frame(r, cfg.block_size, cfg.bitstream_numpy_repr)
+
+
 def write_bitstream(path_mv, path_res, frame_types, mvs_per_frame, qp_per_row_per_frame, residuals_per_frame, cfg, raw_mv_path=None):
-    """Twin of transmit_bitstream (Encoder.py:1544-1573) with bug B1 fixed."""
+    """Twin of transmit_bitstream (Encoder.py:1544-1573) with bug B1 fixed.
+
+    Accepts either interchange form per frame (lists, or the FrameMVArrays /
+    FrameResArrays the readers produce — so read -> write round-trips)."""
     with open(path_mv, "w") as fm, open(path_res, "w") as fr:
         if cfg.roi_qp_map is not None:
             fm.write(encode_roi_header(cfg.roi_qp_map, cfg.block_rows, cfg.blocks_per_row) + "\n")
         for i in range(len(frame_types)):
             ft = int(frame_types[i])
-            fm.write(
-                str(ft)
-                + "|"
-                + encode_mv_frame(ft, mvs_per_frame[i], qp_per_row_per_frame[i], cfg.rc_active, cfg.blocks_per_row)
-                + "\n"
-            )
-            fr.write(encode_residual_frame(residuals_per_frame[i], cfg.block_size, cfg.bitstream_numpy_repr) + "\n")
+            fm.write(str(ft) + "|" + _mv_line(ft, mvs_per_frame[i], qp_per_row_per_frame[i], cfg) + "\n")
+            fr.write(_res_line(residuals_per_frame[i], cfg) + "\n")
     if raw_mv_path is not None:
         with open(raw_mv_path, "w") as f:
             for i in range(len(frame_types)):
-                f.write(str(int(frame_types[i])) + "|" + str(mvs_per_frame[i]) + "\n")
+                m = mvs_per_frame[i]
+                if isinstance(m, FrameMVArrays):
+                    m = mv_arrays_to_list(m)
+                f.write(str(int(frame_types[i])) + "|" + str(m) + "\n")
 
 
 def read_bitstream(path_mv, path_res, cfg):

@@ -249,6 +249,37 @@ def test_read_bitstream_array_path_roundtrip(tmp_path):
                                       pkg["reconstructed frames"])
 
 
+def test_transcode_read_write_identity(tmp_path):
+    """read_bitstream (array interchange) -> write_bitstream must reproduce
+    the original text files byte for byte (transcode identity: the
+    differential chain reads only each block's chosen variant, which both
+    interchange forms carry)."""
+    from streamoptima_tpu.config import CodecConfig
+    from streamoptima_tpu.jax_engine import JaxCodec
+
+    from conftest import synthetic_clip
+
+    clip = synthetic_clip(h=64, w=64, frames=4)
+    cfg = CodecConfig(height=64, width=64, frames=4, search_range=2, qp=4,
+                      intra_dur=2, vbs_enable=True, lam=0.02)
+    codec = JaxCodec(cfg, clip)
+    pkg = codec.encode(package=False)
+    a_mv, a_res = tmp_path / "a.mv", tmp_path / "a.res"
+    BS.write_bitstream_arrays(a_mv, a_res, pkg["frame_type_seq"], pkg["per_frame"],
+                              pkg["Qp_per_row_per_frame"], cfg)
+    fts, mvs, qps, res = BS.read_bitstream(a_mv, a_res, cfg)
+    assert any(isinstance(m, BS.FrameMVArrays) for m in mvs)
+    b_mv, b_res = tmp_path / "b.mv", tmp_path / "b.res"
+    BS.write_bitstream(b_mv, b_res, fts, mvs, qps, res, cfg)
+    assert a_mv.read_text() == b_mv.read_text()
+    assert a_res.read_text() == b_res.read_text()
+    # and the pure-Python list fallback serializes the same bytes
+    mv_lists = [BS.mv_arrays_to_list(m) for m in mvs]
+    c_mv, c_res = tmp_path / "c.mv", tmp_path / "c.res"
+    BS.write_bitstream(c_mv, c_res, fts, mv_lists, qps, res, cfg)
+    assert a_mv.read_text() == c_mv.read_text()
+
+
 def test_write_bitstream_arrays_matches_list_path(tmp_path):
     """write_bitstream_arrays (device arrays + C++) produces byte-identical
     files to the list-based write_bitstream."""
