@@ -72,6 +72,20 @@ def test_random_config_roundtrip(seed, tmp_path):
     for i, (d, r) in enumerate(zip(dec, pkg["reconstructed frames"])):
         np.testing.assert_array_equal(np.asarray(d), r, err_msg=f"seed {seed} frame {i} cfg {cfg}")
 
+    # the binary container must carry the identical stream: write from the
+    # text-parsed interchange, read with another bare cfg, decode bit-exact
+    from streamoptima_tpu import binstream as BIN
+
+    bin_p = str(tmp_path / "clip.sob")
+    BIN.write_binary(bin_p, fts, mvs, qps, res, bare)
+    bare2 = dataclasses.replace(cfg, roi_qp_map=None)
+    fts2, mvs2, qps2, res2 = BIN.read_binary(bin_p, bare2)
+    assert fts2 == fts and qps2 == [list(q) for q in qps]
+    dec2 = JaxCodec(bare2).decode(fts2, res2, qps2, mvs2)
+    for i, (d, r) in enumerate(zip(dec2, pkg["reconstructed frames"])):
+        np.testing.assert_array_equal(np.asarray(d), r,
+                                      err_msg=f"binary seed {seed} frame {i} cfg {cfg}")
+
 
 @pytest.mark.parametrize("seed", range(6))
 def test_random_config_mesh_matches_single_chip(seed):
