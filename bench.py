@@ -14,12 +14,34 @@ Prints ONE json line:
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+
+# Watchdog BEFORE any jax import: when the TPU tunnel is down, the axon
+# plugin's import hook can hang jax initialization indefinitely (observed
+# 570+ s — CLAUDE.md "Environment gotchas").  Emit a machine-readable
+# failure line instead of wedging the driver's bench run.  Device init on a
+# healthy tunnel takes seconds; compiles come later and are not covered.
+_devices_up = threading.Event()
+
+
+def _watchdog():
+    if not _devices_up.wait(300):
+        print(json.dumps({
+            "metric": "720p_encode_fps", "value": None, "unit": "frames/s",
+            "vs_baseline": None,
+            "detail": {"error": "device init exceeded 300s — TPU tunnel down?"},
+        }), flush=True)
+        os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import numpy as np  # noqa: E402
 
@@ -42,6 +64,9 @@ def main():
         pass
 
     from streamoptima_tpu.parallel import ShardedCodec, make_mesh
+
+    jax.devices()  # force backend init under the watchdog
+    _devices_up.set()
 
     clip = synthetic_clip(H, W, FRAMES)
     cfg = CodecConfig(height=H, width=W, frames=FRAMES, block_size=BS, search_range=SR,
