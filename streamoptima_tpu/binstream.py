@@ -37,6 +37,7 @@ from __future__ import annotations
 import numpy as np
 
 from streamoptima_tpu.bitstream import FrameMVArrays, FrameResArrays, _reconcile_roi
+from streamoptima_tpu.bitstream import widen_mvs as BS_widen
 from streamoptima_tpu.core.zigzag import rle_decode_block, rle_encode_block
 
 MAGIC = b"SOTPB1\n"
@@ -132,14 +133,7 @@ def write_binary(path, frame_types, mvs_per_frame, qp_rows_per_frame,
             ft = int(frame_types[i])
             mv, split, smv = jax_engine.list_to_mvs_np(mvs_per_frame[i], ft, nb)
             qf, qq = jax_engine.list_to_res_np(residuals_per_frame[i], nb, bs, sbs)
-            m3 = np.zeros((nb, 3), np.int64)
-            s3 = np.zeros((nb, 4, 3), np.int64)
-            if ft == 0:
-                m3[:, 0] = mv
-                s3[:, :, 0] = smv
-            else:
-                m3[:] = mv
-                s3[:] = smv
+            m3, s3 = BS_widen(ft, mv, smv, dtype=np.int64)
             split = np.asarray(split, bool)
             # canonical form = the text format's information content: a
             # block carries EITHER its full MV or its quad MVs (the array
@@ -186,6 +180,8 @@ def read_binary(path, cfg):
         raise ValueError(
             f"stream is {w_}x{h} bs={bs_f} but cfg is {cfg.width}x{cfg.height} bs={bs}"
         )
+    if n != cfg.frames:
+        raise ValueError(f"stream carries {n} frames but cfg.frames is {cfg.frames}")
     rc = bool(flags & 1)
     if rc != cfg.rc_active:
         raise ValueError("stream and cfg disagree on rate-control activity")
@@ -205,9 +201,19 @@ def read_binary(path, cfg):
             raise ValueError("split bitmap and sub-MV count disagree")
         s3[si] = r.arr("<i2", n_split * 12).astype(np.int32).reshape(n_split, 4, 3)
         qp = [int(v) for v in r.arr("<i2", cfg.block_rows)] if rc else []
-        offs_f = r.arr("<u4", nb - n_split + 1).astype(np.int64)
+        def _offsets(count):
+            # file-derived offsets reach C++ pointer arithmetic — validate
+            # shape here (0-start, monotone) and the window bound below once
+            # the value count is known, so corruption raises instead of
+            # reading out of bounds
+            o = r.arr("<u4", count).astype(np.int64)
+            if o[0] != 0 or (np.diff(o) < 0).any():
+                raise ValueError("corrupt binary bitstream: non-monotone RLE offsets")
+            return o
+
+        offs_f = _offsets(nb - n_split + 1)
         vals_f = r.arr("<i2", int(offs_f[-1]))
-        offs_q = r.arr("<u4", 4 * n_split + 1).astype(np.int64)
+        offs_q = _offsets(4 * n_split + 1)
         vals_q = r.arr("<i2", int(offs_q[-1]))
         qf = np.zeros((nb, bs, bs), np.int16)
         qq = np.zeros((nb, 4, sbs, sbs), np.int16)

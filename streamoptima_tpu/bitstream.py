@@ -46,6 +46,30 @@ class FrameResArrays(NamedTuple):
     qf: np.ndarray  # (nb, bs, bs) int16
     qq: np.ndarray  # (nb, 4, sbs, sbs) int16
 
+def widen_mvs(ftype: int, mv, smv, dtype=np.int32):
+    """Either MV layout -> the canonical (nb, 3) / (nb, 4, 3) arrays (intra
+    scalars widen into component 0).  The single widening implementation —
+    binstream, jax_engine.frame_arrays_of and the native wrapper all share
+    it so the forms cannot drift."""
+    mv = np.asarray(mv)
+    smv = np.asarray(smv)
+    nb = mv.shape[0]
+    m3 = np.zeros((nb, 3), dtype)
+    s3 = np.zeros((nb, 4, 3), dtype)
+    if mv.ndim == 1:
+        m3[:, 0] = mv
+    else:
+        m3[:] = mv
+    if smv.ndim == 2:
+        s3[:, :, 0] = smv
+    else:
+        s3[:] = smv
+    if ftype == 0:  # intra carries component-0 scalars only
+        m3[:, 1:] = 0
+        s3[:, :, 1:] = 0
+    return m3, s3
+
+
 _NP_SCALAR = re.compile(r"np\.int(?:8|16|32|64)\((-?\d+)\)")
 
 # ROI header line prefix in the MV file (native extension: the reference's

@@ -1101,25 +1101,23 @@ class JaxCodec:
 def frame_arrays_of(out, ftype):
     """One per_frame entry (encode(package=False)) -> the array interchange
     (bitstream.FrameMVArrays, FrameResArrays).  Intra MVs widen to the
-    (nb, 3) component-0 layout the interchange fixes."""
-    from streamoptima_tpu.bitstream import FrameMVArrays, FrameResArrays
+    (nb, 3) component-0 layout the interchange fixes; coefficients narrow
+    to int16 with the same loud overflow behavior as every sibling path
+    (|qtc| <= 4080 holds by construction — a violation means a quant bug,
+    not a stream to write)."""
+    from streamoptima_tpu.bitstream import FrameMVArrays, FrameResArrays, widen_mvs
 
     sp = np.asarray(out["split"]).astype(bool)
-    nb = sp.shape[0]
-    mv = np.asarray(out["mv"])
-    smv = np.asarray(out["sub_mv"])
-    m3 = np.zeros((nb, 3), np.int32)
-    s3 = np.zeros((nb, 4, 3), np.int32)
-    if mv.ndim == 1:
-        m3[:, 0] = mv
-    else:
-        m3[:] = mv
-    if smv.ndim == 2:
-        s3[:, :, 0] = smv
-    else:
-        s3[:] = smv
-    res = FrameResArrays(sp, np.asarray(out["qtc_full"]).astype(np.int16),
-                         np.asarray(out["qtc_quads"]).astype(np.int16))
+    m3, s3 = widen_mvs(int(ftype), np.asarray(out["mv"]), np.asarray(out["sub_mv"]))
+
+    def narrow(a, what):
+        a = np.asarray(a)
+        if a.size and (a.min() < -32768 or a.max() > 32767):
+            raise OverflowError(f"{what} outside int16 range")
+        return a.astype(np.int16)
+
+    res = FrameResArrays(sp, narrow(out["qtc_full"], "qtc_full"),
+                         narrow(out["qtc_quads"], "qtc_quads"))
     return FrameMVArrays(int(ftype), m3, sp, s3), res
 
 

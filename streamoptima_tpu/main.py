@@ -83,6 +83,8 @@ def main(argv=None) -> int:
         qp_rate_tables=None, intra_thresh=args.intra_thresh,
         two_pass=False, engine=args.engine,
     )
+    if args.binary and args.engine != "jax":
+        raise SystemExit("--binary requires --engine jax (the compat oracle has no binary format)")
     if args.rc_flag:
         import dataclasses
 
@@ -117,6 +119,7 @@ def main(argv=None) -> int:
     print("[INFO] Generating Bitstream")
     codec.transmit_bitstream(args.mv_file, args.residual_file)
     codec.save_reconstructed(args.recon_out)
+    okb = True
     if args.binary:
         d = os.path.dirname(args.binary)
         if d:
@@ -133,7 +136,7 @@ def main(argv=None) -> int:
     print("[INFO] Saving decoded frames")
     codec.save_decoded_frames(args.out, overlay_path=args.vbs_overlay)
     print(f"[INFO] Done in {time.time() - t0:.1f}s")
-    return 0 if ok else 1
+    return 0 if (ok and okb) else 1
 
 
 if __name__ == "__main__":

@@ -136,18 +136,11 @@ def encode_mv_line(frame_type: int, mv, split, smv, qps, rc_active: bool,
     lib = _load()
     if lib is None:
         return None
+    from streamoptima_tpu.bitstream import widen_mvs  # shared widening
+
     sp = np.ascontiguousarray(np.asarray(split), dtype=np.uint8)
     nb = sp.shape[0]
-    mv = np.asarray(mv)
-    smv = np.asarray(smv)
-    m3 = np.zeros((nb, 3), np.int32)
-    s3 = np.zeros((nb, 4, 3), np.int32)
-    if frame_type == 0:
-        m3[:, 0] = mv if mv.ndim == 1 else mv[:, 0]
-        s3[:, :, 0] = smv if smv.ndim == 2 else smv[:, :, 0]
-    else:
-        m3[:] = mv
-        s3[:] = smv
+    m3, s3 = widen_mvs(frame_type, mv, smv)
     n_rows = -(-nb // blocks_per_row)
     if rc_active and len(qps) < n_rows:
         return None

@@ -201,7 +201,11 @@ int64_t rle_encode_blocks(const int64_t* blocks, int64_t nblocks, int32_t n,
 
 // Batch RLE decode (entropy_decoder_block twin, decoder.py:548-586).
 //   data/offsets as produced above; out_blocks: nblocks * n * n int64 zeroed
-//   by the callee.
+//   by the callee.  Reads are bounded by each block's [offsets[b],
+//   offsets[b+1]) window even for malformed run headers (a nonzero-run
+//   header claiming more values than remain reads only what is there —
+//   the Python twin's slice semantics), so file-derived data cannot drive
+//   out-of-bounds reads; offset sanity itself is the caller's check.
 void rle_decode_blocks(const int64_t* data, const int64_t* offsets,
                        int64_t nblocks, int32_t n, int64_t* out_blocks) {
   const std::vector<int32_t> idx = diag_indices(n);
@@ -212,15 +216,18 @@ void rle_decode_blocks(const int64_t* data, const int64_t* offsets,
     int64_t i = offsets[b];
     const int64_t end = offsets[b + 1];
     int s = 0;
-    while (i < end && s < total) {
+    while (i >= 0 && i < end && s < total) {
       int64_t c = data[i];
       if (c < 0) {
-        for (int64_t k = 0; k < -c && s < total; ++k)
+        // clamp the claimed run to the window (also avoids -INT64_MIN UB
+        // and i overflow on adversarial headers)
+        const int64_t run = c == INT64_MIN ? end - i : std::min(-c, end - i);
+        for (int64_t k = 0; k < run && s < total && i + 1 + k < end; ++k)
           blk[idx[s++]] = data[i + 1 + k];
-        i += -c;
+        i += run;
       } else {
         if (c == 0) break;
-        s += (int)c;  // run of zeros (already zeroed)
+        s += (int)std::min<int64_t>(c, total);  // run of zeros (pre-zeroed)
       }
       ++i;
     }
@@ -442,6 +449,9 @@ int64_t parse_residual_line(const char* line, int64_t len, int64_t nb,
     ++i;
     if (c.done()) break;
     if (!c.lit(';')) return -1;
+    // a trailing ';' with nothing after it is malformed (the Python parser
+    // sees an empty item and raises) — stay strict so the fallback fires
+    if (c.done()) return -1;
   }
   return i;
 }
@@ -520,6 +530,7 @@ int64_t parse_mv_line(const char* line, int64_t len, int32_t rc_active,
     ++j;
     if (c.done()) break;
     if (!c.lit(';')) return -1;
+    if (c.done()) return -1;  // trailing ';' — Python raises on the empty item
   }
   if (j != nb) return -1;
   *nqp = q_n;

@@ -160,6 +160,10 @@ def test_parse_anomalies_fall_back():
     assert native.parse_mv_line("1|0'(1, 2)", False, 8, 1, 1) is None  # arity
     r = native.parse_mv_line("1|0'(np.int64(1), 2, 3)", False, 8, 1, 1)
     assert r is not None and r[1][0].tolist() == [1, 2, 3]
+    # trailing ';' is malformed (the Python parser raises on the empty item);
+    # native must reject it too, not accept what the list path always refused
+    assert native.parse_residual_line("0'([-1, 5, 0]);", 1, 16) is None
+    assert native.parse_mv_line("1|0'(1, 2, 3);", False, 8, 1, 1) is None
 
 
 def test_parser_differential_fuzz():
