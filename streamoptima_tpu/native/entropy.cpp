@@ -359,6 +359,7 @@ struct Cursor {
     bool neg = false;
     if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
     if (p >= end || *p < '0' || *p > '9') return false;
+    const bool leading_zero = *p == '0';
     int64_t v = 0;
     int digits = 0;
     while (p < end && *p >= '0' && *p <= '9') {
@@ -366,6 +367,9 @@ struct Cursor {
       if (++digits > 18) return false;  // would overflow int64 accumulation
       ++p;
     }
+    // Python integer literals forbid leading zeros ("00", "-08"):
+    // ast.literal_eval raises SyntaxError, so stay strict and fall back
+    if (leading_zero && digits > 1) return false;
     if (wrapped && !lit(')')) return false;
     *out = neg ? -v : v;
     return true;

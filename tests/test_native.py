@@ -197,18 +197,17 @@ def test_parser_differential_fuzz():
                 pos = int(rng.integers(0, len(s)))
                 s[pos] = alphabet[int(rng.integers(0, len(alphabet)))]
             line = "".join(s)
+            # strict-fallback contract, both directions: native rejecting is
+            # always fine (Python then raises its own loud error), but if
+            # native ACCEPTS, Python must also accept AND agree — a line the
+            # list path refused must never decode silently via C++
             if kind == "res":
                 got = native.parse_residual_line(line, nb, bs)
                 if got is None:
                     continue
-                try:
-                    py = list_to_res_np(BS.decode_residual_frame(line, bs), nb, bs, sbs)
-                    pysp = np.fromiter((sp for sp, _ in BS.decode_residual_frame(line, bs)),
-                                       dtype=bool, count=nb)
-                except Exception:
-                    continue  # python rejects what native accepted-as-valid:
-                              # cannot happen for well-formed text; mutation
-                              # made python's *error* path differ, fine
+                py = list_to_res_np(BS.decode_residual_frame(line, bs), nb, bs, sbs)
+                pysp = np.fromiter((sp for sp, _ in BS.decode_residual_frame(line, bs)),
+                                   dtype=bool, count=nb)
                 np.testing.assert_array_equal(got[0], pysp, err_msg=line[:80])
                 np.testing.assert_array_equal(got[1], py[0], err_msg=line[:80])
                 np.testing.assert_array_equal(got[2], py[1], err_msg=line[:80])
@@ -216,11 +215,8 @@ def test_parser_differential_fuzz():
                 got = native.parse_mv_line(line, False, nbc, nb, nb // nbc)
                 if got is None:
                     continue
-                try:
-                    ft, pmv, _ = BS.decode_mv_frame(line, False, nbc)
-                    lmv, lsp, lsmv = list_to_mvs_np(pmv, ft, nb)
-                except Exception:
-                    continue
+                ft, pmv, _ = BS.decode_mv_frame(line, False, nbc)
+                lmv, lsp, lsmv = list_to_mvs_np(pmv, ft, nb)
                 assert got[0] == ft
                 np.testing.assert_array_equal(got[1], lmv, err_msg=line[:80])
                 np.testing.assert_array_equal(got[2], lsp, err_msg=line[:80])
