@@ -89,4 +89,26 @@ rc_tables = [[2e5, 1.2e5, 8e4, 5e4, 3e4, 2e4, 1.2e4, 8e3, 5e3, 3e3, 2e3, 1.2e3]]
 timed("720p_rc_active", CodecConfig(height=720, width=1280, search_range=8,
                                     rc_flag=1, target_br="8 mbps", frame_rate=30,
                                     qp_rate_tables=rc_tables, me_search="pallas", **base), 32)
+
+# ---- WIDE fetch-decode Mosaic smoke: a fast-ME stream whose MVP chain
+# walks beyond search_range engages the wide plane pad (pad=32+) and the
+# barrel-shift column path — interpret mode validated VALUES only
+print("wide fetch decode smoke:", flush=True)
+pan, h, w, fr = 8, 256, 1280, 6
+ys = np.arange(h + pan * fr)
+sheet = np.clip(128 + 100 * np.sin(2 * np.pi * ys / 32.0)[:, None]
+                + np.random.default_rng(0).integers(-8, 9, (h + pan * fr, w)), 0, 255
+                ).astype(np.uint8)
+clip = np.stack([sheet[i * pan : i * pan + h] for i in range(fr)])
+cfgw = CodecConfig(height=h, width=w, frames=fr, block_size=16, qp=3, intra_dur=fr,
+                   search_range=2, fast_me=True, me_search="pallas")
+cw = JaxCodec(cfgw, clip)
+pw = cw.encode()
+dec = cw.decode(pw["frame_type_seq"], pw["approx residual"],
+                pw["Qp_per_row_per_frame"], pw["MVS per Frame"])
+ok = all(np.array_equal(np.asarray(d), r)
+         for d, r in zip(dec, pw["reconstructed frames"]))
+print(f"wide decode: {'OK' if ok else 'MISMATCH'}", flush=True)
+if not ok:
+    sys.exit(1)
 print("ALL DONE", flush=True)

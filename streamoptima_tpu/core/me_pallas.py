@@ -694,6 +694,18 @@ def wide_pad(mvs_np_list, sr: int, fme: bool):
     return pad if pad <= WIDE_PAD_MAX else None
 
 
+def clip_wide_pad(mvs_np_list, sr: int, fme: bool):
+    """The WIDE-mode dispatch policy, shared by the single-chip facade and
+    the mesh decoder (one place, so the dispatchers cannot diverge): the
+    clip's wide plane pad, or None when the narrow sr-derived pad already
+    serves every transmitted displacement OR the stream exceeds
+    WIDE_PAD_MAX (fetch_decodable(pad=None) then rejects the wide frames
+    and they take the XLA gather path)."""
+    base = sr + 1 if fme else sr
+    wp = wide_pad(mvs_np_list, sr, fme)
+    return wp if (wp is not None and wp != base) else None
+
+
 def fetch_band_rows(nbr: int, w: int, bs: int, vbs: bool) -> int:
     """Block rows per pred_fetch_compact band program.  VMEM residency per
     band row-pixel: 2 int16 pred outputs + the int32 pixel-code maps (full,

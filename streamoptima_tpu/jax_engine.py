@@ -969,16 +969,13 @@ class JaxCodec:
         # bounded) keeps those frames on the Pallas fetch path.  pad=None =
         # the narrow mode, bit-for-bit the old dispatch.
         from streamoptima_tpu.core import me_pallas as _mp
-        base_pad = cfg.search_range + (1 if cfg.fme_enable else 0)
         wpad = None
         if cfg.fast_me and self._use_pallas():
-            wp = _mp.wide_pad(
+            wpad = _mp.clip_wide_pad(
                 [a for p in inter_mvs if p is not None for a in
                  (p[0].reshape(-1, 3), p[1].reshape(-1, 3)) if a.shape[-1] == 3],
                 cfg.search_range, cfg.fme_enable,
             )
-            if wp is not None and wp != base_pad:
-                wpad = wp
         for i in range(n):
             if inter_mvs[i] is not None:
                 tabs[i] = self._fetch_table_np(inter_mvs[i][0], inter_mvs[i][1],

@@ -128,7 +128,7 @@ class ShardedCodec:
         self.mesh = mesh
         self.y = None if y_frames is None else np.asarray(y_frames, dtype=np.uint8)
         self._frames_dev = None  # device-resident GOP-batched clip (lazy)
-        self._decode_js = {}  # jitted sharded decodes, keyed (with_tables, comm)
+        self._decode_js = {}  # jitted sharded decodes, keyed (with_tables, comm, wide_pad)
         self._dsteps = {}  # per-frame decode steps for promoted streams, keyed comm
         self._fsteps = None  # jitted per-frame steps for two-pass RC (lazy)
         self._encode2_j = None  # per-frame-QP GOP scan (two-pass pass 2, lazy)
@@ -1210,6 +1210,18 @@ class ShardedCodec:
         # reconstruction (encode forces all_gather for the same reason).
         # Scan the host-visible MVs and downgrade to the all_gather band
         # whenever the stream needs it.
+        from streamoptima_tpu.core import me_pallas
+
+        use_fetch = me_pallas.pallas_enabled(cfg.me_search)
+        # WIDE fetch mode (shared dispatch policy with JaxCodec.decode:
+        # me_pallas.clip_wide_pad): fast-ME MVP chains exceed the search
+        # range; one clip-wide pad keeps those streams on the fetch kernel.
+        wpad = None
+        if use_fetch and gl > 1 and cfg.fast_me and not promoted:
+            wpad = me_pallas.clip_wide_pad(
+                [mv_g[:, 1:].reshape(-1, 3), smv_g[:, 1:].reshape(-1, 3)],
+                cfg.search_range, cfg.fme_enable,
+            )
         comm = self.tile_comm
         if self.ntile > 1 and comm == "halo":
             dy_bound = 2 * cfg.search_range if cfg.fme_enable else cfg.search_range
@@ -1218,6 +1230,17 @@ class ShardedCodec:
                 int(np.abs(smv_g[..., 1]).max(initial=0)),
             )
             if max_dy > dy_bound:
+                # the sr+1 halo band cannot serve |dy| beyond the search
+                # range — the halo path would clamp those reads and silently
+                # corrupt the reconstruction (encode forces all_gather for
+                # the same reason)
+                comm = "all_gather"
+            if wpad is not None:
+                # dx-wide streams keep halo CORRECTNESS (row bands are full
+                # width; the XLA path zero-pads columns), but the WIDE fetch
+                # kernel needs whole-frame bands — all_gather keeps such
+                # streams on the kernel instead of dropping the whole clip
+                # to the gather path (round-3 review finding)
                 comm = "all_gather"
         # Pallas fetch path: host-built per-TILE banded DMA tables per inter
         # frame (each tile's candidate lists cover only its own block rows).
@@ -1228,24 +1251,8 @@ class ShardedCodec:
             return self._decode_fsteps(mv_g, split_g, smv_g, qf_g, qq_g, rqp_g,
                                        frame_types, comm, g_pad)
         tab_g = None
-        from streamoptima_tpu.core import me_pallas
-
-        use_fetch = me_pallas.pallas_enabled(cfg.me_search)
-        wpad = None
         if use_fetch and gl > 1:
-            # WIDE fetch mode (mirrors JaxCodec.decode): fast-ME MVP chains
-            # exceed the search range; one clip-wide pad keeps those streams
-            # on the fetch kernel.  Wide displacements need whole-frame
-            # bands, so the all_gather comm (already forced above for
-            # |dy| > halo) is required — assert, don't assume.
-            base_pad = cfg.search_range + (1 if cfg.fme_enable else 0)
-            if cfg.fast_me:
-                wp = me_pallas.wide_pad(
-                    [mv_g[:, 1:].reshape(-1, 3), smv_g[:, 1:].reshape(-1, 3)],
-                    cfg.search_range, cfg.fme_enable,
-                )
-                if wp is not None and wp != base_pad and (self.ntile == 1 or comm == "all_gather"):
-                    wpad = wp
+            assert wpad is None or self.ntile == 1 or comm == "all_gather"
             row0 = (cfg.search_range + 1) if (self.ntile > 1 and comm == "halo") else 0
             pads = None if wpad is None else (wpad, wpad)
             tabs = {}
@@ -1287,6 +1294,10 @@ class ShardedCodec:
                 for (g, f), ps in tabs.items():
                     for ti, p in enumerate(ps):
                         tab_g[g, f, ti * nprog_t : (ti + 1) * nprog_t, :, : p.shape[-1]] = p
+        if tab_g is None:
+            wpad = None  # the no-table program ignores the pad: one cache
+            # key for it regardless of the wide probe (review finding —
+            # a stale wpad forced a duplicate identical compile)
         key = (tab_g is not None, comm, wpad)
         if key not in self._decode_js:
             self._decode_js[key] = self._build_decode_j(with_tables=key[0], comm=comm, pad=wpad)

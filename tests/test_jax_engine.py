@@ -410,7 +410,10 @@ def test_intra_wavefront_matches_scan(sr):
     import jax.numpy as jnp
     from streamoptima_tpu.core import intra as I
 
-    h, w, bs = 64, 128, 16
+    # nbc must EXCEED the worst-case dependency depth (sr=15 -> depth 15,
+    # iters 16) or an undercounted iteration formula would still pass
+    # (round-3 review finding): 352/16 = 22 columns > 16
+    h, w, bs = 64, 352, 16
     nbr, nbc, s = h // bs, w // bs, bs // 2
     nb = nbr * nbc
     rng = np.random.default_rng(5)

@@ -367,3 +367,44 @@ def test_mesh_wide_fetch_decode_fast_me():
     np.testing.assert_array_equal(dec, pkg["reconstructed frames"])
     # the WIDE fetch program was actually built (not the XLA fallback)
     assert any(k[0] and k[2] == wp for k in sc._decode_js), sc._decode_js.keys()
+
+
+def test_mesh_wide_fetch_decode_fast_me_horizontal():
+    """dx-wide fast-ME stream (horizontal pan; |dy| within the halo) on a
+    multi-tile HALO mesh: the dy-only downgrade scan used to leave comm on
+    halo, the WIDE gate then failed, and the whole clip silently dropped to
+    the XLA gather path (round-3 review finding).  The wide stream must now
+    force the all_gather band and stay on the Pallas fetch kernel, bit-exact."""
+    from streamoptima_tpu.core import me_pallas
+
+    h, w, frames, pan = 128, 96, 4, 8
+    x = np.arange(w + pan * frames)
+    rng = np.random.default_rng(4)
+    # horizontally textured, vertically ANCHORED content (a static vertical
+    # ramp + per-column noise constant along y): the pan is pure dx, so the
+    # MVP chain walks wide horizontally while dy stays within the halo —
+    # exactly the case the dy-only downgrade scan used to miss
+    tex = rng.integers(-10, 11, size=w + pan * frames)
+    base = (60 * np.sin(2 * np.pi * x / 32.0) + tex)[None, :]
+    anchor = 50 * np.sin(2 * np.pi * np.arange(h) / 16.0)[:, None]
+    sheet = np.clip(128 + base + anchor, 0, 255).astype(np.uint8)
+    clip = np.stack([sheet[:, i * pan : i * pan + w] for i in range(frames)])
+    cfg = CodecConfig(height=h, width=w, frames=frames, search_range=2, qp=3,
+                      intra_dur=frames, fast_me=True, me_search="pallas")
+    mesh = make_mesh(cfg)
+    sc = ShardedCodec(cfg, mesh, clip, tile_comm="halo")
+    assert sc.ntile > 1, "needs a real multi-tile halo mesh"
+    pkg = sc.encode()
+    mvs = [np.array([m[1] for m in f_mvs if m[0] == 0], np.int32).reshape(-1, 3)
+           for ft, f_mvs in zip(pkg["frame_type_seq"], pkg["MVS per Frame"]) if ft == 1]
+    allmv = np.concatenate(mvs)
+    assert np.abs(allmv[:, 0]).max() > cfg.search_range, "stream must be dx-wide"
+    assert np.abs(allmv[:, 1]).max() <= cfg.search_range, "dy must stay halo-narrow"
+    wp = me_pallas.wide_pad(mvs, cfg.search_range, cfg.fme_enable)
+    assert wp is not None and wp > cfg.search_range
+    args = (pkg["frame_type_seq"], pkg["approx residual"], pkg["Qp_per_row_per_frame"],
+            pkg["MVS per Frame"])
+    dec = np.stack([np.asarray(f) for f in sc.decode(*args)])
+    np.testing.assert_array_equal(dec, pkg["reconstructed frames"])
+    assert any(k[0] and k[1] == "all_gather" and k[2] == wp for k in sc._decode_js), \
+        sc._decode_js.keys()
