@@ -137,6 +137,25 @@ class CodecConfig:
             self.lam = 0.015
         if self.intra_mode not in (0, 1):
             raise ValueError("intra_mode must be 0 (horizontal) or 1 (vertical)")
+        # the search kernels pack the lexicographic tie-break as
+        # (l1<<3 | ref)<<8 | dxi)<<8 | dyi (core/me.py argmin, the fused and
+        # Pallas twins): 3 bits of reference index and 8 bits per grid
+        # displacement index.  Out-of-range configs would OVERFLOW the
+        # packing and silently pick wrong winners — refuse them loudly.
+        # (The reference itself has no such limits but degrades to hours of
+        # runtime long before sr=64; these bounds cover its whole usable
+        # envelope.)
+        if not 1 <= self.n_ref_frames <= 8:
+            raise ValueError("n_ref_frames must be in [1, 8] (3-bit ref field "
+                             "in the search tie-break packing)")
+        grid_sr = 2 * self.search_range if self.fme_enable else self.search_range
+        if not 1 <= self.search_range or grid_sr > 127:
+            raise ValueError(
+                f"search_range {self.search_range} out of range: the ref-grid "
+                f"range {grid_sr} must stay <= 127 (8-bit displacement-index "
+                "fields in the search tie-break packing; under FME the grid "
+                "range is 2*search_range)"
+            )
         if self.engine not in ("jax", "compat"):
             raise ValueError("engine must be 'jax' or 'compat'")
         if self.me_search not in ("auto", "materialized", "fused", "pallas"):

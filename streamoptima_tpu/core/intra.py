@@ -86,7 +86,7 @@ def intra_search_mode0(cur, bs: int, sr: int, canvas_w: int, vbs: bool, xp):
         idx_hi = x_sub[None, :] + t[:, None]  # (ndx, C)
         idx_lo = xp.broadcast_to(x_sub[None, :], idx_hi.shape)
         a = _take_cols(prefix_bands, idx_hi, xp) - _take_cols(prefix_bands, idx_lo, xp)  # (ndx, R, C)
-        p128_hi = prefix_gather = prefix128_bands[:, idx_hi]  # (R, ndx, C)
+        p128_hi = prefix128_bands[:, idx_hi]  # (R, ndx, C)
         b = prefix128_bands[:, x_sub + n][None, :, :] - xp.transpose(p128_hi, (1, 0, 2))
         sad = a + b  # (ndx, R, C)
         valid = (x_sub[None, :] + dx[:, None] >= 0) & (x_sub[None, :] + dx[:, None] + n <= canvas_w)

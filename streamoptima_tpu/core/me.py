@@ -45,7 +45,6 @@ def fme_upsample(frame, xp, wrap_row_pass: bool | None = None):
         wrap_row_pass = frame.dtype == np.uint8 if xp is np else frame.dtype == xp.uint8
     f = frame.astype(xp.int32)
     h, w = f.shape
-    out = xp.zeros((2 * h - 1, 2 * w - 1), dtype=xp.int32)
     a = f[:, :-1]
     b = f[:, 1:]
     row_sum = (a + b) & 255 if wrap_row_pass else a + b
@@ -57,6 +56,7 @@ def fme_upsample(frame, xp, wrap_row_pass: bool | None = None):
     rs_bot = (f[1:, :-1] + f[1:, 1:]) & 255 if wrap_row_pass else f[1:, :-1] + f[1:, 1:]
     quad = (rs_top + rs_bot + 3) >> 2  # ceil of the averaged wrapped halves
     if xp is np:
+        out = np.zeros((2 * h - 1, 2 * w - 1), dtype=np.int32)
         out[0::2, 0::2] = f
         out[0::2, 1::2] = row_half
         out[1::2, 0::2] = col_half

@@ -204,3 +204,24 @@ def test_pad_hw():
     assert out.shape == (16, 16)
     assert np.array_equal(out[:3, :4], f)
     assert (out[3:, :] == 128).all() and (out[:, 4:] == 128).all()
+
+
+def test_config_rejects_tiebreak_packing_overflow():
+    """n_ref_frames > 8 or ref-grid search range > 127 would overflow the
+    search kernels' tie-break packing (3-bit ref, 8-bit displacement
+    indices) and silently pick wrong winners — the config refuses them."""
+    import pytest
+
+    from streamoptima_tpu.config import CodecConfig
+
+    base = dict(height=64, width=64, frames=2, qp=4, intra_dur=2)
+    CodecConfig(n_ref_frames=8, search_range=63, fme_enable=True, **base)
+    CodecConfig(search_range=127, **base)
+    with pytest.raises(ValueError, match="n_ref_frames"):
+        CodecConfig(n_ref_frames=9, **base)
+    with pytest.raises(ValueError, match="search_range"):
+        CodecConfig(search_range=64, fme_enable=True, **base)
+    with pytest.raises(ValueError, match="search_range"):
+        CodecConfig(search_range=128, **base)
+    with pytest.raises(ValueError, match="search_range"):
+        CodecConfig(search_range=0, **base)
