@@ -56,7 +56,31 @@ from streamoptima_tpu.core import rd
 from streamoptima_tpu.core.quant import rescale
 from streamoptima_tpu.core.transform import idct2_int
 
-_INF32 = np.int32(2**31 - 1)
+def _halo_band(refs_l, halo, ntile):
+    """Neighbor halo exchange: each tile's (nref, h_t, w) local band grows
+    ``halo`` rows from each vertical neighbor via two thin-band ppermutes
+    over the "tile" ICI axis (edge tiles receive ppermute's zero fill —
+    those rows are outside the frame; every read is masked by global-
+    coordinate validity).  ONE implementation for the three encode/decode
+    sites.  Returns (nref, h_t + 2*halo, w)."""
+    perm_dn = [(i, i + 1) for i in range(ntile - 1)]
+    perm_up = [(i + 1, i) for i in range(ntile - 1)]
+    top = jax.lax.ppermute(refs_l[:, -halo:, :], "tile", perm_dn)
+    bot = jax.lax.ppermute(refs_l[:, :halo, :], "tile", perm_up)
+    return jnp.concatenate([top, refs_l, bot], axis=1)
+
+
+def _fifo_push(refs, nvalid, frame, nref):
+    """Reference-FIFO update (Encoder.py:1864-1867): append the newest
+    reconstruction, evicting the oldest once nref frames are valid.  ONE
+    implementation for every encode/decode scan in this file — the four
+    call sites must stay provably identical or encode/decode bit-parity
+    silently breaks.  Returns (new_refs, new_nvalid)."""
+    full = nvalid >= nref
+    rolled = jnp.where(full, jnp.roll(refs, -1, axis=0), refs)
+    idx = jnp.minimum(nvalid, nref - 1)
+    new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, frame[None], idx, axis=0)
+    return new_refs, jnp.minimum(nvalid + 1, nref)
 
 
 def make_mesh(cfg: CodecConfig, devices=None, tile: int | None = None) -> Mesh:
@@ -310,7 +334,6 @@ class ShardedCodec:
         step_px = 2 if fme else 1
         pad = step_px * (n - 1) + 3
         dims = search_refs.shape[-2:]
-        inf32 = np.int32(2**31 - 1)
         # pixel-range values ([0,255] even after the ceil-average upsample):
         # gather uint8 windows to quarter the sweep's HBM traffic
         refs_pad = jnp.pad(search_refs, ((0, 0), (pad, pad), (pad, pad))).astype(jnp.uint8)
@@ -347,7 +370,7 @@ class ShardedCodec:
             jnp.asarray(0, jnp.int32),
         )
         g_fin, mv, sad, _, _ = jax.lax.while_loop(cond, body, init)
-        outs = {"mv": mv, "sad": sad, "ok": sad != inf32, "g_fin": g_fin}
+        outs = {"mv": mv, "sad": sad, "ok": sad != np.int32(2**31 - 1), "g_fin": g_fin}
         if cfg.vbs_enable:
             cur_q = cur_b.reshape(-1, 2, self.sbs, 2, self.sbs).swapaxes(2, 3).reshape(
                 -1, 4, self.sbs, self.sbs
@@ -359,7 +382,7 @@ class ShardedCodec:
             )
             outs["sub_mv"] = smv
             outs["sub_sad"] = ssad
-            outs["sub_ok"] = ssad != inf32
+            outs["sub_ok"] = ssad != np.int32(2**31 - 1)
         return outs
 
     def _fast_tile_rowscan(self, cur32, band, nvalid, y0_px, fme, g0=None):
@@ -500,11 +523,7 @@ class ShardedCodec:
             # frame and every read of them is masked (validity uses global
             # coordinates via grid_dims/origin_row).
             assert halo <= self.h_t, "halo exceeds tile height; lower the tile count"
-            perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
-            perm_up = [(i + 1, i) for i in range(self.ntile - 1)]
-            top = jax.lax.ppermute(refs_l[:, -halo:, :], "tile", perm_dn)
-            bot = jax.lax.ppermute(refs_l[:, :halo, :], "tile", perm_up)
-            band = jnp.concatenate([top, refs_l, bot], axis=1)  # (nref, h_t+2halo, w)
+            band = _halo_band(refs_l, halo, self.ntile)  # (nref, h_t+2halo, w)
             origin_px = y0_px - halo  # band row 0 in global pixel rows (traced)
             search_row_offset = scale * halo
             pred_origin = scale * origin_px
@@ -571,9 +590,7 @@ class ShardedCodec:
             # winner fetch (VERDICT r3 item 2, mesh edition): argmin-only
             # search above, winners' windows fetched by the compact-DMA
             # kernel on the same band; per-tile DMA table built on device
-            pred_full, pred_q_w = self._winner_fetch_tile(
-                s, band, read_row0, y0_px, fme, grid_dims, pred_origin, by_g
-            )
+            pred_full, pred_q_w = self._winner_fetch_tile(s, band, read_row0, fme)
         if use_pallas and not wfetch:
             pred_full = jnp.where(
                 ok[:, None, None],
@@ -646,7 +663,7 @@ class ShardedCodec:
             out["g_next"] = g_next  # fast-ME warm start (dropped by _grid_out)
         return out
 
-    def _winner_fetch_tile(self, s, band, read_row0, y0_px, fme, grid_dims, pred_origin, by_g):
+    def _winner_fetch_tile(self, s, band, read_row0, fme):
         """Mesh edition of JaxCodec._winner_fetch_preds: the tile's winner
         windows via pred_fetch_compact on the (halo-)band, table built on
         device per tile (tables differ per device — same program, different
@@ -721,11 +738,8 @@ class ShardedCodec:
                 jnp.sum((out["recon"].astype(jnp.float32) - cur.astype(jnp.float32)) ** 2), "tile"
             )
             # reference FIFO (Encoder.py:1864-1867): append newest, drop oldest
-            full = nvalid >= nref
-            rolled = jnp.where(full, jnp.roll(refs, -1, axis=0), refs)
-            idx = jnp.minimum(nvalid, nref - 1)
-            new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, out["recon"][None], idx, axis=0)
-            return (new_refs, jnp.minimum(nvalid + 1, nref), g_next), self._grid_out(out)
+            new_refs, new_nv = _fifo_push(refs, nvalid, out["recon"], nref)
+            return (new_refs, new_nv, g_next), self._grid_out(out)
 
         (_, _, _), outs = jax.lax.scan(step, (refs0, jnp.int32(1), g0), (frames_l[1:], qps_pf_tile[1:]))
         out0g = self._grid_out(out0)
@@ -878,6 +892,13 @@ class ShardedCodec:
                 except AttributeError:
                     pass
             outs.append(o)
+            # bounded HBM (the single-chip engine's drain, commit 3b48f59,
+            # mirrored): convert the batch BEHIND the frontier to host
+            # arrays — its async copies are already riding the link — so
+            # device residency stays ~2 batches regardless of clip length
+            # (~75 MB/frame at 4K with both coefficient sets under "full")
+            if len(outs) >= 2:
+                outs[-2] = jax.tree.map(np.asarray, outs[-2])
         return jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0), *outs)
 
     def _first_pass_rqps(self, g_pad):
@@ -900,7 +921,7 @@ class ShardedCodec:
             rbs.append(rb)
         row_bits = np.concatenate([np.asarray(r) for r in rbs], axis=0)  # (g_pad, gl, nbr)
         type_rows = np.asarray(self._row_qps)
-        out = np.empty_like(row_bits, dtype=np.int32)[..., : self.nbr]
+        out = np.empty((g_pad, self.gl, self.nbr), np.int32)
         for g in range(g_pad):
             for f in range(self.gl):
                 ft = 0 if f == 0 else 1
@@ -966,11 +987,7 @@ class ShardedCodec:
             pred_origin = 0
         else:
             halo = cfg.search_range + 1
-            perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
-            perm_up = [(i + 1, i) for i in range(self.ntile - 1)]
-            top = jax.lax.ppermute(refs_l[:, -halo:, :], "tile", perm_dn)
-            bot = jax.lax.ppermute(refs_l[:, :halo, :], "tile", perm_up)
-            band = jnp.concatenate([top, refs_l, bot], axis=1)
+            band = _halo_band(refs_l, halo, self.ntile)
             pred_origin = scale * (y0_px - halo)
         if fme:
             pred_refs = jax.vmap(lambda r: M.fme_upsample(r, jnp, wrap_row_pass=True))(band)
@@ -1017,11 +1034,7 @@ class ShardedCodec:
             rr0 = y0_px
         else:
             halo = cfg.search_range + 1
-            perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
-            perm_up = [(i + 1, i) for i in range(self.ntile - 1)]
-            top = jax.lax.ppermute(refs_l[:, -halo:, :], "tile", perm_dn)
-            bot = jax.lax.ppermute(refs_l[:, :halo, :], "tile", perm_up)
-            band = jnp.concatenate([top, refs_l, bot], axis=1)
+            band = _halo_band(refs_l, halo, self.ntile)
             rr0 = 0  # the halo is static: folded into the table's row0
         smv_k = smv if cfg.vbs_enable else jnp.zeros((self.nb_t, 4, 3), jnp.int32)
         predf, predq = me_pallas.pred_fetch_compact(
@@ -1092,11 +1105,8 @@ class ShardedCodec:
                 mv, split, smv, qf, qq, rqp, tab = xs
                 f = self._inter_tile_decode_fetch(refs, y0_blocks, mv, split, smv, qf, qq,
                                                   rqp, roi_tile, tab, comm, pad=pad)
-            full = nvalid >= nref
-            rolled = jnp.where(full, jnp.roll(refs, -1, axis=0), refs)
-            idx = jnp.minimum(nvalid, nref - 1)
-            new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, f[None], idx, axis=0)
-            return (new_refs, jnp.minimum(nvalid + 1, nref)), f
+            new_refs, new_nv = _fifo_push(refs, nvalid, f, nref)
+            return (new_refs, new_nv), f
 
         tail = tuple(
             jnp.stack([per_frame(i)[j] for i in range(1, self.gl)]) for j in range(6)
@@ -1372,10 +1382,7 @@ class ShardedCodec:
                 mvf, splitf, smvf, qff, qqf = flat(mv, split, smv, qf, qq)
                 f = self._inter_tile_decode(refs_l, y0b, mvf, splitf, smvf, qff, qqf,
                                             rqp_t, roi_tile, comm)
-                full = nvalid >= nref
-                rolled = jnp.where(full, jnp.roll(refs_l, -1, axis=0), refs_l)
-                idx = jnp.minimum(nvalid, nref - 1)
-                new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, f[None], idx, axis=0)
+                new_refs, _ = _fifo_push(refs_l, nvalid, f, nref)
                 return f, new_refs
 
             return jax.vmap(one)(refs_g, nvalid_g, mv_g, split_g, smv_g, qf_g, qq_g, rqp_g)
@@ -1483,10 +1490,7 @@ class ShardedCodec:
                 rqp_t = jax.lax.dynamic_slice_in_dim(rqp, y0b, self.nbr_t, axis=0)
                 out = self._inter_tile(cur_l, refs_l, nvalid, y0b, rqp_t, roi_tile)
                 g = finish(out, cur_l)
-                full = nvalid >= nref
-                rolled = jnp.where(full, jnp.roll(refs_l, -1, axis=0), refs_l)
-                idx = jnp.minimum(nvalid, nref - 1)
-                new_refs = jax.lax.dynamic_update_slice_in_dim(rolled, out["recon"][None], idx, axis=0)
+                new_refs, _ = _fifo_push(refs_l, nvalid, out["recon"], nref)
                 return g, new_refs
 
             return jax.vmap(one)(cur_g, refs_g, nvalid_g, rqp_g)
@@ -1544,6 +1548,7 @@ class ShardedCodec:
         bcast = lambda t: jnp.asarray(np.broadcast_to(type_rows[t], (self.ndata, self.nbr)))  # noqa: E731
         outs = []  # per (batch, frame): (grid_out, rqp (ndata, nbr), ftypes (ndata,))
         ftypes_all = []
+        n_conv = 0  # frames already drained to host (bounded HBM)
         nref = cfg.n_ref_frames
         for b in range(g_pad // self.ndata):
             refs = None
@@ -1582,8 +1587,21 @@ class ShardedCodec:
                 rqp = type_rows[ftypes_b] if rqps_pf is None else rqps_pf[k]
                 refs = refs_new
                 nvalid = np.where(ftypes_b == 0, 1, np.minimum(nvalid + 1, nref)).astype(np.int32)
+                for v in o.values():  # D2H rides the link behind dispatch
+                    try:
+                        v.copy_to_host_async()
+                    except AttributeError:
+                        pass
                 outs.append((o, rqp, ftypes_b))
                 ftypes_all.append(ftypes_b)
+                # bounded HBM on long clips (mirror of the GOP-scan batch
+                # drain / jax_engine's encode drain): convert frames a fixed
+                # lag behind the frontier — their async copies are already
+                # in flight; the reference chain holds its own device arrays
+                while n_conv < len(outs) - 8:
+                    o0, r0, f0 = outs[n_conv]
+                    outs[n_conv] = (jax.tree.map(np.asarray, o0), r0, f0)
+                    n_conv += 1
         return outs, ftypes_all
 
     def _encode_fsteps(self, fetch: str = "full"):
