@@ -709,14 +709,20 @@ def clip_wide_pad(mvs_np_list, sr: int, fme: bool):
 def fetch_band_rows(nbr: int, w: int, bs: int, vbs: bool) -> int:
     """Block rows per pred_fetch_compact band program.  VMEM residency per
     band row-pixel: 2 int16 pred outputs + the int32 pixel-code maps (full,
-    + quad under VBS) + ~2 live int16 barrel-shift temporaries, plus the
-    double-buffered (2, band_px, Wk) int16 DMA scratch.  Shared with the
-    table builders: tables are BANDED (one candidate list per band program,
-    only the MVs whose blocks live in that band), so builder and kernel must
-    agree on the banding."""
-    per_px = 2 * 2 + 4 + (4 if vbs else 0) + 2 * 2
+    + quad under VBS) + the live int16 barrel-shift/compare temporaries,
+    plus the double-buffered (2, band_px, Wk) int16 DMA scratch.  The
+    per-pixel constant is MEASURED, not derived: Mosaic's scoped-vmem stack
+    for the 7-level log barrel shifter keeps several band-wide int16 slice
+    levels live, and the 4K VBS OOM point (band_px=176, w=3840, Wk=4096:
+    20.12M scoped = 2.88M scratch + 26.95 B/px) pins it at ~27 B/px — the
+    a-priori model (16 B/px) under-counted by the live slice levels.
+    Budget 12.75M of the 16M scoped limit (margin for rounding + per-shape
+    drift).  Shared with the table builders: tables are BANDED (one
+    candidate list per band program, only the MVs whose blocks live in that
+    band), so builder and kernel must agree on the banding."""
+    per_px = 27
     wk_est = (-(-(w + 136) // 128) * 128) * 2 * 2
-    return max(1, min(int(13.5 * 2**20) // (w * per_px + wk_est) // bs, 16, nbr))
+    return max(1, min(int(12.75 * 2**20) // (w * per_px + wk_est) // bs, 16, nbr))
 
 
 def _fetch_rows_from_mvs(allmv, sr: int, fme: bool, row0: int, pads):
