@@ -47,19 +47,27 @@ _INF32 = np.int32(2**31 - 1)
 
 
 def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
-               want_qpred: bool = False, nd: int = 17, budget_mb: float = 15.0) -> int:
+               want_qpred: bool = False, nd: int = 17, budget_mb: float = 15.0,
+               ncol: int = 1) -> int:
     """Block rows per program: largest divisor of nbr whose modeled scoped-
     VMEM footprint stays under ~15 MB (the hardware limit is 16 MB).
 
     Model (calibrated against Mosaic's actual scoped allocations):
-      scoped ~= const(w) + band_px * w * (A + B*nd)
+      scoped ~= const(w) + tiled_penalty(ncol) + band_px * w * (A + B*nd)
     where const(w) ~ w^2/4 per mask/aggregation 0/1 matrix (3.7 MB each at
     4K), nd is the UNROLLED dx candidate count (each unrolled iteration keeps
     ~1.5 B/px of live temporaries — an sr=16 whole-pel search uses ~2x the
     working set of sr=8), and A covers cur/diff/ref plus the pred output and
     mask buffers.  Measured fits: (w=3840, band_px=80, nd=17, pred) = 18.0M;
     (w=1280, band_px=240, nd=33, pred) = 18.8M; (w=1280, band_px=240, nd=17,
-    pred+qpred) ~ 13M."""
+    pred+qpred) ~ 13M.
+
+    Column-tiled programs carry EXTRA scoped memory the per-tile terms
+    miss — measured round 3: (w_t=1920, ncol=2, band=160px, pred) = 16.03M
+    where the model said 14.85M (+1.18M), and (w_t=1280, ncol=3, band=256px,
+    pred) = 16.85M where the identical UNTILED shape fits at ~15M (+2.3M over
+    the per-tile model).  Both points agree on ~1.2M per extra tile:
+    tiled_penalty = 1.2M * (ncol - 1)."""
     budget = int(budget_mb * 2**20)
     if want_pred or want_qpred:
         n_quadratic = 1 + int(want_pred) + int(want_qpred)  # col_agg, ec_f, ec_q
@@ -74,6 +82,7 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
     else:
         const = (w * w) // 4
         a, b = 8.0, 1.2
+    const += int(1.2 * 2**20) * (ncol - 1)
     if const >= budget:
         return 1
     cap_px = (budget - const) / (w * (a + b * nd))
@@ -86,47 +95,42 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
 
 
 def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd: int):
-    """(column tiles, band rows): split the frame into 128-aligned column
-    tiles of width >= 512.
+    """(column tiles, band rows): the LARGEST tile (smallest ncol) whose
+    VMEM-modeled band reaches >= 8 block rows wins; tiles are 128-aligned
+    and >= 512 px wide.
 
-    The per-candidate cost is DOMINATED by the column-aggregation matmul
-    (block sums on the MXU): (band_px, w_t) x (w_t, w_t/8) = 2*w_t/8 FLOPs
-    PER PIXEL — linear in the tile width, 960/px untiled at 4K vs 160/px at
-    ncol=6 (the one-hot structure can't be exploited by a systolic array,
-    and Mosaic cannot lower lane-splitting reshapes, so shrinking w_t is the
-    only lever).  The same scaling holds for the in-kernel prediction
-    expand_mask matmuls.  DMA traffic grows only by the 2*ksr halo re-read
-    per extra tile (~1 ms/frame total at 4K vs tens of ms of aggregation),
-    so the smallest admissible tile wins; the >=512 floor keeps the matmul
-    N dimension (w_t/8 >= 64) wide enough for healthy MXU utilization.
+    An earlier cost rule preferred the smallest admissible tile, reasoning
+    the column-aggregation matmul costs 2*w_t/8 FLOPs per pixel per
+    candidate.  GOP-scan A/B on the chip (round 3) refuted it at every
+    supported shape: 720p plain 261 fps untiled vs 219 at ncol=2; 720p
+    VBS+FME 123 vs 101; 1080p VBS+FME 54 untiled vs 45 at ncol=3; 4K plain
+    37.4 at ncol=2 vs 31.9 at ncol=6; 4K VBS+FME 13.5 at ncol=2 vs 11.8 at
+    ncol=6 — per-program fixed costs and the halo re-read dominate whatever
+    the narrower aggregation matmuls save.  Tiling therefore exists ONLY to
+    rescue the band height: the w_t^2/4-byte agg/expansion matrices scale
+    quadratically with tile width and collapse 4K-with-predictions to 1-2
+    row bands untiled (measured 4.5 -> 8.1 fps going untiled -> ncol=2 in
+    round 2).  The >= 8-row bar is where the measured curve flattens; below
+    it, narrower tiles (whose per-tile matrices shrink quadratically while
+    the penalty grows only linearly) recover taller bands.
 
-    Tiles must also fit VMEM with a >=4-row band (the w_t^2/4-byte agg/
-    expansion matrices used to collapse 4K-with-predictions to 1-row bands;
-    measured 4.5 -> 8.1 fps at ncol=2 in round 2 — superseded by the cost
-    rule above, which tiles argmin-only programs too).  ncol == 1
-    reproduces the untiled program exactly.  The band is returned with the
-    ncol so the decision and the sizing share one budget."""
-    def probe(ncol):
-        # one budget for tiled and untiled: the ~2.4M bias the old reduced
-        # tiled budget papered over is now an explicit const term, so 15.8
-        # reproduces both known-good maxima (720p band 15, 4K ncol=2 band 9)
-        # while excluding the measured 16.32M OOM at 720p band 16
-        return _band_rows(nbr, w // ncol, bs, want_pred, want_qpred, nd, budget_mb=15.8)
-
-    best = (1, probe(1), w)
-    for ncol in (2, 3, 4, 5, 6, 7, 8):
+    If no candidate reaches 8 rows, the largest-band (then widest-tile)
+    candidate with >= min(4, nbr) rows wins, falling back to untiled."""
+    cands = []
+    for ncol in (1, 2, 3, 4, 5, 6, 7, 8):
         w_t = w // ncol
-        if w % ncol or w_t % 128 or w_t < 512:
+        if ncol > 1 and (w % ncol or w_t % 128 or w_t < 512):
             continue
-        band = probe(ncol)
-        if band < min(4, nbr):
-            continue
-        if w_t < best[2] or (w_t == best[2] and band > best[1]):
-            best = (ncol, band, w_t)
-    # untiled fallback must still fit: if even ncol=1 collapses below 4 rows
-    # the loop above found any admissible tiling first (best updated), so
-    # reaching here with best[0]==1 means no 128-aligned >=512 tiling exists
-    return best[0], best[1]
+        band = _band_rows(nbr, w_t, bs, want_pred, want_qpred, nd,
+                          budget_mb=15.8, ncol=ncol)
+        cands.append((ncol, band))
+    for ncol, band in cands:  # ascending ncol = descending tile width
+        if band >= min(8, nbr):
+            return ncol, band
+    ok = [(ncol, band) for ncol, band in cands if band >= min(4, nbr)]
+    if ok:
+        return max(ok, key=lambda cb: (cb[1], -cb[0]))
+    return cands[0]
 
 
 def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bool,
@@ -576,6 +580,10 @@ def full_search_pallas_fme(cur, refs, sr: int, bs: int, sub_bs: int, vbs: bool,
 # code non-negative, so the -1/-2 sentinels can never collide.
 _MV_OFF = 4096  # |d| <= 4095 covers every frame dimension the codec supports
 
+# build_fetch_table_jax: max (bands x grid x codes) compare-work product for
+# the bitmap dedup; beyond it the sort-based jnp.unique takes over
+_BITMAP_WORK_CAP = 1_000_000_000
+
 
 def mv_codes(mv3, nbr, nbc):
     """(nb, 3) MVs -> (nbr, nbc) packed codes (ref<<26)|((dx+4096)<<13)|(dy+4096)."""
@@ -861,8 +869,33 @@ def build_fetch_table_jax(mv, smv, sr: int, fme: bool, vbs: bool,
         rows.append(jnp.pad(cq, ((0, 2 * row_pad), (0, 0)), constant_values=_SENT)
                     .reshape(nprog, 4 * band * nbc))
     codes_b = jnp.concatenate(rows, axis=1)  # (nprog, per-band codes)
-    u = jax.vmap(lambda c: jnp.unique(c, size=bucket, fill_value=_SENT))(codes_b)
-    u = jnp.where(u == _SENT, -1, u)
+    # Distinct codes per band, ascending.  jnp.unique lowers to an XLA sort
+    # (bitonic on TPU — measured ~30 ms at 4K where it dominated the winner
+    # fetch); encode winners live on a SMALL static grid (|d| <= 2sr under
+    # FME, ref < nref), so a presence bitmap over the grid + cumsum
+    # compaction is pure vectorized compares.  grid codes ascend with grid
+    # index (rf, dx, dy are non-overlapping bit fields), so the result is
+    # bit-identical to the sorted unique.  The compare matrix is
+    # (nprog, G, codes); fall back to unique when that work product is
+    # large (big sr x nref grids).
+    d = (2 * sr if fme else sr)
+    span = 2 * d + 1
+    G = nref * span * span
+    if nprog * G * codes_b.shape[1] <= _BITMAP_WORK_CAP:
+        rfg, dxg, dyg = jnp.meshgrid(jnp.arange(nref), jnp.arange(span) - d,
+                                     jnp.arange(span) - d, indexing="ij")
+        grid_codes = ((rfg.ravel() << 26) | ((dxg.ravel() + _MV_OFF) << 13)
+                      | (dyg.ravel() + _MV_OFF)).astype(jnp.int32)
+        pres = jnp.any(codes_b[:, None, :] == grid_codes[None, :, None], axis=2)
+        cum = jnp.cumsum(pres.astype(jnp.int32), axis=1)  # 1-based counts
+        npres = cum[:, -1]
+        slots = jnp.arange(bucket, dtype=jnp.int32)
+        idx = jnp.sum(cum[:, :, None] <= slots[None, None, :], axis=1)
+        u = jnp.where(slots[None, :] < npres[:, None],
+                      grid_codes[jnp.minimum(idx, G - 1)], -1)
+    else:
+        u = jax.vmap(lambda c: jnp.unique(c, size=bucket, fill_value=_SENT))(codes_b)
+        u = jnp.where(u == _SENT, -1, u)
     valid = u >= 0
     rf = u >> 26
     dx = ((u >> 13) & 0x1FFF) - _MV_OFF

@@ -265,6 +265,36 @@ def test_build_fetch_table_jax_matches_host():
             assert hcols == dcols, (fme, b)
 
 
+def test_build_fetch_table_jax_bitmap_matches_unique():
+    """The bitmap dedup (small static winner grids) is bit-identical —
+    including slot ORDER and padding — to the sort-based jnp.unique fallback
+    it replaced (packed codes ascend with grid index, so the compacted
+    bitmap is the ascending sorted-unique sequence)."""
+    from streamoptima_tpu.core import me_pallas as MP
+
+    rng = np.random.default_rng(7)
+    nbr, nbc, bs, sr, nref = 9, 8, 16, 4, 2
+    nb = nbr * nbc
+    for fme in (False, True):
+        bound = 2 * sr if fme else sr
+        mv = np.stack([rng.integers(-bound, bound + 1, nb),
+                       rng.integers(-bound, bound + 1, nb),
+                       rng.integers(0, nref, nb)], axis=1).astype(np.int32)
+        smv = np.stack([rng.integers(-bound, bound + 1, (nb, 4)),
+                        rng.integers(-bound, bound + 1, (nb, 4)),
+                        rng.integers(0, nref, (nb, 4))], axis=2).astype(np.int32)
+        bitmap = np.asarray(MP.build_fetch_table_jax(
+            jnp.asarray(mv), jnp.asarray(smv), sr, fme, True, nbr, nbc, bs, nref))
+        cap = MP._BITMAP_WORK_CAP
+        MP._BITMAP_WORK_CAP = 0
+        try:
+            uniq = np.asarray(MP.build_fetch_table_jax(
+                jnp.asarray(mv + 0), jnp.asarray(smv + 0), sr, fme, True, nbr, nbc, bs, nref))
+        finally:
+            MP._BITMAP_WORK_CAP = cap
+        np.testing.assert_array_equal(bitmap, uniq, err_msg=f"fme={fme}")
+
+
 def test_winner_bucket_bounds():
     """The static table width covers every possible winner set exactly: the
     min of the candidate-grid size and the coded-(sub-)block count."""
@@ -383,13 +413,18 @@ def test_band_model_pinned_points():
     # pred+qpred) means the model must cap that class below 16 (the round-3
     # double-buffered DMA scratch adds 2 B/px, so the cap sits at 14-15)
     assert 14 <= _band_rows(45, 1280, 16, True, True, 17, budget_mb=15.8) <= 15
-    # cost-rule selections: smallest 128-aligned tile width >= 512 (the
-    # column-aggregation matmul costs 2*w_t/8 FLOPs per pixel per candidate)
-    # with a >=4-row band; every supported class lands at w_t <= 640 with a
-    # full 16-row band
-    assert _col_tiles(1280, 45, 16, True, True, 17) == (2, 16)   # 720p vbs+fme sr8
-    assert _col_tiles(3840, 135, 16, True, True, 17) == (6, 16)  # 4K vbs+fme sr8
-    assert _col_tiles(1280, 45, 16, False, False, 17) == (2, 16)  # 720p argmin-only
+    # widest-tile-first selections (GOP-scan A/B, round 3): untiled wherever
+    # the band reaches 8 rows; 4K rescues the band by tiling.  Each pinned
+    # pair compiled and ran on-chip (720p vbs+fme 123 fps untiled vs 101
+    # tiled; 4K vbs+fme 14.85 under these selections vs 11.8 at ncol=6; 4K
+    # plain ncol=2 band 9 = 37.4 vs 31.9 — and the model's band-10 sibling
+    # measured a 16.03M scoped OOM, hence the 1.2M-per-extra-tile penalty)
+    assert _col_tiles(1280, 45, 16, True, True, 17)[0] == 1      # 720p vbs+fme sr8
+    assert _col_tiles(3840, 135, 16, True, True, 17) == (3, 11)  # 4K vbs+fme sr8
+    assert _col_tiles(3840, 135, 16, True, False, 17) == (2, 9)  # 4K plain sr8
+    assert _col_tiles(3840, 135, 16, False, False, 17) == (2, 16)  # 4K argmin-only
+    assert _col_tiles(1280, 45, 16, False, False, 17) == (1, 16)  # 720p argmin-only
+    assert _col_tiles(1920, 68, 16, True, True, 17) == (1, 8)    # 1080p vbs+fme
     assert _col_tiles(352, 18, 16, True, True, 17) == (1, 16)    # CIF: untiled
     # the supported matrix never collapses below 4 rows
     for w, nbr in ((352, 18), (1280, 45), (1920, 68), (3840, 135)):
