@@ -37,9 +37,10 @@ from streamoptima_tpu.utils import synthetic_clip
 if ncol:
     _orig = me_pallas._col_tiles
 
-    def _forced(w_, nbr, bs, want_pred, want_qpred, nd):
+    def _forced(w_, nbr, bs, want_pred, want_qpred, nd, fme_k=True):
         band = band_force or me_pallas._band_rows(nbr, w_ // ncol, bs, want_pred,
-                                                  want_qpred, nd, budget_mb=15.8)
+                                                  want_qpred, nd, budget_mb=15.8,
+                                                  fme=fme_k)
         return ncol, band
 
     me_pallas._col_tiles = _forced

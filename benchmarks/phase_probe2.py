@@ -56,8 +56,12 @@ def chain_time(name, fn, a, b, n=6, reps=3):
 
         return lax.fori_loop(0, iters, body, (jnp.int32(1), jnp.int32(0)))
 
-    jax.block_until_ready(run(n))
-    jax.block_until_ready(run(2 * n))
+    try:
+        jax.block_until_ready(run(n))
+        jax.block_until_ready(run(2 * n))
+    except Exception as e:  # noqa: BLE001 — report and keep probing
+        print(f"{name:<28}FAILED: {str(e)[:160]}", flush=True)
+        return None
 
     def best(iters):
         ts = []

@@ -46,47 +46,77 @@ from streamoptima_tpu.core import me as M
 _INF32 = np.int32(2**31 - 1)
 
 
+# Measured-safe band heights: (w_t, ncol, kind, nd, fme) -> tallest band that
+# COMPILED on the real chip (benchmarks/vmem_probe.py, compile-only AOT probes;
+# a Mosaic scoped-VMEM OOM reports the exact attempted size, so each class is
+# bracketed by an OK band and the OOM one row taller where listed).  kind is
+# "argmin" (no pred outputs), "pred" (full-block winner pixels) or "qpred"
+# (full + quad winner pixels).  fme entries are measured with the parity-plane
+# kernel; an fme=True entry is safe for fme=False too (measured: the fme
+# kernel's scoped footprint is strictly larger at equal shape — e.g.
+# (w_t=1920, ncol=2, pred) fits band 9 at fme=0 but OOMs at fme=1).
+_MEASURED_MAX_BAND = {
+    (1280, 1, "qpred", 17, True): 13,   # 14 OOM 16.60M
+    (1280, 1, "qpred", 33, True): 7,    # 8 OOM 16.20M
+    (1280, 1, "pred", 17, True): 16,
+    (1280, 1, "pred", 17, False): 16,   # production 720p plain
+    (1280, 1, "pred", 33, False): 10,   # production 720p plain sr16 (97 fps)
+    (1280, 1, "argmin", 17, True): 24,
+    (1280, 1, "argmin", 33, True): 16,
+    (1920, 1, "qpred", 17, True): 8,    # 9 OOM 16.73M, 10 OOM 18.18M
+    (1920, 1, "pred", 17, True): 10,    # 12 OOM 16.04M
+    (1920, 1, "pred", 17, False): 11,   # production 1080p plain (model pick)
+    (1920, 1, "argmin", 17, True): 20,  # 23 OOM 16.12M
+    (1920, 2, "pred", 17, True): 8,
+    (1920, 2, "pred", 17, False): 9,    # 10 OOM 16.03M; production 4K plain
+    (1920, 2, "argmin", 17, True): 20,  # 24 OOM 17.58M
+    (1280, 3, "qpred", 17, True): 10,   # 11 OOM 16.74M, 13 OOM 18.69M
+    (640, 2, "qpred", 33, True): 12,    # 720p sr16 forced-inkernel selection
+}
+
+
 def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
                want_qpred: bool = False, nd: int = 17, budget_mb: float = 15.0,
-               ncol: int = 1) -> int:
-    """Block rows per program: largest divisor of nbr whose modeled scoped-
-    VMEM footprint stays under ~15 MB (the hardware limit is 16 MB).
+               ncol: int = 1, fme: bool = True) -> int:
+    """Block rows per program.  Probed shape classes use the measured-safe
+    table above; everything else falls back to a conservative analytic model.
 
-    Model (calibrated against Mosaic's actual scoped allocations):
-      scoped ~= const(w) + tiled_penalty(ncol) + band_px * w * (A + B*nd)
-    where const(w) ~ w^2/4 per mask/aggregation 0/1 matrix (3.7 MB each at
-    4K), nd is the UNROLLED dx candidate count (each unrolled iteration keeps
-    ~1.5 B/px of live temporaries — an sr=16 whole-pel search uses ~2x the
-    working set of sr=8), and A covers cur/diff/ref plus the pred output and
-    mask buffers.  Measured fits: (w=3840, band_px=80, nd=17, pred) = 18.0M;
-    (w=1280, band_px=240, nd=33, pred) = 18.8M; (w=1280, band_px=240, nd=17,
-    pred+qpred) ~ 13M.
-
-    Column-tiled programs carry EXTRA scoped memory the per-tile terms
-    miss — measured round 3: (w_t=1920, ncol=2, band=160px, pred) = 16.03M
-    where the model said 14.85M (+1.18M), and (w_t=1280, ncol=3, band=256px,
-    pred) = 16.85M where the identical UNTILED shape fits at ~15M (+2.3M over
-    the per-tile model).  Both points agree on ~1.2M per extra tile:
-    tiled_penalty = 1.2M * (ncol - 1)."""
+    The round-3 compile-probe sweep (benchmarks/vmem_probe.py) refit the
+    model against 12 bracketed on-chip Mosaic allocations:
+      scoped ~= const(kind) + 1.2M * (ncol - 1) + band_px * w_t * slope(nd)
+    - qpred slope = 12.5 + 2.06*nd B/px (two independent OOM pairs at
+      w=1280 and w=1920 agree on 47.5 B/px at nd=17; the nd=33 point pins
+      the split), const ~= 3.6M and FLAT in w_t — the old w^2/4 term was a
+      misattribution (w=1280 and w=1920 fit the same constant).
+    - pred-only sits between qpred and argmin; bracketed at (1920, 10 OK /
+      12 OOM), modeled with the qpred slope minus one pixel band
+      (16 B/px at nd=17).
+    - argmin has a small slope (~0.26M/row at w=1920 from the 23-OOM /
+      20-OK + ncol=2 24-OOM pair => ~8.9 B/px at nd=17) and a ~10M
+      constant; unprobed argmin classes keep the legacy <=16 cap.
+    The 1.2M-per-extra-column-tile penalty is re-confirmed by the
+    (1280, ncol=3, qpred) pair vs its untiled sibling (6.01M vs 3.61M
+    const = 2 x 1.2M)."""
+    kind = "qpred" if want_qpred else ("pred" if want_pred else "argmin")
+    hit = _MEASURED_MAX_BAND.get((w, ncol, kind, nd, fme))
+    if hit is None and not fme:
+        hit = _MEASURED_MAX_BAND.get((w, ncol, kind, nd, True))
+    if hit is not None:
+        return min(hit, nbr)
     budget = int(budget_mb * 2**20)
-    if want_pred or want_qpred:
-        n_quadratic = 1 + int(want_pred) + int(want_qpred)  # col_agg, ec_f, ec_q
-        # +2.4M constant bias, fitted to two on-chip Mosaic allocations:
-        # (w=1280, band=256px, pred+qpred) = 16.32M (OOM, r3) and
-        # (w_t=1920, band=144px, pred+qpred, ncol=2) = model+2.4M (r2) —
-        # both measurements agree on a ~2.4M constant the w^2/4 term misses
-        const = n_quadratic * (w * w) // 4 + int(2.4 * 2**20)
-        # +2 B/px over the round-2 fits: the ref band DMA scratch is now
-        # double-buffered (two (band_px, wtp) int16 buffers)
-        a, b = (17.0, 1.5) if want_qpred else (11.0, 1.5)
+    if want_qpred:
+        const, slope = int(3.7 * 2**20), (12.5 + 2.06 * nd) * 1.15
+    elif want_pred:
+        const, slope = int(3.7 * 2**20), max(12.5 + 2.06 * nd - 16.0, 8.0) * 1.15
     else:
-        const = (w * w) // 4
-        a, b = 8.0, 1.2
+        # unprobed argmin shapes keep the legacy model (never OOM'd in
+        # production; the fitted ~10M constant is a single-width estimate we
+        # don't trust to extrapolate) — probed classes ride the table above
+        const, slope = (w * w) // 4, 8.0 + 1.2 * nd
     const += int(1.2 * 2**20) * (ncol - 1)
     if const >= budget:
         return 1
-    cap_px = (budget - const) / (w * (a + b * nd))
-    cap = max(1, int(cap_px // bs))
+    cap = max(1, int((budget - const) / (w * slope) // bs))
     # the band need not divide nbr: _plane_search pads the frame's block
     # rows up to a multiple and slices the outputs back (round-2 VERDICT
     # item 3 — 4K's nbr=135 has a sparse divisor set, which used to collapse
@@ -94,7 +124,8 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
     return min(cap, 16, nbr)
 
 
-def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd: int):
+def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd: int,
+               fme: bool = True):
     """(column tiles, band rows): the LARGEST tile (smallest ncol) whose
     VMEM-modeled band reaches >= 8 block rows wins; tiles are 128-aligned
     and >= 512 px wide.
@@ -122,7 +153,7 @@ def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd:
         if ncol > 1 and (w % ncol or w_t % 128 or w_t < 512):
             continue
         band = _band_rows(nbr, w_t, bs, want_pred, want_qpred, nd,
-                          budget_mb=15.8, ncol=ncol)
+                          budget_mb=15.8, ncol=ncol, fme=fme)
         cands.append((ncol, band))
     for ncol, band in cands:  # ascending ncol = descending tile width
         if band >= min(8, nbr):
@@ -162,7 +193,7 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
     nd_x = len(dx_list)
     nbr, nbc = h // bs, w // bs
     nbr2, nbc2 = h // sub_bs, w // sub_bs
-    ncol, band = _col_tiles(w, nbr, bs, want_pred, want_qpred, max(nd_y, nd_x))
+    ncol, band = _col_tiles(w, nbr, bs, want_pred, want_qpred, max(nd_y, nd_x), fme)
     w_t = w // ncol
     nbc_t, nbc2_t = w_t // bs, w_t // sub_bs
     band_px = band * bs

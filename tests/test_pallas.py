@@ -399,38 +399,37 @@ def test_pallas_column_tiled_matches(fme, monkeypatch):
 
 def test_band_model_pinned_points():
     """VMEM-model pinning (VERDICT r2 item 9): band/column-tile selections
-    for the supported shape matrix, anchored to on-chip Mosaic scoped-
-    allocation measurements (docs/TPU_DESIGN.md):
-    - (w=1280, band=256px, pred+qpred, nd=17) measured 16.32M — OOM over the
-      16M scoped limit, so 720p must select band 15, not 16;
-    - (w_t=1920, ncol=2, band=144px, pred+qpred) measured ~15.7M — fits, so
-      4K keeps ncol=2 band 9.
+    for the supported shape matrix, anchored to the round-3 compile-probe
+    sweep (benchmarks/vmem_probe.py — compile-only AOT probes on the real
+    chip, each class bracketed by the tallest band that compiled and, where
+    listed in me_pallas._MEASURED_MAX_BAND, the scoped-OOM one row taller).
     Any model change that silently regresses a band for these classes (or
     collapses a supported class below 4 rows) fails here, compile-free."""
     from streamoptima_tpu.core.me_pallas import _band_rows, _col_tiles
 
-    # model anchor: the measured 16.32M OOM at (w=1280 untiled, band 16,
-    # pred+qpred) means the model must cap that class below 16 (the round-3
-    # double-buffered DMA scratch adds 2 B/px, so the cap sits at 14-15)
-    assert 14 <= _band_rows(45, 1280, 16, True, True, 17, budget_mb=15.8) <= 15
-    # widest-tile-first selections (GOP-scan A/B, round 3): untiled wherever
-    # the band reaches 8 rows; 4K rescues the band by tiling.  Each pinned
-    # pair compiled and ran on-chip (720p vbs+fme 123 fps untiled vs 101
-    # tiled; 4K vbs+fme 14.85 under these selections vs 11.8 at ncol=6; 4K
-    # plain ncol=2 band 9 = 37.4 vs 31.9 — and the model's band-10 sibling
-    # measured a 16.03M scoped OOM, hence the 1.2M-per-extra-tile penalty)
-    assert _col_tiles(1280, 45, 16, True, True, 17)[0] == 1      # 720p vbs+fme sr8
-    assert _col_tiles(3840, 135, 16, True, True, 17) == (3, 11)  # 4K vbs+fme sr8
-    assert _col_tiles(3840, 135, 16, True, False, 17) == (2, 9)  # 4K plain sr8
-    assert _col_tiles(3840, 135, 16, False, False, 17) == (2, 16)  # 4K argmin-only
-    assert _col_tiles(1280, 45, 16, False, False, 17) == (1, 16)  # 720p argmin-only
-    assert _col_tiles(1920, 68, 16, True, True, 17) == (1, 8)    # 1080p vbs+fme
+    # probed maxima: (1280 untiled, qpred, nd=17) compiles at 13, OOMs at 14
+    # (16.60M vs the 16M scoped limit)
+    assert _band_rows(45, 1280, 16, True, True, 17, budget_mb=15.8) == 13
+    # widest-tile-first selections, every pair chip-verified (vmem_probe or a
+    # production sweep run); argmin classes now ride the measured table past
+    # the legacy 16-row cap (720p 24, 1080p/4K-tile 20)
+    assert _col_tiles(1280, 45, 16, True, True, 17) == (1, 13)   # 720p vbs+fme inkernel
+    assert _col_tiles(3840, 135, 16, True, True, 17) == (3, 10)  # 4K vbs+fme inkernel
+    assert _col_tiles(3840, 135, 16, True, False, 17, fme=False) == (2, 9)  # 4K plain
+    assert _col_tiles(3840, 135, 16, False, False, 17) == (2, 20)  # 4K argmin-only
+    assert _col_tiles(1280, 45, 16, False, False, 17) == (1, 24)  # 720p argmin-only
+    assert _col_tiles(1920, 68, 16, False, False, 17) == (1, 20)  # 1080p argmin-only
+    assert _col_tiles(1920, 68, 16, True, True, 17) == (1, 8)    # 1080p vbs+fme inkernel
+    assert _col_tiles(1920, 68, 16, True, False, 17, fme=False) == (1, 11)  # 1080p plain
+    assert _col_tiles(1280, 45, 16, True, False, 33, fme=False) == (1, 10)  # 720p plain sr16
+    assert _col_tiles(1280, 45, 16, True, True, 33) == (2, 12)   # 720p vbs+fme sr16 inkernel
     assert _col_tiles(352, 18, 16, True, True, 17) == (1, 16)    # CIF: untiled
     # the supported matrix never collapses below 4 rows
     for w, nbr in ((352, 18), (1280, 45), (1920, 68), (3840, 135)):
         for nd in (17, 33):
-            for pred, qpred in ((False, False), (True, False), (True, True)):
-                ncol, band = _col_tiles(w, nbr, 16, pred, qpred, nd)
-                assert band >= min(4, nbr), (w, nbr, nd, pred, qpred, ncol, band)
+            for fme in (True, False):
+                for pred, qpred in ((False, False), (True, False), (True, True)):
+                    ncol, band = _col_tiles(w, nbr, 16, pred, qpred, nd, fme)
+                    assert band >= min(4, nbr), (w, nbr, nd, fme, pred, qpred, ncol, band)
     # fetch-kernel band (nd=1) stays healthy at 720p
     assert _band_rows(45, 1280, 16, True, True, 1) >= 8
