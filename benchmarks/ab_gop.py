@@ -19,6 +19,7 @@ vbs = "vbs" in sys.argv
 fme = "fme" in sys.argv
 wf = next((a.split("=")[1] for a in sys.argv if a.startswith("winner_fetch=")), "auto")
 ncol = int(next((a.split("=")[1] for a in sys.argv if a.startswith("ncol=")), "0"))
+agg = next((a.split("=")[1] for a in sys.argv if a.startswith("agg=")), "auto")
 band_force = int(next((a.split("=")[1] for a in sys.argv if a.startswith("band=")), "0"))
 sr = int(next((a.split("=")[1] for a in sys.argv if a.startswith("sr=")), "8"))
 
@@ -33,6 +34,8 @@ from streamoptima_tpu.config import CodecConfig
 from streamoptima_tpu.core import me_pallas
 from streamoptima_tpu.parallel import ShardedCodec, make_mesh
 from streamoptima_tpu.utils import synthetic_clip
+
+me_pallas._AGG_ORDER = agg
 
 if ncol:
     _orig = me_pallas._col_tiles
@@ -59,5 +62,5 @@ for _ in range(3):
     times.append(time.perf_counter() - t0)
 best = frames / min(times)
 mean = frames / (sum(times) / len(times))
-print(f"AB {w}x{h} vbs={vbs} fme={fme} wf={wf} ncol={ncol or 'auto'} sr={sr}: "
+print(f"AB {w}x{h} vbs={vbs} fme={fme} wf={wf} ncol={ncol or 'auto'} sr={sr} agg={agg}: "
       f"best {best:.2f} fps mean {mean:.2f}", flush=True)

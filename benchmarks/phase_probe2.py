@@ -25,6 +25,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+try:  # chained 4K programs take minutes through the remote compile service
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def _mix_bit(out):
     """Data-dependent bit from a phase output pytree (O(1) reads)."""

@@ -124,6 +124,39 @@ def _band_rows(nbr: int, w: int, bs: int = 16, want_pred: bool = False,
     return min(cap, 16, nbr)
 
 
+# SAD-aggregation order inside the search kernel: "auto" picks per shape by
+# the MXU tile-cycle model in _agg_row_first; "row"/"col" force it (A/B).
+_AGG_ORDER = "auto"
+
+
+def _agg_row_first(band_px: int, w_t: int, sub_bs: int) -> bool:
+    """True when row-first SAD aggregation models cheaper on the MXU.
+
+    The per-candidate block sums can aggregate columns first
+    (``diff @ col_agg`` then ``row_agg @ t``) or rows first
+    (``row_agg @ diff`` then an exact hi/lo-split ``@ col_agg``).  Column-
+    first streams band_px rows through ceil(w_t/128)*ceil(nbc2_t/128) weight
+    tiles per candidate — ~2*nbc2_t FLOPs/px (480 at a 1920-wide 4K tile);
+    row-first costs ~2*nbr2_b FLOPs/px on bands that are short and wide
+    (every production shape: bands are 7-24 block rows, tiles 352-1920 px).
+    Model: matmul (M,K)@(K,N) ~ ceil(K/128)*ceil(N/128)*M cycles; the
+    column-first second matmul is f32 x f32 HIGHEST (~6 bf16 passes), the
+    row-first second is 2 bf16 passes (explicit hi/lo split).
+
+    Measured (GOP-scan A/B on chip, round 3; auto picks row at every
+    production shape and the model agrees): 720p plain 261 -> 297 fps,
+    720p VBS+FME 125.6 -> 155, 1080p VBS+FME 54 -> 75, 4K plain
+    37.4 -> 42.8, 4K VBS+FME 15.3 -> 18.7.  On-chip bit-parity vs the
+    fused XLA kernels at all four smoke shapes; interpret-mode row==col
+    bit-parity on both whole-pel and FME paths."""
+    nbr2_b = band_px // sub_bs
+    nbc2_t = w_t // sub_bs
+    tiles = lambda k, n: -(-k // 128) * -(-n // 128)  # noqa: E731
+    col = tiles(w_t, nbc2_t) * band_px + 6 * tiles(band_px, nbc2_t) * nbr2_b
+    row = tiles(band_px, w_t) * nbr2_b + tiles(w_t, nbc2_t) * 2 * nbr2_b
+    return row < col
+
+
 def _col_tiles(w: int, nbr: int, bs: int, want_pred: bool, want_qpred: bool, nd: int,
                fme: bool = True):
     """(column tiles, band rows): the LARGEST tile (smallest ncol) whose
@@ -197,6 +230,8 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
     w_t = w // ncol
     nbc_t, nbc2_t = w_t // bs, w_t // sub_bs
     band_px = band * bs
+    row_first = (_agg_row_first(band_px, w_t, sub_bs) if _AGG_ORDER == "auto"
+                 else _AGG_ORDER == "row")
     # the band is VMEM-sized, not a divisor of nbr: pad the block rows up to
     # a multiple (the pad rows' blocks are invalid in global coordinates and
     # sliced off below) — 4K's nbr=135 otherwise collapses to 5-row bands
@@ -250,6 +285,8 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
 
         col_agg = agg(nbc2_t, w_t, sub_bs).astype(jnp.bfloat16)  # (w_t, nbc2_t)
         row_agg = agg(nbr2_b, band_px, sub_bs).T  # (nbr2_b, band_px)
+        if row_first:
+            row_agg = row_agg.astype(jnp.bfloat16)
         col_pair = agg(nbc_t, nbc2_t, 2)  # (nbc2_t, nbc_t)
         row_pair = agg(band, nbr2_b, 2).T  # (band, nbr2_b)
 
@@ -339,8 +376,21 @@ def _plane_search(cur, refs, ksr: int, bs: int, sub_bs: int, scale: int, fme: bo
                     # convert/sub/abs are all exact — and one f32 pass
                     # cheaper per candidate than the old int16->f32->bf16
                     diff = jnp.abs(win.astype(jnp.bfloat16) - cbf)
-                    t = jnp.dot(diff, col_agg, preferred_element_type=jnp.float32)  # (band_px, nbc2)
-                    ss_f = jnp.dot(row_agg, t, preferred_element_type=jnp.float32, precision=hi)
+                    if row_first:
+                        # sub-block ROW sums first: integers <= sub_bs*255,
+                        # exact in the f32 accumulator.  The column matmul
+                        # needs bf16 operands, so split each sum exactly into
+                        # hi*256 + lo (hi <= sub_bs, lo <= 255 — both exact
+                        # in bf16), aggregate both halves in ONE stacked
+                        # matmul, and recombine in f32 (<= 2^16, exact).
+                        ssr = jnp.dot(row_agg, diff, preferred_element_type=jnp.float32)
+                        ssr_i = ssr.astype(jnp.int32)
+                        hl = jnp.concatenate([ssr_i >> 8, ssr_i & 255], axis=0).astype(jnp.bfloat16)
+                        a2 = jnp.dot(hl, col_agg, preferred_element_type=jnp.float32)
+                        ss_f = a2[:nbr2_b] * 256.0 + a2[nbr2_b:]
+                    else:
+                        t = jnp.dot(diff, col_agg, preferred_element_type=jnp.float32)  # (band_px, nbc2)
+                        ss_f = jnp.dot(row_agg, t, preferred_element_type=jnp.float32, precision=hi)
                     fs_f = jnp.dot(row_pair, jnp.dot(ss_f, col_pair, preferred_element_type=jnp.float32, precision=hi),
                                    preferred_element_type=jnp.float32, precision=hi)  # (band, nbc)
                     ss = ss_f.astype(jnp.int32)
