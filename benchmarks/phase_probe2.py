@@ -51,6 +51,8 @@ def chain_time(name, fn, a, b, n=6, reps=3):
     with an output-derived value, so consecutive iterations are data
     dependent and cannot be deduplicated or hoisted.
     """
+    if ONLY is not None and ONLY not in name:
+        return None
 
     @functools.partial(jax.jit, static_argnums=0)
     def run(iters):
@@ -83,6 +85,9 @@ def chain_time(name, fn, a, b, n=6, reps=3):
     print(f"{name:<28}{per*1e3:9.2f} ms/iter   (t{n}={t1*1e3:.1f} t{2*n}={t2*1e3:.1f})",
           flush=True)
     return per
+
+
+ONLY = None  # optional substring filter over phase names (CLI only=...)
 
 
 def probe(h, w, sr=8, vbs=True, fme=True):
@@ -177,6 +182,7 @@ def probe(h, w, sr=8, vbs=True, fme=True):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    ONLY = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("only=")), None)
     print("devices:", jax.devices(), flush=True)
     if which == "tiny":  # CPU syntax/tracing sanity (interpret mode is slow)
         probe(64, 128)
