@@ -57,7 +57,8 @@ def take_gather(planes, by0, bx0, nwin):
     rows = by0[:, None] + jnp.arange(nwin)[None, :]          # (nb, i)
     cols = bx0[:, None] + jnp.arange(nwin)[None, :]          # (nb, j)
     ok = ((rows >= 0) & (rows < H))[:, :, None] & ((cols >= 0) & (cols < W))[:, None, :]
-    idx = jnp.where(ok, rows[:, :, None] * W + cols[:, None, :], -1)
+    # OOB marker must be PAST the end: negative indices wrap in fill mode
+    idx = jnp.where(ok, rows[:, :, None] * W + cols[:, None, :], H * W)
     flat = planes.reshape(P, H * W)
     win = jnp.take(flat, idx, axis=1, mode="fill", fill_value=0)  # (P, nb, i, j)
     return win.transpose(1, 0, 2, 3).astype(jnp.int32)
@@ -71,8 +72,16 @@ def main():
     planes = jnp.asarray(rng.integers(0, 256, (P, h, w)), jnp.bfloat16)
     print(f"planes {planes.shape} nwin={nwin}", flush=True)
 
+    from streamoptima_tpu.core import me_pallas as MP
+
+    interp = jax.default_backend() != "tpu"
+    prep = MP.window_prep(planes, nwin)
+
+    def pallas_fetch(planes_, by0, bx0, nwin_):
+        return MP.window_fetch(prep, by0, bx0, nwin_, interpret=interp)
+
     variants = [("flat_f32", flat_f32), ("flat_bf16", flat_bf16),
-                ("gather", take_gather)]
+                ("gather", take_gather), ("pallas_fetch", pallas_fetch)]
 
     # value parity first (on whatever backend we're on)
     nb = 200

@@ -104,6 +104,19 @@ class CodecConfig:
     # distinct winner — measured 36 -> 22.7 fps at 4K plain full search when
     # fetch ran unconditionally).  Bit-identical paths (tests/test_pallas.py).
     winner_fetch: str = "auto"
+    # fast-ME window fetch: the rowscan chain solve reads one (bs+2)-square
+    # window per block per sweep step at a data-dependent position.  "xla"
+    # is the one-hot MXU gather (core/fastme.window_gather; materializes a
+    # (nb, P, H, nwin) f32 column-select intermediate per call — measured
+    # 3.6 ms for the 720p FME confirm fetch and ~40 us per sweep step).
+    # "pallas" is one small banded DMA per block (me_pallas.window_fetch,
+    # window origins ride the DMA 8/128-aligned with log-select barrel
+    # shifts for the remainders) — measured DMA-issue-bound at ~1.1 us/block:
+    # raw parity with the XLA gather at both rowscan shapes but a 16.7 ->
+    # 38.4 ms/step in-situ REGRESSION at 720p VBS+FME, so "auto" = "xla"
+    # (docs/TPU_DESIGN.md "fast-ME window fetch").  Bit-identical paths
+    # (tests/test_fastme.py).
+    fast_me_fetch: str = "auto"
 
     #: bounded-HBM encode: frames this far behind the dispatch frontier have
     #: their outputs converted to host arrays (freeing their device buffers —
@@ -164,6 +177,8 @@ class CodecConfig:
             raise ValueError("fast_me_chain must be 'auto', 'scan', 'fixpoint' or 'rowscan'")
         if self.winner_fetch not in ("auto", "fetch", "inkernel"):
             raise ValueError("winner_fetch must be 'auto', 'fetch' or 'inkernel'")
+        if self.fast_me_fetch not in ("auto", "pallas", "xla"):
+            raise ValueError("fast_me_fetch must be 'auto', 'pallas' or 'xla'")
         if self.roi_qp_map is not None and self.engine != "jax":
             raise ValueError("roi_qp_map is a native-engine feature (the reference's README "
                              "promises ROI but ships no implementation)")

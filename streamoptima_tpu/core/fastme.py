@@ -112,6 +112,31 @@ def window_gather(planes, by0, bx0, nwin: int, xp, chunk_bytes: int = 32 << 20):
     return wins.reshape(nchunk * nc, P, nwin, nwin)[:nb]
 
 
+def window_prep(planes, nwin: int, use_pallas: bool):
+    """Per-frame window-read preparation: the Pallas fetch kernel wants the
+    planes padded/cast ONCE (me_pallas.window_prep) and reused across every
+    sweep step and the confirm fetch; the XLA one-hot gather reads the raw
+    planes.  Returns an opaque handle for window_read."""
+    if use_pallas:
+        from . import me_pallas as MP
+
+        return ("pallas", MP.window_prep(planes, nwin))
+    return ("xla", planes)
+
+
+def window_read(prep, by0, bx0, nwin: int, xp, interpret: bool = False):
+    """windows[b, p, i, j] = planes[p, by0[b]+i, bx0[b]+j], 0 out of plane —
+    through the handle from window_prep.  Bit-identical either way: one
+    banded DMA per block (me_pallas.window_fetch) or the one-hot MXU gather
+    (window_gather)."""
+    kind, data = prep
+    if kind == "pallas":
+        from . import me_pallas as MP
+
+        return MP.window_fetch(data, by0, bx0, nwin, interpret=interpret)
+    return window_gather(data, by0, bx0, nwin, xp)
+
+
 def _region_base(g, y, x, n: int, fme: bool, xp):
     """Window-stack origin for the 3x3 search around MVP ``g``.
 

@@ -1201,3 +1201,138 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
     )(scalars, table, pf3, pq3, shift)
     return (predf.reshape(nprog * band_px, w)[:h],
             predq.reshape(nprog * band_px, w)[:h])
+
+
+# ----------------------------------------------------- fast-ME window fetch
+def window_prep(planes, nwin: int):
+    """Pad + cast the fast-ME candidate planes ONCE per frame for
+    window_fetch: (P, H, W) integer-valued planes -> (P, Hp, Wp) int16 with
+
+    * ``nwin`` zero rows on top and DMA headroom below, so every CLAMPED
+      window origin (clip(by0, -nwin, H) + nwin) is a legal 8-aligned-start
+      32-row fetch — clamping is exact because any origin outside
+      (-nwin, H) has no overlap with the plane and reads all zeros either
+      way (the reference's out-of-frame semantics);
+    * 128 zero lanes on the left and a 256-lane fetch window's worth on the
+      right, so the column offset rides the DMA as a 128-aligned lane start
+      with the <=127 remainder barrel-shifted inside the kernel (the same
+      split as pred_fetch_compact).
+
+    The prep is MV-independent: build it once per (frame, reference-stack)
+    and reuse it across every chain-sweep step and the confirm fetch.
+    Returns (planes_pad, H, W).
+    """
+    P, H, W = planes.shape
+    assert nwin <= 24, f"window_fetch supports nwin <= 24, got {nwin}"
+    hp = ((H + nwin) // 8) * 8 + 32
+    wp = ((W + 128) // 128) * 128 + 256
+    planes_pad = jnp.pad(
+        planes.astype(jnp.int16),
+        ((0, 0), (nwin, hp - H - nwin), (128, wp - W - 128)),
+    )
+    return planes_pad, H, W
+
+
+def window_fetch(prep, by0, bx0, nwin: int, interpret: bool = False):
+    """windows[b, p, i, j] = planes[p, by0[b]+i, bx0[b]+j], 0 out of plane —
+    the fast-ME window gather (core/fastme.window_gather contract) as one
+    small banded DMA per block instead of a full-plane one-hot contraction.
+
+    The XLA one-hot form materializes a (nb, P, H, nwin) f32 column-select
+    intermediate per call — measured 3.59 ms for the 720p FME confirm fetch
+    (nb=3600) and ~40 us per 45-block sweep step, and every alternative XLA
+    formulation is worse (benchmarks/wingather_ab.py: bf16 intermediates
+    5.22 ms, fill-index gather 6.86 ms).  Here each block costs one
+    (P, 32, 256) int16 DMA from the padded plane stack (window_prep) plus a
+    3-select sublane barrel (row remainder vs the 8-aligned DMA start) and
+    a 7-select lane barrel (column remainder vs the 128-aligned lane
+    start) — the log-select trick from pred_fetch_compact, constant in the
+    MV magnitude (fast-ME MVP chains are unbounded).
+
+    Returns (nb, P, nwin, nwin) int32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    planes_pad, H, W = prep
+    P = planes_pad.shape[0]
+    nb = by0.shape[0]
+    rows = jnp.clip(by0, -nwin, H) + nwin          # [0, H + nwin]
+    cols = jnp.clip(bx0, -nwin, W) + 128           # [128 - nwin, W + 128]
+    rout = -(-nwin // 8) * 8                       # <= 24 (asserted in prep)
+    nbpp = max(8, 256 // P)                        # out block <= ~1.6 MB VMEM
+    nprog = -(-nb // nbpp)
+    npad = nprog * nbpp - nb
+    if npad:
+        rows = jnp.concatenate([rows, jnp.zeros((npad,), jnp.int32)])
+        cols = jnp.concatenate([cols, jnp.zeros((npad,), jnp.int32)])
+
+    def kernel(rows_ref, cols_ref, planes_hbm, out_ref, buf, sem):
+        # the scalar vectors ride SMEM unblocked (Mosaic constrains blocked
+        # SMEM shapes); each program walks its own nbpp-slice
+        base = pl.program_id(0) * nbpp
+
+        def dma_for(i, slot):
+            s8 = pl.multiple_of((rows_ref[base + i] // 8) * 8, 8)
+            l0 = pl.multiple_of((cols_ref[base + i] // 128) * 128, 128)
+            return pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(s8, 32), pl.ds(l0, 256)],
+                buf.at[slot], sem.at[slot],
+            )
+
+        # double-buffered per-block DMAs, the pred_fetch_compact discipline:
+        # no conditional starts/waits (a DMA inside a conditional wedges the
+        # Mosaic compile service, docs/TPU_DESIGN.md) — the last body
+        # iteration redundantly re-starts block nbpp-1 into the other slot
+        # and the unconditional epilogue drains it, so starts == waits
+        dma_for(0, 0).start()
+
+        def body(i, carry):
+            slot = jax.lax.rem(i, 2)
+            dma_for(jnp.minimum(i + 1, nbpp - 1), jax.lax.rem(i + 1, 2)).start()
+            dma_for(i, slot).wait()
+            # static-index slot select: an integer-indexed read on the 4D
+            # scratch lowers to an unsupported (>2D) Mosaic gather
+            cur = jnp.where(slot == 0, buf[0], buf[1])  # (P, 32, 256)
+            remr = jax.lax.rem(rows_ref[base + i], 8)
+            hleft = 32
+            for k in (4, 2, 1):                    # sublane barrel: 32->25
+                nh = hleft - k
+                cur = jnp.where((remr & k) != 0, cur[:, k : k + nh, :], cur[:, :nh, :])
+                hleft = nh
+            remc = jax.lax.rem(cols_ref[base + i], 128)
+            wleft = 256
+            for k in (64, 32, 16, 8, 4, 2, 1):     # lane barrel: 256->129
+                nw = wleft - k
+                cur = jnp.where((remc & k) != 0, cur[:, :, k : k + nw], cur[:, :, :nw])
+                wleft = nw
+            # lax.slice, not cur[None, :, :rout, :128]: the mixed None+slice
+            # getitem lowers to an unsupported >2D gather in this Pallas
+            out_ref[pl.ds(i, 1)] = jax.lax.slice(cur, (0, 0, 0), (P, rout, 128))[None]
+            return carry
+
+        jax.lax.fori_loop(0, nbpp, body, jnp.int32(0))
+        dma_for(nbpp - 1, jax.lax.rem(nbpp, 2)).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec((nprog * nbpp,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nprog * nbpp,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((nbpp, P, rout, 128), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, 32, 256), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    win = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nprog * nbpp, P, rout, 128), jnp.int16),
+        interpret=interpret,
+    )(rows, cols, planes_pad)
+    return win[:nb, :, :nwin, :nwin].astype(jnp.int32)

@@ -403,11 +403,20 @@ class JaxCodec:
         converges to the same unique fixpoint)."""
         cfg = self.cfg
         from streamoptima_tpu.core import fastme as FM
+        from streamoptima_tpu.core import me_pallas as _mp
 
         scale = 2 if fme else 1
         n = self.bs
         nbr, nbc = self.nbr, self.nbc
         planes = FM.plane_stack(refs, fme, jnp, wrap_row_pass=not initial_refs)
+        # auto = the XLA one-hot gather: the Pallas per-block DMA fetch is
+        # issue-bound at ~1.1 us/block (raw parity with XLA at both rowscan
+        # shapes) and REGRESSED the full step in situ (16.7 -> 38.4 ms at
+        # 720p VBS+FME, benchmarks/fastme_probe.py) — see TPU_DESIGN.md
+        # "fast-ME window fetch"
+        use_fetch = {"pallas": True, "xla": False}.get(cfg.fast_me_fetch, False)
+        interp = jax.default_backend() != "tpu"
+        wprep = FM.window_prep(planes, n + 2, use_fetch)
         dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
         cur_b = self._blockify(cur32)
         curT = cur_b.reshape(nbr, nbc, n, n).swapaxes(0, 1)  # (nbc, nbr, n, n)
@@ -420,7 +429,7 @@ class JaxCodec:
                 cb, x = inp  # (nbr, n, n), () pixel column
                 xv = jnp.full((nbr,), x, jnp.int32)
                 by0, bx0 = FM._region_base(g, ys, xv, n, fme, jnp)
-                win = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+                win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
                 mv, _ = FM.eval9(win, cb, g, xv * scale, Ys, n, dims, fme, None, jnp)
                 return mv, mv
 
@@ -448,7 +457,7 @@ class JaxCodec:
         g_fin = jnp.concatenate([jnp.zeros((1, 3), jnp.int32), m[:-1]], axis=0)
         by0, bx0 = FM._region_base(g_fin, self.by.astype(jnp.int32), self.bx.astype(jnp.int32),
                                    n, fme, jnp)
-        win = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+        win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
         cur_q = self._quads_of(cur_b) if cfg.vbs_enable else \
             jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
         outs = FM.confirm(

@@ -405,11 +405,21 @@ class ShardedCodec:
         gathers remain anywhere on the fast path."""
         from streamoptima_tpu.core import fastme as FM
 
+        from streamoptima_tpu.core import me_pallas as _mp
+
         cfg = self.cfg
         scale = 2 if fme else 1
         n = self.bs
         nbr_t, nbc = self.nbr_t, self.nbc
         planes = FM.plane_stack(band, fme, jnp, wrap_row_pass=True)
+        # auto = the XLA one-hot gather: the Pallas per-block DMA fetch is
+        # issue-bound at ~1.1 us/block (raw parity with XLA at both rowscan
+        # shapes) and REGRESSED the full step in situ (16.7 -> 38.4 ms at
+        # 720p VBS+FME, benchmarks/fastme_probe.py) — see TPU_DESIGN.md
+        # "fast-ME window fetch"
+        use_fetch = {"pallas": True, "xla": False}.get(cfg.fast_me_fetch, False)
+        interp = jax.default_backend() != "tpu"
+        wprep = FM.window_prep(planes, n + 2, use_fetch)
         dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
         cur_b = cur32.reshape(nbr_t, n, nbc, n).swapaxes(1, 2).reshape(-1, n, n)
         curT = cur_b.reshape(nbr_t, nbc, n, n).swapaxes(0, 1)  # (nbc, nbr_t, n, n)
@@ -423,7 +433,7 @@ class ShardedCodec:
                 cb, x = inp
                 xv = jnp.full((nbr_t,), x, jnp.int32)
                 by0, bx0 = FM._region_base(g, ys, xv, n, fme, jnp)
-                win = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+                win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
                 mv, _ = FM.eval9(win, cb, g, xv * scale, Ys, n, dims, fme, nvalid, jnp)
                 return mv, mv
 
@@ -457,7 +467,7 @@ class ShardedCodec:
             g_fin, (self._by_local + y0_px).astype(jnp.int32), self._bx.astype(jnp.int32),
             n, fme, jnp,
         )
-        win = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+        win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
         cur_q = cur_b.reshape(-1, 2, self.sbs, 2, self.sbs).swapaxes(2, 3).reshape(
             -1, 4, self.sbs, self.sbs
         ) if cfg.vbs_enable else jnp.zeros((self.nb_t, 4, self.sbs, self.sbs), jnp.int32)

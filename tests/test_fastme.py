@@ -126,3 +126,45 @@ def test_window_gather_zero_fill_and_chunking():
     # tiny chunk budget forces the lax.map path; results identical
     win_c = FM.window_gather(planes, by0, bx0, 9, jnp, chunk_bytes=3 * 40 * 9 * 4 * 2)
     np.testing.assert_array_equal(np.asarray(win_c), ref)
+
+
+def test_window_fetch_matches_window_gather():
+    """The Pallas per-block DMA fetch (me_pallas.window_fetch, interpret on
+    CPU) is bit-identical to the one-hot gather for any origin — in-plane,
+    clipped at every edge, and absurdly far out (clamping is exact: origins
+    outside (-nwin, H/W) have no plane overlap and read all zeros)."""
+    from streamoptima_tpu.core import me_pallas as MP
+
+    rng = np.random.default_rng(5)
+    for P, h, w, nwin, nb in ((4, 64, 96, 18, 41), (1, 48, 56, 10, 200), (8, 40, 48, 18, 9)):
+        planes = jnp.asarray(rng.integers(0, 256, (P, h, w)), jnp.bfloat16)
+        by0 = jnp.asarray(np.concatenate(
+            [rng.integers(-40, h + 20, nb - 4), [-(10**6), 10**6, -nwin, h]]), jnp.int32)
+        bx0 = jnp.asarray(np.concatenate(
+            [rng.integers(-40, w + 20, nb - 4), [10**6, -(10**6), w, -nwin]]), jnp.int32)
+        ref = np.asarray(FM.window_gather(planes, by0, bx0, nwin, jnp))
+        got = np.asarray(MP.window_fetch(MP.window_prep(planes, nwin), by0, bx0, nwin,
+                                         interpret=True))
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_rowscan_pallas_fetch_bitwise_vs_xla():
+    """Engine-level: a fast-ME VBS+FME encode with fast_me_fetch='pallas'
+    (interpret mode on CPU) is bitwise-identical to fast_me_fetch='xla' —
+    MVs, bitstream, and reconstruction."""
+    from streamoptima_tpu.config import CodecConfig
+    from streamoptima_tpu.jax_engine import JaxCodec
+    from streamoptima_tpu.utils import synthetic_clip
+
+    h, w, frames = 48, 64, 3
+    clip = synthetic_clip(h, w, frames)
+    outs = {}
+    for fetch in ("xla", "pallas"):
+        cfg = CodecConfig(height=h, width=w, frames=frames, block_size=16, qp=4,
+                          intra_dur=frames, search_range=4, vbs_enable=True,
+                          fme_enable=True, fast_me=True, fast_me_fetch=fetch)
+        outs[fetch] = JaxCodec(cfg, clip).encode(package=True)
+    a, b = outs["xla"], outs["pallas"]
+    np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
+    np.testing.assert_equal(a["MVS per Frame"], b["MVS per Frame"])
+    np.testing.assert_equal(a["approx residual"], b["approx residual"])
