@@ -15,6 +15,8 @@ on the attached device and writes ``benchmarks/sweep_results.json``:
 Each entry reports best-of-2 and mean-of-2 fps.
 
 Run:  python benchmarks/sweep.py   (uses whatever jax.devices() offers)
+      python benchmarks/sweep.py only=fast_me   re-runs matching rows only,
+      merging into the existing sweep_results.json (other rows untouched)
 """
 from __future__ import annotations
 
@@ -45,7 +47,18 @@ def main():
     from streamoptima_tpu.parallel import ShardedCodec, make_mesh
     from streamoptima_tpu.utils import synthetic_clip
 
-    results = {"device": str(jax.devices()[0]), "n_devices": len(jax.devices())}
+    only = next((a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("only=")), None)
+    out_path = REPO / "benchmarks" / "sweep_results.json"
+    results = {}
+    if only and out_path.exists():
+        results = json.loads(out_path.read_text())  # merge partial re-runs
+    results.update({"device": str(jax.devices()[0]), "n_devices": len(jax.devices())})
+
+    def _skip(name):
+        if only is not None and only not in name:
+            print(f"[skip] {name}", flush=True)
+            return True
+        return False
 
     def timed(fn, frames_n):
         times = []
@@ -56,6 +69,8 @@ def main():
         return pkg, frames_n / min(times), frames_n / (sum(times) / len(times))
 
     def gop_encode_fps(name, cfg, frames_n=32):
+        if _skip(name):
+            return
         clip = synthetic_clip(cfg.height, cfg.width, frames_n)
         import dataclasses
 
@@ -103,6 +118,8 @@ def main():
                                                  qp_rate_tables=rc_tables, **base))
 
     def two_pass_fps(name, cfg, frames_n=16):
+        if _skip(name):
+            return
         import dataclasses
 
         cfg = dataclasses.replace(cfg, frames=frames_n)
@@ -123,20 +140,21 @@ def main():
     # sr=16, fast-ME + VBS + FME, 21 CIF frames — the MVP chain runs as the
     # Jacobi fixpoint inside the GOP scan (bit-identical to the sequential
     # chain, test_parallel.py), so the whole clip is one device program
-    cfg_ref = CodecConfig(height=288, width=352, frames=21, block_size=16, search_range=16,
-                          qp=5, intra_dur=21, lam=0.015, n_ref_frames=1,
-                          vbs_enable=True, fme_enable=True, fast_me=True)
-    clip_ref = synthetic_clip(288, 352, 21)
-    codec_ref = ShardedCodec(cfg_ref, make_mesh(cfg_ref, devices=jax.devices()[:1]), clip_ref)
-    codec_ref.encode(fetch="metrics")  # warm compile + clip upload
-    pkg, fps, mean_fps = timed(lambda: codec_ref.encode(fetch="metrics"), 21)
-    results["cif_reference_defaults"] = {
-        "fps": round(fps, 2),
-        "mean_fps": round(mean_fps, 2),
-        "mean_psnr_db": round(float(np.mean(pkg["PSNR per frame"])), 2),
-        "config": "352x288 sr=16 qp=5 fast_me+vbs+fme gop=21 (reference main.py defaults)",
-    }
-    print("cif_reference_defaults", results["cif_reference_defaults"], flush=True)
+    if not _skip("cif_reference_defaults"):
+        cfg_ref = CodecConfig(height=288, width=352, frames=21, block_size=16, search_range=16,
+                              qp=5, intra_dur=21, lam=0.015, n_ref_frames=1,
+                              vbs_enable=True, fme_enable=True, fast_me=True)
+        clip_ref = synthetic_clip(288, 352, 21)
+        codec_ref = ShardedCodec(cfg_ref, make_mesh(cfg_ref, devices=jax.devices()[:1]), clip_ref)
+        codec_ref.encode(fetch="metrics")  # warm compile + clip upload
+        pkg, fps, mean_fps = timed(lambda: codec_ref.encode(fetch="metrics"), 21)
+        results["cif_reference_defaults"] = {
+            "fps": round(fps, 2),
+            "mean_fps": round(mean_fps, 2),
+            "mean_psnr_db": round(float(np.mean(pkg["PSNR per frame"])), 2),
+            "config": "352x288 sr=16 qp=5 fast_me+vbs+fme gop=21 (reference main.py defaults)",
+        }
+        print("cif_reference_defaults", results["cif_reference_defaults"], flush=True)
 
     # decode throughput (720p): jitted decode steps over an encoded frame's
     # real MVs/residuals.  "pallas" entries use the compact fetch kernel
@@ -145,6 +163,8 @@ def main():
     # the XLA gather step.  Each decode chains on the previous output so XLA
     # cannot pipeline identical dispatches (round-1 ADVICE item 4).
     def decode_bench(name, vbs, fme, pallas, h=720, w=1280, check_against_xla=False):
+        if _skip(name):
+            return
         # me_search='pallas' keeps the pallas variants honest off-TPU too
         # (auto would silently fall back to the XLA step on a CPU host)
         cfg = CodecConfig(height=h, width=w, search_range=8,

@@ -117,6 +117,22 @@ class CodecConfig:
     # (docs/TPU_DESIGN.md "fast-ME window fetch").  Bit-identical paths
     # (tests/test_fastme.py).
     fast_me_fetch: str = "auto"
+    # rowscan segment multiplier: the raster MVP chain is cut into
+    # ``seg_mult * n_block_rows`` equal segments solved simultaneously by the
+    # column scan (segments need not align with block rows — the Jacobi-over-
+    # seeds fixpoint argument in fast_me_chain holds for ANY segmentation of
+    # the 1-D chain, so every value is bit-identical; only divisors of the
+    # block-column count are usable and the resolver rounds down to one).
+    # MEASURED (benchmarks/segscan_ab.py, on-chip): k > 1 LOSES, roughly
+    # linearly in k — 720p FME solve 17.8 (k=1) / 23.4 (k=2) / 48 (k=4) /
+    # 115 ms (k=16); CIF 1.12 (k=1) / 6.15 ms (k=11).  Seed corrections
+    # propagate ONE segment per outer Jacobi pass, so pass count grows with
+    # the segment count faster than the per-pass step count shrinks: chain
+    # solve time is bounded by information propagation, not by per-step
+    # batch width.  "auto" = 1 (block rows, the propagation-optimal cut);
+    # the knob stays for the segmentation-invariance tests and for shapes
+    # where future hardware moves the balance.
+    fast_me_seg_mult: int | str = "auto"
 
     #: bounded-HBM encode: frames this far behind the dispatch frontier have
     #: their outputs converted to host arrays (freeing their device buffers —
@@ -179,6 +195,10 @@ class CodecConfig:
             raise ValueError("winner_fetch must be 'auto', 'fetch' or 'inkernel'")
         if self.fast_me_fetch not in ("auto", "pallas", "xla"):
             raise ValueError("fast_me_fetch must be 'auto', 'pallas' or 'xla'")
+        if self.fast_me_seg_mult != "auto" and (
+            not isinstance(self.fast_me_seg_mult, int) or self.fast_me_seg_mult < 1
+        ):
+            raise ValueError("fast_me_seg_mult must be 'auto' or a positive int")
         if self.roi_qp_map is not None and self.engine != "jax":
             raise ValueError("roi_qp_map is a native-engine feature (the reference's README "
                              "promises ROI but ships no implementation)")

@@ -376,6 +376,24 @@ class JaxCodec:
             outs["sub_ok"] = ssad != np.int32(2**31 - 1)
         return outs
 
+    def _fast_me_seg_mult(self) -> int:
+        """Resolved rowscan segment multiplier k (a divisor of nbc; the chain
+        is cut into k*nbr segments of nbc/k blocks).  Explicit requests round
+        DOWN to the nearest divisor of nbc.  "auto" = 1: measured on-chip
+        (benchmarks/segscan_ab.py, cfg.fast_me_seg_mult docstring), k > 1
+        loses roughly linearly in k because Jacobi seed corrections travel
+        one segment per outer pass — the chain solve is propagation-bound,
+        so the row cut (the coarsest segmentation the column scan admits)
+        is optimal."""
+        req = self.cfg.fast_me_seg_mult
+        nbc = self.nbc
+        if req == "auto":
+            return 1
+        k = max(1, min(int(req), nbc))
+        while nbc % k:
+            k -= 1
+        return k
+
     def _fast_search_rowscan(self, cur32, refs, fme, initial_refs: bool, g0=None):
         """Fast-ME chain solved row-segmented on the MXU (fast_me_chain
         "rowscan", the default): a lax.scan over block COLUMNS advances every
@@ -398,9 +416,18 @@ class JaxCodec:
         the quad sweep and both prediction gathers cost ~10 ms/frame of
         XLA slice-gathers at CIF before this.
 
+        The "row" segmentation generalizes (cfg.fast_me_seg_mult): the raster
+        chain mv[i] = f_i(mv[i-1]) may be cut into S = k*nbr equal segments at
+        ARBITRARY positions — the fixpoint argument never uses row alignment —
+        and the column scan then runs L = nbc/k sequential steps over S-block
+        batches.  Measured (benchmarks/segscan_ab.py): k > 1 loses roughly
+        linearly in k — seed corrections travel one segment per outer Jacobi
+        pass, so pass count grows with S faster than per-pass steps shrink;
+        the solve is propagation-bound and k = 1 (rows) is the optimum.
+
         ``refs`` are the RAW (nref, h, w) reconstructions; ``g0`` warm-starts
-        the row seeds from the previous frame's converged guesses (any start
-        converges to the same unique fixpoint)."""
+        the segment seeds from the previous frame's converged guesses (any
+        start converges to the same unique fixpoint)."""
         cfg = self.cfg
         from streamoptima_tpu.core import fastme as FM
         from streamoptima_tpu.core import me_pallas as _mp
@@ -408,6 +435,8 @@ class JaxCodec:
         scale = 2 if fme else 1
         n = self.bs
         nbr, nbc = self.nbr, self.nbc
+        k = self._fast_me_seg_mult()
+        S, L = nbr * k, nbc // k
         planes = FM.plane_stack(refs, fme, jnp, wrap_row_pass=not initial_refs)
         # auto = the XLA one-hot gather: the Pallas per-block DMA fetch is
         # issue-bound at ~1.1 us/block (raw parity with XLA at both rowscan
@@ -419,21 +448,21 @@ class JaxCodec:
         wprep = FM.window_prep(planes, n + 2, use_fetch)
         dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
         cur_b = self._blockify(cur32)
-        curT = cur_b.reshape(nbr, nbc, n, n).swapaxes(0, 1)  # (nbc, nbr, n, n)
-        ys = self.by.reshape(nbr, nbc)[:, 0].astype(jnp.int32)  # (nbr,) pixel rows
-        xs = self.bx.reshape(nbr, nbc)[0, :].astype(jnp.int32)  # (nbc,) pixel cols
-        Ys = ys * scale
+        curT = cur_b.reshape(S, L, n, n).swapaxes(0, 1)  # (L, S, n, n)
+        # per-step block coordinates: element (j, s) is chain block s*L + j
+        xsT = self.bx.astype(jnp.int32).reshape(S, L).swapaxes(0, 1)  # (L, S)
+        ysT = self.by.astype(jnp.int32).reshape(S, L).swapaxes(0, 1)
 
         def row_pass(seeds):
             def step(g, inp):
-                cb, x = inp  # (nbr, n, n), () pixel column
-                xv = jnp.full((nbr,), x, jnp.int32)
-                by0, bx0 = FM._region_base(g, ys, xv, n, fme, jnp)
+                cb, xv, yv = inp  # (S, n, n), (S,), (S,)
+                by0, bx0 = FM._region_base(g, yv, xv, n, fme, jnp)
                 win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
-                mv, _ = FM.eval9(win, cb, g, xv * scale, Ys, n, dims, fme, None, jnp)
+                mv, _ = FM.eval9(win, cb, g, xv * scale, yv * scale, n, dims,
+                                 fme, None, jnp)
                 return mv, mv
 
-            return jax.lax.scan(step, seeds, (curT, xs))  # (m_last, mT)
+            return jax.lax.scan(step, seeds, (curT, xsT, ysT))  # (m_last, mT)
 
         def body(state):
             seeds, _, _, it = state
@@ -442,12 +471,12 @@ class JaxCodec:
             return (seeds2, mT, jnp.any(seeds2 != seeds), it + 1)
 
         def cond(state):
-            return jnp.logical_and(state[2], state[3] <= nbr + 1)
+            return jnp.logical_and(state[2], state[3] <= S + 1)
 
         seeds0 = (
-            jnp.zeros((nbr, 3), jnp.int32) if g0 is None else g0.reshape(nbr, nbc, 3)[:, 0]
+            jnp.zeros((S, 3), jnp.int32) if g0 is None else g0.reshape(S, L, 3)[:, 0]
         )
-        init = (seeds0, jnp.zeros((nbc, nbr, 3), jnp.int32), jnp.asarray(True),
+        init = (seeds0, jnp.zeros((L, S, 3), jnp.int32), jnp.asarray(True),
                 jnp.asarray(0, jnp.int32))
         _, mT, _, _ = jax.lax.while_loop(cond, body, init)
         m = mT.swapaxes(0, 1).reshape(self.nb, 3)

@@ -385,6 +385,21 @@ class ShardedCodec:
             outs["sub_ok"] = ssad != np.int32(2**31 - 1)
         return outs
 
+    def _fast_me_seg_mult(self) -> int:
+        """Resolved rowscan segment multiplier for the TILE-local chain (the
+        single-chip rule of JaxCodec._fast_me_seg_mult): a divisor of nbc;
+        explicit requests round down; "auto" = 1 — the chain solve is
+        propagation-bound (one segment per Jacobi pass), so finer cuts lose
+        (measured: benchmarks/segscan_ab.py, cfg.fast_me_seg_mult)."""
+        req = self.cfg.fast_me_seg_mult
+        nbc = self.nbc
+        if req == "auto":
+            return 1
+        k = max(1, min(int(req), nbc))
+        while nbc % k:
+            k -= 1
+        return k
+
     def _fast_tile_rowscan(self, cur32, band, nvalid, y0_px, fme, g0=None):
         """Fast-ME on the mesh, row-segmented (fast_me_chain "rowscan", the
         default): a lax.scan over block COLUMNS advances every local block
@@ -421,23 +436,28 @@ class ShardedCodec:
         interp = jax.default_backend() != "tpu"
         wprep = FM.window_prep(planes, n + 2, use_fetch)
         dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
+        # segment generalization (cfg.fast_me_seg_mult, same fixpoint argument
+        # as the single-chip solve): the tile's local chain is cut into
+        # S = k*nbr_t segments of L = nbc/k blocks; the cross-tile hand-off
+        # stays one (3,)-vector ppermute of the tile's LAST MV per pass.
+        k = self._fast_me_seg_mult()
+        S, L = nbr_t * k, nbc // k
         cur_b = cur32.reshape(nbr_t, n, nbc, n).swapaxes(1, 2).reshape(-1, n, n)
-        curT = cur_b.reshape(nbr_t, nbc, n, n).swapaxes(0, 1)  # (nbc, nbr_t, n, n)
-        ys = (self._by_local.reshape(nbr_t, nbc)[:, 0] + y0_px).astype(jnp.int32)
-        xs = self._bx.reshape(nbr_t, nbc)[0, :].astype(jnp.int32)
-        Ys = ys * scale
+        curT = cur_b.reshape(S, L, n, n).swapaxes(0, 1)  # (L, S, n, n)
+        xsT = self._bx.astype(jnp.int32).reshape(S, L).swapaxes(0, 1)  # (L, S)
+        ysT = (self._by_local + y0_px).astype(jnp.int32).reshape(S, L).swapaxes(0, 1)
         perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
 
         def row_pass(seeds):
             def step(g, inp):
-                cb, x = inp
-                xv = jnp.full((nbr_t,), x, jnp.int32)
-                by0, bx0 = FM._region_base(g, ys, xv, n, fme, jnp)
+                cb, xv, yv = inp  # (S, n, n), (S,), (S,)
+                by0, bx0 = FM._region_base(g, yv, xv, n, fme, jnp)
                 win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
-                mv, _ = FM.eval9(win, cb, g, xv * scale, Ys, n, dims, fme, nvalid, jnp)
+                mv, _ = FM.eval9(win, cb, g, xv * scale, yv * scale, n, dims,
+                                 fme, nvalid, jnp)
                 return mv, mv
 
-            return jax.lax.scan(step, seeds, (curT, xs))
+            return jax.lax.scan(step, seeds, (curT, xsT, ysT))
 
         def body(state):
             seeds, _, _, it = state
@@ -451,12 +471,12 @@ class ShardedCodec:
             return (seeds2, mT, changed, it + 1)
 
         def cond(state):
-            return jnp.logical_and(state[2], state[3] <= self.nbr + 1)
+            return jnp.logical_and(state[2], state[3] <= self.nbr * k + 1)
 
         seeds0 = (
-            jnp.zeros((nbr_t, 3), jnp.int32) if g0 is None else g0.reshape(nbr_t, nbc, 3)[:, 0]
+            jnp.zeros((S, 3), jnp.int32) if g0 is None else g0.reshape(S, L, 3)[:, 0]
         )
-        init = (seeds0, jnp.zeros((nbc, nbr_t, 3), jnp.int32), jnp.asarray(True),
+        init = (seeds0, jnp.zeros((L, S, 3), jnp.int32), jnp.asarray(True),
                 jnp.asarray(0, jnp.int32))
         seeds_fin, mT, _, _ = jax.lax.while_loop(cond, body, init)
         m = mT.swapaxes(0, 1).reshape(self.nb_t, 3)

@@ -239,8 +239,13 @@ def test_fast_me_fixpoint_matches_scan(flags):
     y = rng.integers(0, 256, size=(frames, h, w), dtype=np.uint8)
     cfg = make_cfg(h, w, frames, "jax", fast_me=True, fast_me_chain="scan", **flags)
     a = JaxCodec(cfg, y).encode()
-    for chain in ("fixpoint", "rowscan"):
-        b = JaxCodec(dataclasses.replace(cfg, fast_me_chain=chain), y).encode()
+    # rowscan segment multipliers: w=96 -> nbc=6, so k=2/3 cut every block
+    # row into segments that CROSS row boundaries — the fixpoint must not
+    # depend on the segmentation (cfg.fast_me_seg_mult docstring).
+    for chain, seg in (("fixpoint", "auto"), ("rowscan", "auto"), ("rowscan", 2),
+                       ("rowscan", 3), ("rowscan", 6)):
+        b = JaxCodec(dataclasses.replace(cfg, fast_me_chain=chain,
+                                         fast_me_seg_mult=seg), y).encode()
         np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
         for fa, fb in zip(a["MVS per Frame"], b["MVS per Frame"]):
             assert fa == fb

@@ -53,6 +53,10 @@ CASES = [
     dict(fast_me=True),
     dict(fast_me=True, vbs_enable=True, fme_enable=True, lam=0.015),
     dict(fast_me=True, n_ref_frames=3),
+    # segmented rowscan (fast_me_seg_mult=2): sub-row chain segments on both
+    # engines — the solve must not depend on the segmentation
+    dict(fast_me=True, vbs_enable=True, fme_enable=True, lam=0.015,
+         fast_me_seg_mult=2),
 ]
 
 
