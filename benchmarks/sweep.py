@@ -52,6 +52,16 @@ def main():
     results = {}
     if only and out_path.exists():
         results = json.loads(out_path.read_text())  # merge partial re-runs
+        stored = results.get("device")
+        current = str(jax.devices()[0])
+        if stored is not None and stored != current:
+            # refusing beats silently mixing two backends' rows in one file
+            # (e.g. a CPU re-run during a tunnel outage merging into TPU rows)
+            raise SystemExit(
+                f"only= merge refused: stored rows were measured on {stored!r} "
+                f"but this run is on {current!r}; delete {out_path} or re-run "
+                "the full sweep on the current backend"
+            )
     results.update({"device": str(jax.devices()[0]), "n_devices": len(jax.devices())})
 
     def _skip(name):

@@ -63,6 +63,16 @@ def main():
         ("4K qpred nc3 fme", 2160, 3840, 3, (11, 10), True, True, True, 8),
         ("720p qpred sr16", 720, 1280, 1, (8, 7, 6), True, True, True, 16),
         ("720p argmin sr16", 720, 1280, 1, (16, 12), False, False, True, 16),
+        # round-4 closure of the supported-matrix gaps (VERDICT r3 item 6):
+        # sr=16 classes at 1080p/4K and the remaining production selections
+        ("1080p pred sr16", 1080, 1920, 1, (8, 7, 6, 5, 4), True, False, True, 16),
+        ("1080p qpred sr16", 1080, 1920, 1, (6, 5, 4, 3), True, True, True, 16),
+        ("1080p argmin sr16", 1080, 1920, 1, (16, 14, 12, 10), False, False, True, 16),
+        ("4K pred nc2 sr16", 2160, 3840, 2, (7, 6, 5, 4), True, False, True, 16),
+        ("4K qpred nc2 sr16", 2160, 3840, 2, (6, 5, 4, 3), True, True, True, 16),
+        ("4K argmin nc2 sr16", 2160, 3840, 2, (18, 16, 14, 12), False, False, True, 16),
+        ("4K qpred nc2 fme", 2160, 3840, 2, (9, 8, 7, 6), True, True, True, 8),
+        ("720p pred sr16 fme", 720, 1280, 1, (11, 10, 9, 8, 7), True, False, True, 16),
     ]
     for label, h, w, ncol, bands, pred, qpred, fme, sr in cases:
         for band in bands:

@@ -12,6 +12,7 @@ from streamoptima_tpu import bitstream as BS
 from streamoptima_tpu.compat_engine import CompatCodec
 from streamoptima_tpu.config import CodecConfig
 
+import ref_subproc
 from conftest import smooth_clip, synthetic_clip
 
 TEST_TABLES = [
@@ -38,41 +39,36 @@ CONFIGS = [
 ]
 
 
-def run_reference(ref_modules, y, h, w, frames, tmp_path, qp=4, bs=16, sr=2, intra_dur=3,
-                  VBSEnable=False, FMEEnable=False, fast_me=False, RCFlag=None,
-                  targetBR=None, qp_tables=None, intra_thresh=None, ParallelMode=0):
+def run_reference(ref_modules, y, h, w, frames, tmp_path, **kwargs):
+    """Reference oracle run.  ParallelMode != 0 executes in a clean
+    subprocess: the reference forks multiprocessing workers internally
+    (Encoder.py:484,:1255,:1816), and os.fork() from the multithreaded JAX
+    test process risks a deadlock that would wedge the whole suite (144
+    DeprecationWarnings per session before this)."""
+    if kwargs.get("ParallelMode", 0) != 0:
+        import pickle
+        import subprocess
+        import sys as _sys
+        from pathlib import Path
+
+        from conftest import REFERENCE
+
+        args_p = os.path.join(tmp_path, "_ref_args.pkl")
+        out_p = os.path.join(tmp_path, "_ref_out.pkl")
+        payload = dict(kwargs, y=y, h=h, w=w, frames=frames, workdir=str(tmp_path),
+                       reference_dir=str(REFERENCE))
+        with open(args_p, "wb") as f:
+            pickle.dump(payload, f)
+        runner = Path(__file__).resolve().parent / "ref_subproc.py"
+        subprocess.run([_sys.executable, str(runner), args_p, out_p], check=True)
+        with open(out_p, "rb") as f:
+            pkg, rec, decoded, mv_lines, res_lines = pickle.load(f)
+        return None, pkg, rec, decoded, mv_lines, res_lines
     Encoder, _ = ref_modules
-    cwd = os.getcwd()
-    os.chdir(tmp_path)
-    os.makedirs("yuv", exist_ok=True)
-    os.makedirs("files", exist_ok=True)
-    try:
-        enc = Encoder.Y_Video_codec(
-            h, w, frames, block_size=bs, search_range=sr, Qp=qp, intra_dur=intra_dur,
-            intra_mode=0, lam=0.015, VBSEnable=VBSEnable, nRefFrames=1,
-            y_only_frame_arr=y, fast_me=fast_me, FMEEnable=FMEEnable, RCFlag=RCFlag,
-            targetBR=targetBR, frame_rate=30, qp_rate_tables=qp_tables,
-            intra_thresh=intra_thresh, ParallelMode=ParallelMode,
-        )
-        enc.encode(block_size=bs)
-        pkg = enc.encoded_package
-        rec = np.fromfile("yuv/y_only_reconstructed.yuv", dtype=np.uint8).reshape(frames, h, w)
-        decoded = enc.decoder.decode(
-            pkg["frame_type_seq"], pkg["approx residual"], pkg["Qp_per_row_per_frame"],
-            pkg["MVS per Frame"], 0, intra_dur, bs, frames, w, h,
-        )
-        mv_lines = []
-        res_lines = []
-        for i in range(frames):
-            mv_lines.append(
-                str(pkg["frame_type_seq"][i]) + "|" + enc.differential_encoder_frame(
-                    pkg["frame_type_seq"][i], pkg["MVS per Frame"][i], pkg["Qp_per_row_per_frame"][i]
-                )
-            )
-            res_lines.append(enc.entropy_encoder_frame(pkg["approx residual"][i], bs))
-        return enc, pkg, rec, decoded, mv_lines, res_lines
-    finally:
-        os.chdir(cwd)
+    pkg, rec, decoded, mv_lines, res_lines = ref_subproc.reference_encode_collect(
+        Encoder, y, h, w, frames, str(tmp_path), **kwargs
+    )
+    return None, pkg, rec, decoded, mv_lines, res_lines
 
 
 def run_compat(y, h, w, frames, qp=4, bs=16, sr=2, intra_dur=3, VBSEnable=False,
