@@ -133,6 +133,16 @@ class CodecConfig:
     # the knob stays for the segmentation-invariance tests and for shapes
     # where future hardware moves the balance.
     fast_me_seg_mult: int | str = "auto"
+    # Speculative lookahead of the rowscan chain step: each lax.scan step
+    # resolves k consecutive chain columns from ONE wide window per segment
+    # (core/fastme.eval_chain) — the winner of a 3x3 step always sits at
+    # MVP+delta, delta in {-1,0,1}^2, so all k columns' candidate SADs come
+    # from static slices of a window covering the hypothesis cone, and the
+    # chain resolves with cheap traced selects.  Sequential step count drops
+    # k-fold at the SAME per-column gather FLOPs (the solve is propagation-
+    # bound — see fast_me_seg_mult above).  "auto" = measured per-shape rule
+    # (benchmarks/lookahead_ab.py); any k >= 1 is bit-identical.
+    fast_me_lookahead: int | str = "auto"
 
     #: bounded-HBM encode: frames this far behind the dispatch frontier have
     #: their outputs converted to host arrays (freeing their device buffers —
@@ -196,9 +206,17 @@ class CodecConfig:
         if self.fast_me_fetch not in ("auto", "pallas", "xla"):
             raise ValueError("fast_me_fetch must be 'auto', 'pallas' or 'xla'")
         if self.fast_me_seg_mult != "auto" and (
-            not isinstance(self.fast_me_seg_mult, int) or self.fast_me_seg_mult < 1
+            not isinstance(self.fast_me_seg_mult, int)
+            or isinstance(self.fast_me_seg_mult, bool)
+            or self.fast_me_seg_mult < 1
         ):
             raise ValueError("fast_me_seg_mult must be 'auto' or a positive int")
+        if self.fast_me_lookahead != "auto" and (
+            not isinstance(self.fast_me_lookahead, int)
+            or isinstance(self.fast_me_lookahead, bool)
+            or self.fast_me_lookahead < 1
+        ):
+            raise ValueError("fast_me_lookahead must be 'auto' or a positive int")
         if self.roi_qp_map is not None and self.engine != "jax":
             raise ValueError("roi_qp_map is a native-engine feature (the reference's README "
                              "promises ROI but ships no implementation)")

@@ -47,6 +47,34 @@ from . import me as M
 
 _INF32 = np.int32(2**31 - 1)
 
+_seg_mult_warned: set = set()
+
+
+def resolve_seg_mult(req, nbc: int) -> int:
+    """Resolved rowscan segment multiplier k (a divisor of nbc; the chain is
+    cut into k*nbr segments of nbc/k blocks).  "auto" = 1: measured on-chip
+    (benchmarks/segscan_ab.py), k > 1 loses roughly linearly in k because
+    Jacobi seed corrections travel one segment per outer pass — the solve is
+    propagation-bound, so the row cut is optimal.  Explicit requests round
+    DOWN to the nearest divisor of nbc, with a one-time warning when the
+    effective k differs from the request (a benchmark asking for a specific
+    k must not silently measure a different one)."""
+    if req == "auto":
+        return 1
+    k = max(1, min(int(req), nbc))
+    while nbc % k:
+        k -= 1
+    if k != req and (req, nbc) not in _seg_mult_warned:
+        _seg_mult_warned.add((req, nbc))
+        import warnings
+
+        warnings.warn(
+            f"fast_me_seg_mult={req} is not a divisor of nbc={nbc}; "
+            f"running the nearest divisor k={k}",
+            stacklevel=3,
+        )
+    return k
+
 
 def plane_stack(refs, fme: bool, xp, wrap_row_pass: bool = True):
     """(nref, h, w) raw reference frames -> bf16 candidate planes.
@@ -71,30 +99,35 @@ def plane_stack(refs, fme: bool, xp, wrap_row_pass: bool = True):
     return planes.astype(xp.bfloat16)
 
 
-def window_gather(planes, by0, bx0, nwin: int, xp, chunk_bytes: int = 32 << 20):
+def window_gather(planes, by0, bx0, nwin: int, xp, chunk_bytes: int = 32 << 20,
+                  nwin_c: int | None = None):
     """windows[b, p, i, j] = planes[p, by0[b]+i, bx0[b]+j], 0 out of plane.
 
     planes (P, H, W) bf16; by0/bx0 (nb,) int32 window origins in plane
     coordinates (any value — out-of-plane indices hit no one-hot column and
-    produce exact zeros).  Returns (nb, P, nwin, nwin) int32.
+    produce exact zeros).  Returns (nb, P, nwin, nwin_c) int32 — windows are
+    square unless ``nwin_c`` widens the column span (the lookahead chain
+    step's multi-column wide windows).
 
-    Two MXU matmuls per chunk: columns first ((P*H, W) @ (W, nc*nwin) — one
-    large plain matmul), then rows (per-block batched (nwin, H) @ (H, P*nwin)).
+    Two MXU matmuls per chunk: columns first ((P*H, W) @ (W, nc*nwin_c) — one
+    large plain matmul), then rows (per-block batched (nwin, H) @ (H, P*nwin_c)).
     One-hot operands and integer plane values make both products exact in
-    bf16 with f32 accumulation.  ``chunk_bytes`` bounds the (nc, P, H, nwin)
+    bf16 with f32 accumulation.  ``chunk_bytes`` bounds the (nc, P, H, nwin_c)
     f32 intermediate; blocks are processed in equal chunks via lax.map.
     """
     import jax
 
+    if nwin_c is None:
+        nwin_c = nwin
     P, H, W = planes.shape
     nb = by0.shape[0]
-    per_block = P * H * nwin * 4
+    per_block = P * H * nwin_c * 4
     nc = max(1, min(nb, chunk_bytes // per_block))
     nchunk = -(-nb // nc)
 
     def fetch(args):
         byc, bxc = args  # (nc,)
-        jj = bxc[:, None] + xp.arange(nwin)[None, :]  # (nc, nwin)
+        jj = bxc[:, None] + xp.arange(nwin_c)[None, :]  # (nc, nwin_c)
         cs = (jj[:, None, :] == xp.arange(W)[None, :, None]).astype(xp.bfloat16)
         colf = xp.einsum("phw,bwj->bphj", planes, cs, preferred_element_type=xp.float32)
         ii = byc[:, None] + xp.arange(nwin)[None, :]
@@ -109,7 +142,7 @@ def window_gather(planes, by0, bx0, nwin: int, xp, chunk_bytes: int = 32 << 20):
     byp = xp.concatenate([by0, xp.full((padn,), -(10**6), by0.dtype)])
     bxp = xp.concatenate([bx0, xp.full((padn,), -(10**6), bx0.dtype)])
     wins = jax.lax.map(fetch, (byp.reshape(nchunk, nc), bxp.reshape(nchunk, nc)))
-    return wins.reshape(nchunk * nc, P, nwin, nwin)[:nb]
+    return wins.reshape(nchunk * nc, P, nwin, nwin_c)[:nb]
 
 
 def window_prep(planes, nwin: int, use_pallas: bool):
@@ -124,17 +157,21 @@ def window_prep(planes, nwin: int, use_pallas: bool):
     return ("xla", planes)
 
 
-def window_read(prep, by0, bx0, nwin: int, xp, interpret: bool = False):
+def window_read(prep, by0, bx0, nwin: int, xp, interpret: bool = False,
+                nwin_c: int | None = None):
     """windows[b, p, i, j] = planes[p, by0[b]+i, bx0[b]+j], 0 out of plane —
     through the handle from window_prep.  Bit-identical either way: one
     banded DMA per block (me_pallas.window_fetch) or the one-hot MXU gather
-    (window_gather)."""
+    (window_gather).  Rectangular windows (``nwin_c`` — the lookahead chain
+    step's wide windows) are XLA-gather only."""
     kind, data = prep
     if kind == "pallas":
+        assert nwin_c is None or nwin_c == nwin, \
+            "the Pallas window fetch serves square windows only (lookahead=1)"
         from . import me_pallas as MP
 
         return MP.window_fetch(data, by0, bx0, nwin, interpret=interpret)
-    return window_gather(data, by0, bx0, nwin, xp)
+    return window_gather(data, by0, bx0, nwin, xp, nwin_c=nwin_c)
 
 
 def _region_base(g, y, x, n: int, fme: bool, xp):
@@ -244,6 +281,174 @@ def eval9(win, cur_blk, g, X, Y, n: int, dims, fme: bool, nvalid, xp):
     valid = _cand_valid(g, X, Y, n, dims, nref, nvalid, xp)
     mv, sad, _, _, _ = pick9(sads, valid, g, xp)
     return mv, sad
+
+
+# ------------------- speculative multi-column lookahead chain steps --------
+#
+# The rowscan chain solve is bounded by information propagation: each lax.scan
+# step resolves ONE block column per segment, and per-step latency (~75 us at
+# 720p) dwarfs per-step compute.  The winner of a 3x3 fast-ME step always
+# sits at MVP + delta with delta in {-1,0,1}^2 (the K8 fallback keeps the MVP
+# position itself = the center candidate), so a step can resolve k columns at
+# once: fetch ONE wide window per segment covering every hypothesis chain,
+# compute each column's candidate SADs over its reachable (2i+3)^2 position
+# grid with STATIC slices, then resolve the chain with per-column traced
+# selects (cheap VPU work) — the expensive gather runs once per k columns at
+# the SAME per-column FLOP cost as the k=1 step (the wide window's column
+# span per resolved column is n+2 whole-pel / n+1 FME, vs n+2 for k=1).
+# Bit-exactness: every sub-window slice of the wide window equals the
+# per-column gather (zero-fill is positional), SADs are the same int32 sums,
+# and the winner logic is pick9 itself — so the resolved chain is the same
+# forward substitution, k columns per step instead of one.
+
+
+def wide_window_spec(n: int, k: int, fme: bool):
+    """(rows, cols) of the per-segment wide window serving k consecutive
+    chain columns under every hypothesis chain.  Column i's MVP position
+    drifts at most +-i from the seed MVP and its 9 candidates +-1 more, so
+    whole-pel needs n+2k rows and n per extra column; FME plane coordinates
+    halve the drift (offsets ride the parity decomposition) -> n+k+1 rows
+    (k=1 reproduces eval9's n+2)."""
+    rows = (n + k + 1) if fme else (n + 2 * k)
+    return rows, n * (k - 1) + rows
+
+
+def _wide_base(g, y, x0, k: int, fme: bool, xp):
+    """Wide-window origin for the 3x3 searches of k chain columns whose
+    first column's MVP is ``g`` (block origins (y, x0), unscaled pixels).
+    FME: plane coordinates (floor((gy - k)/2)); k=1 reproduces _region_base."""
+    gx, gy = g[:, 0], g[:, 1]
+    if fme:
+        return y + (gy - k) // 2, x0 + (gx - k) // 2
+    return y + gy - k, x0 + gx - k
+
+
+def _fme_off(p: int, e: int, k: int):
+    """(plane parity, plane offset) of upsample offset ``e`` from the wide
+    base when the seed MVP's coordinate parity is ``p``:
+    q = (p+e) % 2, o = floor((p+e)/2) + (k-p+1)//2  (o in [0, k] for |e|<=k)."""
+    t = p + e
+    return t % 2, (t - (t % 2)) // 2 + (k - p + 1) // 2
+
+
+def _sad_grid_wpel(wide, cur, i: int, n: int, k: int, xp):
+    """Whole-pel candidate-position SAD grid for lookahead column ``i``:
+    grid[s, ref, a, b] = SAD at window start (k-i-1+a, n*i + k-i-1+b),
+    a, b in [0, 2i+2] — every position column i can reach (cumulative drift
+    +-i plus candidate +-1).  wide (S, nref, R, C) int32, cur (S, n, n)."""
+    na = 2 * i + 3
+    o0 = k - i - 1
+    rows = []
+    for a in range(na):
+        row = []
+        for b in range(na):
+            win = wide[:, :, o0 + a : o0 + a + n, n * i + o0 + b : n * i + o0 + b + n]
+            row.append(xp.abs(win - cur[:, None]).sum((-2, -1)))
+        rows.append(xp.stack(row, axis=-1))
+    return xp.stack(rows, axis=-2)  # (S, nref, a, b)
+
+
+def _sad_grid_fme(w4, cur, i: int, n: int, k: int, xp):
+    """FME candidate SAD grid for lookahead column ``i`` over the parity
+    planes: grid[s, ref, pl, oy, ox] with pl = 2*qy + qx the plane index and
+    (oy, ox) plane offsets in [o_lo, o_hi] (the reachable range for
+    |e| <= i+1; indices are stored relative to o_lo).  w4 (S, nref, 4, R, C).
+    Returns (grid, o_lo)."""
+    offs = [_fme_off(p, e, k)[1] for p in (0, 1) for e in range(-(i + 1), i + 2)]
+    o_lo, o_hi = min(offs), max(offs)
+    no = o_hi - o_lo + 1
+    rows = []
+    for oy in range(o_lo, o_hi + 1):
+        row = []
+        for ox in range(o_lo, o_hi + 1):
+            win = w4[:, :, :, oy : oy + n, n * i + ox : n * i + ox + n]
+            row.append(xp.abs(win - cur[:, None, None]).sum((-2, -1)))
+        rows.append(xp.stack(row, axis=-1))
+    g = xp.stack(rows, axis=-2)  # (S, nref, 4, oy, ox)
+    S, nref = g.shape[:2]
+    return g.reshape(S, nref, 2, 2, no, no).transpose(0, 1, 2, 4, 3, 5), o_lo
+
+
+def _select_axis_wpel(grid, c, i: int, axis_from_end: int, xp):
+    """Pick the 3 candidate entries (d in {0,1,2} -> index c + d + i) from a
+    (2i+3)-long position axis, given the traced cumulative offset c (S,).
+    axis_from_end: 2 = rows (second-to-last), 1 = cols (last)."""
+    outs = []
+    na = 2 * i + 3
+    for d in range(3):
+        acc = None
+        for a0 in range(na):
+            take = xp.take(grid, a0, axis=grid.ndim - axis_from_end)
+            m = c + d + i == a0
+            mb = m.reshape((-1,) + (1,) * (take.ndim - 1))
+            acc = take if acc is None else xp.where(mb, take, acc)
+        outs.append(acc)
+    return xp.stack(outs, axis=grid.ndim - axis_from_end)
+
+
+def _select_axis_fme(grid, c, par, i: int, k: int, o_lo: int, pair_axis: int, xp):
+    """FME per-axis candidate selection: for d in {0,1,2}, candidate upsample
+    offset e = c + d - 1 lives in plane parity q and plane offset o
+    (_fme_off with the seed parity ``par``); select the (q, o - o_lo) entry
+    of the (2, no) axis pair starting at ``pair_axis``.  c, par (S,) traced;
+    the unroll runs over the 2x(2i+1) static (p, c0) combinations."""
+    outs = []
+    for d in range(3):
+        acc = None
+        for p in (0, 1):
+            for c0 in range(-i, i + 1):
+                q, o = _fme_off(p, c0 + d - 1, k)
+                take = xp.take(xp.take(grid, o - o_lo, axis=pair_axis + 1), q,
+                               axis=pair_axis)
+                m = (par == p) & (c == c0)
+                mb = m.reshape((-1,) + (1,) * (take.ndim - 1))
+                acc = take if acc is None else xp.where(mb, take, acc)
+        outs.append(acc)
+    return xp.stack(outs, axis=pair_axis)
+
+
+def eval_chain(wide, curs, g0, xs, ys, n: int, k: int, dims, fme: bool, nvalid,
+               colmask, xp):
+    """Resolve ``k`` consecutive chain columns from one wide window per
+    segment (the speculative lookahead step).  wide (S, P, R, C) int32 from
+    window_gather at _wide_base(g0); curs (k, S, n, n) current blocks; g0
+    (S, 3) the first column's MVP; xs (k, S) / ys (S,) block origins in
+    UNSCALED pixels; colmask (k,) bools — False columns are padding and
+    propagate the MVP unchanged (their mv output is the MVP itself).
+    Returns mvs (k, S, 3) with mvs[i] = f(mvs[i-1]) exactly (pick9
+    semantics per column, K7 bounds, K8 fallback)."""
+    S = wide.shape[0]
+    scale = 2 if fme else 1
+    if fme:
+        nref = wide.shape[1] // 4
+        w4 = wide.reshape(S, nref, 4, wide.shape[-2], wide.shape[-1])
+        pay, pax = g0[:, 1] % 2, g0[:, 0] % 2  # seed MVP parities
+    else:
+        nref = wide.shape[1]
+    g = g0
+    cy = xp.zeros((S,), xp.int32)
+    cx = xp.zeros((S,), xp.int32)
+    mvs = []
+    for i in range(k):
+        if fme:
+            grid, o_lo = _sad_grid_fme(w4, curs[i], i, n, k, xp)
+            # grid (S, nref, 2, no, 2, no) [qy, oy, qx, ox]
+            gy3 = _select_axis_fme(grid, cy, pay, i, k, o_lo, 2, xp)
+            # gy3 (S, nref, 3, 2, no) [dyi, qx, ox]
+            sads = _select_axis_fme(gy3, cx, pax, i, k, o_lo, 3, xp)
+            # (S, nref, 3, 3) [dyi, dxi]
+        else:
+            grid = _sad_grid_wpel(wide, curs[i], i, n, k, xp)
+            gy3 = _select_axis_wpel(grid, cy, i, 2, xp)  # rows -> (S,nref,3,b)
+            sads = _select_axis_wpel(gy3, cx, i, 1, xp)  # cols -> (S,nref,3,3)
+        valid = _cand_valid(g, xs[i] * scale, ys * scale, n, dims, nref, nvalid, xp)
+        valid = valid & colmask[i]
+        mv, _, dyi, dxi, ok = pick9(sads, valid, g, xp)
+        mvs.append(mv)
+        cy = cy + xp.where(ok, dyi - 1, 0)
+        cx = cx + xp.where(ok, dxi - 1, 0)
+        g = mv
+    return xp.stack(mvs, axis=0)
 
 
 def _ref_select(w, ref, xp):

@@ -377,22 +377,25 @@ class JaxCodec:
         return outs
 
     def _fast_me_seg_mult(self) -> int:
-        """Resolved rowscan segment multiplier k (a divisor of nbc; the chain
-        is cut into k*nbr segments of nbc/k blocks).  Explicit requests round
-        DOWN to the nearest divisor of nbc.  "auto" = 1: measured on-chip
-        (benchmarks/segscan_ab.py, cfg.fast_me_seg_mult docstring), k > 1
-        loses roughly linearly in k because Jacobi seed corrections travel
-        one segment per outer pass — the chain solve is propagation-bound,
-        so the row cut (the coarsest segmentation the column scan admits)
-        is optimal."""
-        req = self.cfg.fast_me_seg_mult
-        nbc = self.nbc
-        if req == "auto":
+        """Resolved rowscan segment multiplier (fastme.resolve_seg_mult: a
+        divisor of nbc, "auto" = 1 by measurement, loud on silent rounding)."""
+        from streamoptima_tpu.core.fastme import resolve_seg_mult
+
+        return resolve_seg_mult(self.cfg.fast_me_seg_mult, self.nbc)
+
+    def _fast_me_lookahead(self, seg_len: int) -> int:
+        """Resolved rowscan lookahead (chain columns per scan step,
+        cfg.fast_me_lookahead).  "auto" = the measured rule
+        (benchmarks/lookahead_ab.py): k=4 — per-pass gather FLOPs are
+        k-independent while sequential steps drop k-fold, and the measured
+        curve flattens past 4 (wider windows grow the colf intermediate).
+        The Pallas window fetch serves square windows only, so
+        fast_me_fetch="pallas" pins k=1."""
+        if self.cfg.fast_me_fetch == "pallas":
             return 1
-        k = max(1, min(int(req), nbc))
-        while nbc % k:
-            k -= 1
-        return k
+        req = self.cfg.fast_me_lookahead
+        k = 4 if req == "auto" else int(req)
+        return max(1, min(k, seg_len))
 
     def _fast_search_rowscan(self, cur32, refs, fme, initial_refs: bool, g0=None):
         """Fast-ME chain solved row-segmented on the MXU (fast_me_chain
@@ -437,6 +440,7 @@ class JaxCodec:
         nbr, nbc = self.nbr, self.nbc
         k = self._fast_me_seg_mult()
         S, L = nbr * k, nbc // k
+        kl = self._fast_me_lookahead(L)
         planes = FM.plane_stack(refs, fme, jnp, wrap_row_pass=not initial_refs)
         # auto = the XLA one-hot gather: the Pallas per-block DMA fetch is
         # issue-bound at ~1.1 us/block (raw parity with XLA at both rowscan
@@ -453,16 +457,48 @@ class JaxCodec:
         xsT = self.bx.astype(jnp.int32).reshape(S, L).swapaxes(0, 1)  # (L, S)
         ysT = self.by.astype(jnp.int32).reshape(S, L).swapaxes(0, 1)
 
-        def row_pass(seeds):
-            def step(g, inp):
-                cb, xv, yv = inp  # (S, n, n), (S,), (S,)
-                by0, bx0 = FM._region_base(g, yv, xv, n, fme, jnp)
-                win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
-                mv, _ = FM.eval9(win, cb, g, xv * scale, yv * scale, n, dims,
-                                 fme, None, jnp)
-                return mv, mv
+        if kl > 1:
+            # speculative lookahead (fastme.eval_chain): each scan step
+            # resolves kl consecutive chain columns from ONE wide window per
+            # segment; padded tail columns propagate the MVP unchanged, so
+            # the row hand-off m_last stays the true last column's MV
+            Lp = -(-L // kl)
+            padc = Lp * kl - L
+            wr, wc = FM.wide_window_spec(n, kl, fme)
+            ysv = ysT[0]  # y is constant along each segment's columns
+            curK = jnp.concatenate(
+                [curT, jnp.zeros((padc,) + curT.shape[1:], curT.dtype)]
+            ).reshape(Lp, kl, S, n, n) if padc else curT.reshape(Lp, kl, S, n, n)
+            xsK = jnp.concatenate(
+                [xsT, jnp.broadcast_to(xsT[-1:], (padc, S))]
+            ).reshape(Lp, kl, S) if padc else xsT.reshape(Lp, kl, S)
+            cmK = jnp.asarray(
+                (np.arange(Lp * kl) < L).reshape(Lp, kl))
 
-            return jax.lax.scan(step, seeds, (curT, xsT, ysT))  # (m_last, mT)
+            def row_pass(seeds):
+                def step(g, inp):
+                    cb, xv, cm = inp  # (kl, S, n, n), (kl, S), (kl,)
+                    by0, bx0 = FM._wide_base(g, ysv, xv[0], kl, fme, jnp)
+                    wide = FM.window_read(wprep, by0, bx0, wr, jnp,
+                                          interpret=interp, nwin_c=wc)
+                    mvs = FM.eval_chain(wide, cb, g, xv, ysv, n, kl, dims,
+                                        fme, None, cm, jnp)
+                    return mvs[-1], mvs
+
+                m_last, mK = jax.lax.scan(step, seeds, (curK, xsK, cmK))
+                return m_last, mK.reshape(Lp * kl, S, 3)[:L]
+        else:
+
+            def row_pass(seeds):
+                def step(g, inp):
+                    cb, xv, yv = inp  # (S, n, n), (S,), (S,)
+                    by0, bx0 = FM._region_base(g, yv, xv, n, fme, jnp)
+                    win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
+                    mv, _ = FM.eval9(win, cb, g, xv * scale, yv * scale, n, dims,
+                                     fme, None, jnp)
+                    return mv, mv
+
+                return jax.lax.scan(step, seeds, (curT, xsT, ysT))  # (m_last, mT)
 
         def body(state):
             seeds, _, _, it = state

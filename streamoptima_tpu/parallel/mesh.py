@@ -386,19 +386,20 @@ class ShardedCodec:
         return outs
 
     def _fast_me_seg_mult(self) -> int:
-        """Resolved rowscan segment multiplier for the TILE-local chain (the
-        single-chip rule of JaxCodec._fast_me_seg_mult): a divisor of nbc;
-        explicit requests round down; "auto" = 1 — the chain solve is
-        propagation-bound (one segment per Jacobi pass), so finer cuts lose
-        (measured: benchmarks/segscan_ab.py, cfg.fast_me_seg_mult)."""
-        req = self.cfg.fast_me_seg_mult
-        nbc = self.nbc
-        if req == "auto":
+        """Resolved rowscan segment multiplier for the TILE-local chain
+        (fastme.resolve_seg_mult — the single-chip rule: a divisor of nbc,
+        "auto" = 1 by measurement, loud on silent rounding)."""
+        from streamoptima_tpu.core.fastme import resolve_seg_mult
+
+        return resolve_seg_mult(self.cfg.fast_me_seg_mult, self.nbc)
+
+    def _fast_me_lookahead(self, seg_len: int) -> int:
+        """Resolved rowscan lookahead (JaxCodec._fast_me_lookahead rule)."""
+        if self.cfg.fast_me_fetch == "pallas":
             return 1
-        k = max(1, min(int(req), nbc))
-        while nbc % k:
-            k -= 1
-        return k
+        req = self.cfg.fast_me_lookahead
+        k = 4 if req == "auto" else int(req)
+        return max(1, min(k, seg_len))
 
     def _fast_tile_rowscan(self, cur32, band, nvalid, y0_px, fme, g0=None):
         """Fast-ME on the mesh, row-segmented (fast_me_chain "rowscan", the
@@ -442,22 +443,54 @@ class ShardedCodec:
         # stays one (3,)-vector ppermute of the tile's LAST MV per pass.
         k = self._fast_me_seg_mult()
         S, L = nbr_t * k, nbc // k
+        kl = self._fast_me_lookahead(L)
         cur_b = cur32.reshape(nbr_t, n, nbc, n).swapaxes(1, 2).reshape(-1, n, n)
         curT = cur_b.reshape(S, L, n, n).swapaxes(0, 1)  # (L, S, n, n)
         xsT = self._bx.astype(jnp.int32).reshape(S, L).swapaxes(0, 1)  # (L, S)
         ysT = (self._by_local + y0_px).astype(jnp.int32).reshape(S, L).swapaxes(0, 1)
         perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
 
-        def row_pass(seeds):
-            def step(g, inp):
-                cb, xv, yv = inp  # (S, n, n), (S,), (S,)
-                by0, bx0 = FM._region_base(g, yv, xv, n, fme, jnp)
-                win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
-                mv, _ = FM.eval9(win, cb, g, xv * scale, yv * scale, n, dims,
-                                 fme, nvalid, jnp)
-                return mv, mv
+        if kl > 1:
+            # speculative lookahead (fastme.eval_chain — the single-chip
+            # rule): kl chain columns per scan step from one wide window per
+            # segment; padded tail columns propagate the MVP, so the
+            # cross-tile ppermute still carries the true last column's MV
+            Lp = -(-L // kl)
+            padc = Lp * kl - L
+            wr, wc = FM.wide_window_spec(n, kl, fme)
+            ysv = ysT[0]
+            curK = jnp.concatenate(
+                [curT, jnp.zeros((padc,) + curT.shape[1:], curT.dtype)]
+            ).reshape(Lp, kl, S, n, n) if padc else curT.reshape(Lp, kl, S, n, n)
+            xsK = jnp.concatenate(
+                [xsT, jnp.broadcast_to(xsT[-1:], (padc, S))]
+            ).reshape(Lp, kl, S) if padc else xsT.reshape(Lp, kl, S)
+            cmK = jnp.asarray((np.arange(Lp * kl) < L).reshape(Lp, kl))
 
-            return jax.lax.scan(step, seeds, (curT, xsT, ysT))
+            def row_pass(seeds):
+                def step(g, inp):
+                    cb, xv, cm = inp
+                    by0, bx0 = FM._wide_base(g, ysv, xv[0], kl, fme, jnp)
+                    wide = FM.window_read(wprep, by0, bx0, wr, jnp,
+                                          interpret=interp, nwin_c=wc)
+                    mvs = FM.eval_chain(wide, cb, g, xv, ysv, n, kl, dims,
+                                        fme, nvalid, cm, jnp)
+                    return mvs[-1], mvs
+
+                m_last, mK = jax.lax.scan(step, seeds, (curK, xsK, cmK))
+                return m_last, mK.reshape(Lp * kl, S, 3)[:L]
+        else:
+
+            def row_pass(seeds):
+                def step(g, inp):
+                    cb, xv, yv = inp  # (S, n, n), (S,), (S,)
+                    by0, bx0 = FM._region_base(g, yv, xv, n, fme, jnp)
+                    win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
+                    mv, _ = FM.eval9(win, cb, g, xv * scale, yv * scale, n, dims,
+                                     fme, nvalid, jnp)
+                    return mv, mv
+
+                return jax.lax.scan(step, seeds, (curT, xsT, ysT))
 
         def body(state):
             seeds, _, _, it = state

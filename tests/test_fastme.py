@@ -62,6 +62,62 @@ def test_eval9_matches_fast_candidates(fme):
 
 
 @pytest.mark.parametrize("fme", [False, True])
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+def test_eval_chain_matches_sequential_eval9(fme, k):
+    """The speculative lookahead step (one wide window per segment, candidate
+    SAD grids from static slices, traced-select resolve) must reproduce the
+    sequential per-column eval9 chain bit-exactly for every k — including K8
+    fallbacks mid-chain (wild seeds), edge seeds, multi-ref, and padding
+    columns (colmask False -> the MVP propagates unchanged)."""
+    cur, refs, bx, by, g, (nbr, nbc) = _setup(fme, seed=3)
+    bs = 16
+    scale = 2 if fme else 1
+    n = bs
+    planes = FM.plane_stack(jnp.asarray(refs), fme, jnp)
+    dims = (2 * cur.shape[0] - 1, 2 * cur.shape[1] - 1) if fme else cur.shape
+    cur_b = jnp.asarray(cur).reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(-1, bs, bs)
+    # chain segments = block rows; seeds = column-0 guesses from _setup
+    S = nbr
+    seeds = g.reshape(nbr, nbc, 3)[:, 0]
+    curT = cur_b.reshape(nbr, nbc, n, n).swapaxes(0, 1)  # (L, S, n, n)
+    xsT = jnp.asarray(bx).reshape(nbr, nbc).swapaxes(0, 1).astype(jnp.int32)
+    ys = jnp.asarray(by).reshape(nbr, nbc)[:, 0].astype(jnp.int32)
+
+    # oracle: per-column eval9 forward substitution
+    gg = seeds
+    mv_seq = []
+    for j in range(nbc):
+        by0, bx0 = FM._region_base(gg, ys, xsT[j], n, fme, jnp)
+        win = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+        mv, _ = FM.eval9(win, curT[j], gg, xsT[j] * scale, ys * scale, n,
+                         dims, fme, None, jnp)
+        mv_seq.append(np.asarray(mv))
+        gg = mv
+
+    # lookahead: chunks of k columns with a padded tail
+    Lp = -(-nbc // k)
+    padc = Lp * k - nbc
+    curK = jnp.concatenate([curT, jnp.zeros((padc, S, n, n), curT.dtype)])
+    xsK = jnp.concatenate([xsT, jnp.broadcast_to(xsT[-1:], (padc, S))])
+    wr, wc = FM.wide_window_spec(n, k, fme)
+    gg = seeds
+    mv_la = []
+    for c in range(Lp):
+        cm = jnp.asarray((np.arange(c * k, (c + 1) * k) < nbc))
+        by0, bx0 = FM._wide_base(gg, ys, xsK[c * k], k, fme, jnp)
+        wide = FM.window_gather(planes, by0, bx0, wr, jnp, nwin_c=wc)
+        mvs = FM.eval_chain(wide, curK[c * k : (c + 1) * k], gg,
+                            xsK[c * k : (c + 1) * k], ys, n, k, dims, fme,
+                            None, cm, jnp)
+        for i in range(min(k, nbc - c * k)):
+            mv_la.append(np.asarray(mvs[i]))
+        gg = mvs[-1]
+
+    for j in range(nbc):
+        np.testing.assert_array_equal(mv_la[j], mv_seq[j], err_msg=f"column {j}")
+
+
+@pytest.mark.parametrize("fme", [False, True])
 def test_confirm_matches_quads_and_gather_predictions(fme):
     cur, refs, bx, by, g, (nbr, nbc) = _setup(fme, seed=1)
     h, w = cur.shape

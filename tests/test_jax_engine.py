@@ -242,10 +242,18 @@ def test_fast_me_fixpoint_matches_scan(flags):
     # rowscan segment multipliers: w=96 -> nbc=6, so k=2/3 cut every block
     # row into segments that CROSS row boundaries — the fixpoint must not
     # depend on the segmentation (cfg.fast_me_seg_mult docstring).
-    for chain, seg in (("fixpoint", "auto"), ("rowscan", "auto"), ("rowscan", 2),
-                       ("rowscan", 3), ("rowscan", 6)):
+    # lookahead k: the speculative multi-column chain step (fastme.eval_chain)
+    # must be bit-identical for every k, including k=1 (the legacy per-column
+    # step), non-divisors of the segment length (nbc=6: k=4 pads the tail)
+    # and k > nbc (clamped); composed with a seg_mult cut that crosses rows.
+    for chain, seg, look in (("fixpoint", "auto", "auto"), ("rowscan", "auto", 1),
+                             ("rowscan", "auto", 2), ("rowscan", "auto", 3),
+                             ("rowscan", "auto", 4), ("rowscan", "auto", "auto"),
+                             ("rowscan", "auto", 9), ("rowscan", 2, 2),
+                             ("rowscan", 3, "auto"), ("rowscan", 6, 1)):
         b = JaxCodec(dataclasses.replace(cfg, fast_me_chain=chain,
-                                         fast_me_seg_mult=seg), y).encode()
+                                         fast_me_seg_mult=seg,
+                                         fast_me_lookahead=look), y).encode()
         np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
         for fa, fb in zip(a["MVS per Frame"], b["MVS per Frame"]):
             assert fa == fb
