@@ -109,11 +109,19 @@ def window_gather(planes, by0, bx0, nwin: int, xp, chunk_bytes: int = 32 << 20,
     square unless ``nwin_c`` widens the column span (the lookahead chain
     step's multi-column wide windows).
 
-    Two MXU matmuls per chunk: columns first ((P*H, W) @ (W, nc*nwin_c) — one
-    large plain matmul), then rows (per-block batched (nwin, H) @ (H, P*nwin_c)).
-    One-hot operands and integer plane values make both products exact in
-    bf16 with f32 accumulation.  ``chunk_bytes`` bounds the (nc, P, H, nwin_c)
-    f32 intermediate; blocks are processed in equal chunks via lax.map.
+    Two MXU matmuls per chunk, ordered by window shape.  Square windows
+    (the confirm pass, k=1 sweeps): columns first ((P*H, W) @ (W, nc*nwin_c)
+    — one large plain matmul), then rows (per-block batched (nwin, H) @
+    (H, P*nwin_c)); the (nc, P, H, nwin_c) f32 intermediate is the smaller
+    one and the order is the measured round-3 winner (wingather_ab).  WIDE
+    windows (nwin_c > nwin: the lookahead chain step, whose column span
+    grows ~k-fold) flip to rows first — the first contraction's cost scales
+    with the OUTPUT axis it keeps (rows: n+k+1 vs columns: ~k(n+1)), so
+    rows-first cuts the per-step FLOPs ~wc/nwin-fold (3x at k=4) and
+    shrinks the intermediate to (nc, P, nwin, W).  One-hot operands and
+    integer plane values make both products exact in bf16 with f32
+    accumulation.  ``chunk_bytes`` bounds the f32 intermediate; blocks are
+    processed in equal chunks via lax.map.
     """
     import jax
 
@@ -121,7 +129,8 @@ def window_gather(planes, by0, bx0, nwin: int, xp, chunk_bytes: int = 32 << 20,
         nwin_c = nwin
     P, H, W = planes.shape
     nb = by0.shape[0]
-    per_block = P * H * nwin_c * 4
+    rows_first = nwin_c > nwin
+    per_block = (P * nwin * W * 4) if rows_first else (P * H * nwin_c * 4)
     nc = max(1, min(nb, chunk_bytes // per_block))
     nchunk = -(-nb // nc)
 
@@ -129,11 +138,18 @@ def window_gather(planes, by0, bx0, nwin: int, xp, chunk_bytes: int = 32 << 20,
         byc, bxc = args  # (nc,)
         jj = bxc[:, None] + xp.arange(nwin_c)[None, :]  # (nc, nwin_c)
         cs = (jj[:, None, :] == xp.arange(W)[None, :, None]).astype(xp.bfloat16)
-        colf = xp.einsum("phw,bwj->bphj", planes, cs, preferred_element_type=xp.float32)
         ii = byc[:, None] + xp.arange(nwin)[None, :]
         rs = (ii[:, :, None] == xp.arange(H)[None, None, :]).astype(xp.bfloat16)
-        win = xp.einsum("bih,bphj->bpij", rs, colf.astype(xp.bfloat16),
-                        preferred_element_type=xp.float32)
+        if rows_first:
+            rowf = xp.einsum("bih,phw->bpiw", rs, planes,
+                             preferred_element_type=xp.float32)
+            win = xp.einsum("bpiw,bwj->bpij", rowf.astype(xp.bfloat16), cs,
+                            preferred_element_type=xp.float32)
+        else:
+            colf = xp.einsum("phw,bwj->bphj", planes, cs,
+                             preferred_element_type=xp.float32)
+            win = xp.einsum("bih,bphj->bpij", rs, colf.astype(xp.bfloat16),
+                            preferred_element_type=xp.float32)
         return win.astype(xp.int32)
 
     if nchunk == 1:
@@ -227,6 +243,19 @@ def pick9(sads, valid, g, xp):
     return mv, xp.where(ok, best, _INF32).astype(xp.int32), dyi, dxi, ok
 
 
+def _sad_stack(w, cur, n: int, no: int, xp):
+    """out[..., oy, ox] = sum |w[..., oy:oy+n, ox:ox+n] - cur| for
+    oy, ox in [0, no): the shifted-window SAD grid as TWO stacks of static
+    slices + one abs-diff + one reduction.  The per-(oy, ox) slice-reduce
+    form emits no^2 separate fusions whose fixed cost dominates latency-
+    sensitive callers (the rowscan scan step; measured in
+    benchmarks/lookahead_ab.py round 4).  ``cur`` must broadcast against
+    w's leading dims with the trailing (n, n) window."""
+    rstk = xp.stack([w[..., oy : oy + n, :] for oy in range(no)], axis=-3)
+    cstk = xp.stack([rstk[..., ox : ox + n] for ox in range(no)], axis=-3)
+    return xp.abs(cstk - cur[..., None, None, :, :]).sum((-2, -1))
+
+
 def _sad16_select(sad16, ay, ax, dyi: int, dxi: int, xp):
     """Candidate (dyi, dxi) SAD from the 16 parity-combination SADs.
 
@@ -256,13 +285,7 @@ def eval9(win, cur_blk, g, X, Y, n: int, dims, fme: bool, nvalid, xp):
     if fme:
         nref = win.shape[1] // 4
         w4 = win.reshape(nb, nref, 4, win.shape[-2], win.shape[-1])
-        sad16 = xp.stack([
-            xp.stack([
-                xp.abs(w4[:, :, :, oy : oy + n, ox : ox + n] - cur_blk[:, None, None]).sum((-2, -1))
-                for ox in (0, 1)
-            ], axis=-1)
-            for oy in (0, 1)
-        ], axis=-2)  # (nb, nref, 4, oy, ox)
+        sad16 = _sad_stack(w4, cur_blk[:, None, None], n, 2, xp)
         sad16 = sad16.reshape(nb, nref, 2, 2, 2, 2)  # [pyp, pxp, oy, ox]
         ay, ax = g[:, 1] % 2, g[:, 0] % 2
         sads = xp.stack([
@@ -271,13 +294,7 @@ def eval9(win, cur_blk, g, X, Y, n: int, dims, fme: bool, nvalid, xp):
         ], axis=-2)  # (nb, nref, dyi, dxi)
     else:
         nref = win.shape[1]
-        sads = xp.stack([
-            xp.stack([
-                xp.abs(win[:, :, dyi : dyi + n, dxi : dxi + n] - cur_blk[:, None]).sum((-2, -1))
-                for dxi in range(3)
-            ], axis=-1)
-            for dyi in range(3)
-        ], axis=-2)
+        sads = _sad_stack(win, cur_blk[:, None], n, 3, xp)
     valid = _cand_valid(g, X, Y, n, dims, nref, nvalid, xp)
     mv, sad, _, _, _ = pick9(sads, valid, g, xp)
     return mv, sad
@@ -335,36 +352,30 @@ def _sad_grid_wpel(wide, cur, i: int, n: int, k: int, xp):
     """Whole-pel candidate-position SAD grid for lookahead column ``i``:
     grid[s, ref, a, b] = SAD at window start (k-i-1+a, n*i + k-i-1+b),
     a, b in [0, 2i+2] — every position column i can reach (cumulative drift
-    +-i plus candidate +-1).  wide (S, nref, R, C) int32, cur (S, n, n)."""
+    +-i plus candidate +-1).  wide (S, nref, R, C) int32, cur (S, n, n).
+
+    Built as shifted-window STACKS (two concats of static slices) + ONE
+    abs-diff + ONE reduction: the naive per-(a, b) slice-reduce form emits
+    (2i+3)^2 separate fusions whose fixed per-fusion cost dominates the scan
+    step (measured: per-pass time grew ~linearly in k instead of staying
+    flat — benchmarks/lookahead_ab.py round 4)."""
     na = 2 * i + 3
     o0 = k - i - 1
-    rows = []
-    for a in range(na):
-        row = []
-        for b in range(na):
-            win = wide[:, :, o0 + a : o0 + a + n, n * i + o0 + b : n * i + o0 + b + n]
-            row.append(xp.abs(win - cur[:, None]).sum((-2, -1)))
-        rows.append(xp.stack(row, axis=-1))
-    return xp.stack(rows, axis=-2)  # (S, nref, a, b)
+    span = wide[:, :, o0 : o0 + na - 1 + n, n * i + o0 : n * i + o0 + na - 1 + n]
+    return _sad_stack(span, cur[:, None], n, na, xp)  # (S, nref, a, b)
 
 
 def _sad_grid_fme(w4, cur, i: int, n: int, k: int, xp):
     """FME candidate SAD grid for lookahead column ``i`` over the parity
-    planes: grid[s, ref, pl, oy, ox] with pl = 2*qy + qx the plane index and
+    planes: grid[s, ref, qy, oy, qx, ox] with (qy, qx) the plane parity and
     (oy, ox) plane offsets in [o_lo, o_hi] (the reachable range for
     |e| <= i+1; indices are stored relative to o_lo).  w4 (S, nref, 4, R, C).
-    Returns (grid, o_lo)."""
+    Returns (grid, o_lo).  Stack-then-reduce form (see _sad_grid_wpel)."""
     offs = [_fme_off(p, e, k)[1] for p in (0, 1) for e in range(-(i + 1), i + 2)]
     o_lo, o_hi = min(offs), max(offs)
     no = o_hi - o_lo + 1
-    rows = []
-    for oy in range(o_lo, o_hi + 1):
-        row = []
-        for ox in range(o_lo, o_hi + 1):
-            win = w4[:, :, :, oy : oy + n, n * i + ox : n * i + ox + n]
-            row.append(xp.abs(win - cur[:, None, None]).sum((-2, -1)))
-        rows.append(xp.stack(row, axis=-1))
-    g = xp.stack(rows, axis=-2)  # (S, nref, 4, oy, ox)
+    span = w4[:, :, :, o_lo : o_hi + n, n * i + o_lo : n * i + o_hi + n]
+    g = _sad_stack(span, cur[:, None, None], n, no, xp)  # (S, nref, 4, oy, ox)
     S, nref = g.shape[:2]
     return g.reshape(S, nref, 2, 2, no, no).transpose(0, 1, 2, 4, 3, 5), o_lo
 
@@ -584,13 +595,8 @@ def confirm(win, cur_blk, cur_quads, g, X, Y, bs: int, sbs: int, dims, fme: bool
     if fme:
         nref = win.shape[1] // 4
         w4 = win.reshape(nb, nref, 4, nwin, nwin)
-        sad16 = xp.stack([
-            xp.stack([
-                xp.abs(w4[:, :, :, oy : oy + bs, ox : ox + bs] - cur_blk[:, None, None]).sum((-2, -1))
-                for ox in (0, 1)
-            ], axis=-1)
-            for oy in (0, 1)
-        ], axis=-2).reshape(nb, nref, 2, 2, 2, 2)
+        sad16 = _sad_stack(w4, cur_blk[:, None, None], bs, 2, xp).reshape(
+            nb, nref, 2, 2, 2, 2)
         ay, ax = g[:, 1] % 2, g[:, 0] % 2
         sads = xp.stack([
             xp.stack([_sad16_select(sad16, ay, ax, dyi, dxi, xp) for dxi in range(3)], axis=-1)
@@ -598,13 +604,7 @@ def confirm(win, cur_blk, cur_quads, g, X, Y, bs: int, sbs: int, dims, fme: bool
         ], axis=-2)
     else:
         nref = win.shape[1]
-        sads = xp.stack([
-            xp.stack([
-                xp.abs(win[:, :, dyi : dyi + bs, dxi : dxi + bs] - cur_blk[:, None]).sum((-2, -1))
-                for dxi in range(3)
-            ], axis=-1)
-            for dyi in range(3)
-        ], axis=-2)
+        sads = _sad_stack(win, cur_blk[:, None], bs, 3, xp)
     valid = _cand_valid(g, X, Y, bs, dims, nref, nvalid, xp)
     mv, sad, dyi, dxi, okw = pick9(sads, valid, g, xp)
     # K8 fallback transmits the MVP itself = the center candidate (1, 1)
@@ -623,31 +623,16 @@ def confirm(win, cur_blk, cur_quads, g, X, Y, bs: int, sbs: int, dims, fme: bool
         Yq = Y + scale * oy_q
         cq = cur_quads[:, q]
         if fme:
-            qsad16 = xp.stack([
-                xp.stack([
-                    xp.abs(
-                        w4[:, :, :, oy + oy_q : oy + oy_q + sbs, ox + ox_q : ox + ox_q + sbs]
-                        - cq[:, None, None]
-                    ).sum((-2, -1))
-                    for ox in (0, 1)
-                ], axis=-1)
-                for oy in (0, 1)
-            ], axis=-2).reshape(nb, nref, 2, 2, 2, 2)
+            span_q = w4[:, :, :, oy_q : oy_q + 1 + sbs, ox_q : ox_q + 1 + sbs]
+            qsad16 = _sad_stack(span_q, cq[:, None, None], sbs, 2, xp).reshape(
+                nb, nref, 2, 2, 2, 2)
             qsads = xp.stack([
                 xp.stack([_sad16_select(qsad16, ay, ax, dyi_, dxi_, xp) for dxi_ in range(3)], axis=-1)
                 for dyi_ in range(3)
             ], axis=-2)
         else:
-            qsads = xp.stack([
-                xp.stack([
-                    xp.abs(
-                        win[:, :, dyi_ + oy_q : dyi_ + oy_q + sbs, dxi_ + ox_q : dxi_ + ox_q + sbs]
-                        - cq[:, None]
-                    ).sum((-2, -1))
-                    for dxi_ in range(3)
-                ], axis=-1)
-                for dyi_ in range(3)
-            ], axis=-2)
+            span_q = win[:, :, oy_q : oy_q + 2 + sbs, ox_q : ox_q + 2 + sbs]
+            qsads = _sad_stack(span_q, cq[:, None], sbs, 3, xp)
         qvalid = _cand_valid(g, Xq, Yq, sbs, dims, nref, nvalid, xp)
         qmv, qsad, qdyi, qdxi, qok = pick9(qsads, qvalid, g, xp)
         qdyi = xp.where(qok, qdyi, one)
