@@ -40,7 +40,7 @@ def probe(h, w, sr=16, vbs=True, fme=True, ks=(1, 2, 4, 8, "auto")):
                           fme_enable=fme, fast_me=True, me_search="pallas",
                           fast_me_lookahead=k)
         codec = JaxCodec(cfg, clip)
-        keff = codec._fast_me_lookahead(codec.nbc)
+        keff = codec._fast_me_lookahead(codec.nbc, codec.nbr)
         refs = codec._y_dev[:1]
         cur_a = codec._y_dev[1].astype(jnp.int32)
         cur_b = codec._y_dev[2].astype(jnp.int32)

@@ -462,6 +462,63 @@ def eval_chain(wide, curs, g0, xs, ys, n: int, k: int, dims, fme: bool, nvalid,
     return xp.stack(mvs, axis=0)
 
 
+def confirm_windows_from_stack(wideT, g_fin, n: int, k: int, L: int, S: int,
+                               fme: bool, xp):
+    """Confirm-pass regions from the FINAL sweep pass's stacked wide windows
+    — bit-identical to ``window_gather(planes, *_region_base(g_fin), n+2)``
+    without re-gathering (the all-blocks one-hot gather is ~3 ms at 720p).
+
+    The while-loop exits only after a pass whose seeds equal the converged
+    seeds, so the last pass's chunk seeds are exactly g_fin at each chunk's
+    first column, and every block's (n+2)-region lies INSIDE its chunk's
+    wide window at an offset that is plain arithmetic on the converged MV
+    field: with cy = gy_block - gy_chunkseed (drift, |cy| <= k-1),
+
+      whole-pel: row offset a = cy + k - 1                    in [0, 2k-2]
+      FME:       a = (p + cy - 1)//2 + (k - p + 1)//2         in [0, k-1]
+                 (p = chunk-seed y parity; same for columns with x)
+
+    and the wide window's (n+2k) / (n+k+1) extents fit the extreme offsets
+    exactly.  wideT (Lp, S, P, wr, wc) int32 stacked by the scan; g_fin
+    (S*L, 3) converged MVPs in chain order (segment-major).  Returns
+    (S*L, P, n+2, n+2) in the same chain order."""
+    Lp = wideT.shape[0]
+    P = wideT.shape[2]
+    nw = n + 2
+    g = g_fin.reshape(S, L, 3)
+    padc = Lp * k - L
+    if padc:
+        g = xp.concatenate([g, xp.broadcast_to(g[:, -1:], (S, padc, 3))], axis=1)
+    gk = g.reshape(S, Lp, k, 3)
+    na = k if fme else 2 * k - 1
+
+    def offsets(axis):  # axis 0 = x (columns), 1 = y (rows)
+        seed = gk[:, :, 0, axis]
+        drift = gk[:, :, :, axis] - seed[:, :, None]  # (S, Lp, k)
+        if fme:
+            p = seed % 2
+            return (p[:, :, None] + drift - 1) // 2 + ((k - p + 1) // 2)[:, :, None]
+        return drift + (k - 1)
+
+    ay = offsets(1).swapaxes(0, 1)  # (Lp, S, k)
+    bx = offsets(0).swapaxes(0, 1)
+    cols = []
+    for i in range(k):
+        racc = None
+        for a0 in range(na):
+            m = (ay[:, :, i] == a0)[:, :, None, None, None]
+            sl = wideT[:, :, :, a0 : a0 + nw, n * i : n * i + na - 1 + nw]
+            racc = sl if racc is None else xp.where(m, sl, racc)
+        cacc = None
+        for b0 in range(na):
+            m = (bx[:, :, i] == b0)[:, :, None, None, None]
+            sl = racc[..., b0 : b0 + nw]
+            cacc = sl if cacc is None else xp.where(m, sl, cacc)
+        cols.append(cacc)  # (Lp, S, P, nw, nw)
+    wins = xp.stack(cols, axis=1).reshape(Lp * k, S, P, nw, nw)[:L]
+    return wins.swapaxes(0, 1).reshape(S * L, P, nw, nw)
+
+
 def _ref_select(w, ref, xp):
     """w (nb, nref, ...) -> (nb, ...) rows picked by the traced ref index
     (nref is small; an unrolled select beats a gather)."""

@@ -383,18 +383,22 @@ class JaxCodec:
 
         return resolve_seg_mult(self.cfg.fast_me_seg_mult, self.nbc)
 
-    def _fast_me_lookahead(self, seg_len: int) -> int:
+    def _fast_me_lookahead(self, seg_len: int, n_segments: int) -> int:
         """Resolved rowscan lookahead (chain columns per scan step,
         cfg.fast_me_lookahead).  "auto" = the measured rule
-        (benchmarks/lookahead_ab.py): k=4 — per-pass gather FLOPs are
-        k-independent while sequential steps drop k-fold, and the measured
-        curve flattens past 4 (wider windows grow the colf intermediate).
+        (benchmarks/lookahead_ab.py): k=4 on large frames — per-pass gather
+        FLOPs are k-independent while sequential steps drop k-fold (720p
+        inter step 14.6 -> 10.0 ms) — but k=1 on SMALL batches: at CIF
+        (S=18 segments) the per-step cost is fixed-op-count-bound, the
+        resolve's per-column select chains grow with k, and every k > 1
+        measured slower (0.78 -> 1.88 -> 3.62 ms at k=1/2/4).  The S >= 32
+        cut separates the two regimes (720p 45, 1080p 68, 4K 135 vs CIF 18).
         The Pallas window fetch serves square windows only, so
         fast_me_fetch="pallas" pins k=1."""
         if self.cfg.fast_me_fetch == "pallas":
             return 1
         req = self.cfg.fast_me_lookahead
-        k = 4 if req == "auto" else int(req)
+        k = (4 if n_segments >= 32 else 1) if req == "auto" else int(req)
         return max(1, min(k, seg_len))
 
     def _fast_search_rowscan(self, cur32, refs, fme, initial_refs: bool, g0=None):
@@ -440,7 +444,7 @@ class JaxCodec:
         nbr, nbc = self.nbr, self.nbc
         k = self._fast_me_seg_mult()
         S, L = nbr * k, nbc // k
-        kl = self._fast_me_lookahead(L)
+        kl = self._fast_me_lookahead(L, S)
         planes = FM.plane_stack(refs, fme, jnp, wrap_row_pass=not initial_refs)
         # auto = the XLA one-hot gather: the Pallas per-block DMA fetch is
         # issue-bound at ~1.1 us/block (raw parity with XLA at both rowscan
@@ -483,10 +487,14 @@ class JaxCodec:
                                           interpret=interp, nwin_c=wc)
                     mvs = FM.eval_chain(wide, cb, g, xv, ysv, n, kl, dims,
                                         fme, None, cm, jnp)
-                    return mvs[-1], mvs
+                    return mvs[-1], (mvs, wide)
 
-                m_last, mK = jax.lax.scan(step, seeds, (curK, xsK, cmK))
-                return m_last, mK.reshape(Lp * kl, S, 3)[:L]
+                m_last, (mK, wK) = jax.lax.scan(step, seeds, (curK, xsK, cmK))
+                # wK: the pass's wide windows — the LAST pass ran at the
+                # converged seeds, so the confirm regions are sub-windows
+                # (confirm_windows_from_stack); stacking costs one ~20 MB
+                # write per pass vs a ~3 ms all-blocks re-gather at 720p
+                return m_last, (mK.reshape(Lp * kl, S, 3)[:L], wK)
         else:
 
             def row_pass(seeds):
@@ -512,9 +520,15 @@ class JaxCodec:
         seeds0 = (
             jnp.zeros((S, 3), jnp.int32) if g0 is None else g0.reshape(S, L, 3)[:, 0]
         )
-        init = (seeds0, jnp.zeros((L, S, 3), jnp.int32), jnp.asarray(True),
-                jnp.asarray(0, jnp.int32))
-        _, mT, _, _ = jax.lax.while_loop(cond, body, init)
+        if kl > 1:
+            extra0 = jnp.zeros((-(-L // kl), S, planes.shape[0], wr, wc), jnp.int32)
+            init = (seeds0, (jnp.zeros((L, S, 3), jnp.int32), extra0),
+                    jnp.asarray(True), jnp.asarray(0, jnp.int32))
+            _, (mT, wT), _, _ = jax.lax.while_loop(cond, body, init)
+        else:
+            init = (seeds0, jnp.zeros((L, S, 3), jnp.int32), jnp.asarray(True),
+                    jnp.asarray(0, jnp.int32))
+            _, mT, _, _ = jax.lax.while_loop(cond, body, init)
         m = mT.swapaxes(0, 1).reshape(self.nb, 3)
         # at the seed fixpoint every block satisfies m[i] = f_i(m[i-1]), so
         # the confirm pass at the guesses vector re-derives m bit-exactly
@@ -522,7 +536,12 @@ class JaxCodec:
         g_fin = jnp.concatenate([jnp.zeros((1, 3), jnp.int32), m[:-1]], axis=0)
         by0, bx0 = FM._region_base(g_fin, self.by.astype(jnp.int32), self.bx.astype(jnp.int32),
                                    n, fme, jnp)
-        win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
+        if kl > 1:
+            # the final pass ran at the converged seeds: confirm regions are
+            # sub-windows of its stacked wide windows (no re-gather)
+            win = FM.confirm_windows_from_stack(wT, g_fin, n, kl, L, S, fme, jnp)
+        else:
+            win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
         cur_q = self._quads_of(cur_b) if cfg.vbs_enable else \
             jnp.zeros((self.nb, 4, self.sbs, self.sbs), jnp.int32)
         outs = FM.confirm(

@@ -393,12 +393,13 @@ class ShardedCodec:
 
         return resolve_seg_mult(self.cfg.fast_me_seg_mult, self.nbc)
 
-    def _fast_me_lookahead(self, seg_len: int) -> int:
-        """Resolved rowscan lookahead (JaxCodec._fast_me_lookahead rule)."""
+    def _fast_me_lookahead(self, seg_len: int, n_segments: int) -> int:
+        """Resolved rowscan lookahead (JaxCodec._fast_me_lookahead rule:
+        k=4 on >= 32-segment batches, else 1 — measured crossover)."""
         if self.cfg.fast_me_fetch == "pallas":
             return 1
         req = self.cfg.fast_me_lookahead
-        k = 4 if req == "auto" else int(req)
+        k = (4 if n_segments >= 32 else 1) if req == "auto" else int(req)
         return max(1, min(k, seg_len))
 
     def _fast_tile_rowscan(self, cur32, band, nvalid, y0_px, fme, g0=None):
@@ -443,7 +444,7 @@ class ShardedCodec:
         # stays one (3,)-vector ppermute of the tile's LAST MV per pass.
         k = self._fast_me_seg_mult()
         S, L = nbr_t * k, nbc // k
-        kl = self._fast_me_lookahead(L)
+        kl = self._fast_me_lookahead(L, S)
         cur_b = cur32.reshape(nbr_t, n, nbc, n).swapaxes(1, 2).reshape(-1, n, n)
         curT = cur_b.reshape(S, L, n, n).swapaxes(0, 1)  # (L, S, n, n)
         xsT = self._bx.astype(jnp.int32).reshape(S, L).swapaxes(0, 1)  # (L, S)
@@ -475,10 +476,11 @@ class ShardedCodec:
                                           interpret=interp, nwin_c=wc)
                     mvs = FM.eval_chain(wide, cb, g, xv, ysv, n, kl, dims,
                                         fme, nvalid, cm, jnp)
-                    return mvs[-1], mvs
+                    return mvs[-1], (mvs, wide)
 
-                m_last, mK = jax.lax.scan(step, seeds, (curK, xsK, cmK))
-                return m_last, mK.reshape(Lp * kl, S, 3)[:L]
+                m_last, (mK, wK) = jax.lax.scan(step, seeds, (curK, xsK, cmK))
+                # last pass's wide windows feed the confirm (single-chip rule)
+                return m_last, (mK.reshape(Lp * kl, S, 3)[:L], wK)
         else:
 
             def row_pass(seeds):
@@ -509,9 +511,15 @@ class ShardedCodec:
         seeds0 = (
             jnp.zeros((S, 3), jnp.int32) if g0 is None else g0.reshape(S, L, 3)[:, 0]
         )
-        init = (seeds0, jnp.zeros((L, S, 3), jnp.int32), jnp.asarray(True),
-                jnp.asarray(0, jnp.int32))
-        seeds_fin, mT, _, _ = jax.lax.while_loop(cond, body, init)
+        if kl > 1:
+            extra0 = jnp.zeros((-(-L // kl), S, planes.shape[0], wr, wc), jnp.int32)
+            init = (seeds0, (jnp.zeros((L, S, 3), jnp.int32), extra0),
+                    jnp.asarray(True), jnp.asarray(0, jnp.int32))
+            seeds_fin, (mT, wT), _, _ = jax.lax.while_loop(cond, body, init)
+        else:
+            init = (seeds0, jnp.zeros((L, S, 3), jnp.int32), jnp.asarray(True),
+                    jnp.asarray(0, jnp.int32))
+            seeds_fin, mT, _, _ = jax.lax.while_loop(cond, body, init)
         m = mT.swapaxes(0, 1).reshape(self.nb_t, 3)
         # the guesses vector: local shift + the converged cross-tile seed
         # (seeds_fin[0] = the neighbor's last MV, already exchanged in-loop)
@@ -520,7 +528,10 @@ class ShardedCodec:
             g_fin, (self._by_local + y0_px).astype(jnp.int32), self._bx.astype(jnp.int32),
             n, fme, jnp,
         )
-        win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
+        if kl > 1:
+            win = FM.confirm_windows_from_stack(wT, g_fin, n, kl, L, S, fme, jnp)
+        else:
+            win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
         cur_q = cur_b.reshape(-1, 2, self.sbs, 2, self.sbs).swapaxes(2, 3).reshape(
             -1, 4, self.sbs, self.sbs
         ) if cfg.vbs_enable else jnp.zeros((self.nb_t, 4, self.sbs, self.sbs), jnp.int32)
