@@ -73,6 +73,9 @@ def main():
         ("4K argmin nc2 sr16", 2160, 3840, 2, (18, 16, 14, 12), False, False, True, 16),
         ("4K qpred nc2 fme", 2160, 3840, 2, (9, 8, 7, 6), True, True, True, 8),
         ("720p pred sr16 fme", 720, 1280, 1, (11, 10, 9, 8, 7), True, False, True, 16),
+        # the two sr=16 selections _col_tiles still takes from the model
+        ("1080p qpred nc3 sr16", 1080, 1920, 3, (11, 10, 9, 8), True, True, True, 16),
+        ("4K pred nc5 sr16", 2160, 3840, 5, (9, 8, 7, 6), True, False, False, 16),
     ]
     for label, h, w, ncol, bands, pred, qpred, fme, sr in cases:
         for band in bands:

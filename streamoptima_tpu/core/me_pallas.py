@@ -72,6 +72,19 @@ _MEASURED_MAX_BAND = {
     (1920, 2, "argmin", 17, True): 20,  # 24 OOM 17.58M
     (1280, 3, "qpred", 17, True): 10,   # 11 OOM 16.74M, 13 OOM 18.69M
     (640, 2, "qpred", 33, True): 12,    # 720p sr16 forced-inkernel selection
+    # round-4 closure probes (VERDICT r3 item 6): the sr=16 classes at
+    # 1080p/4K and the remaining production selections, each a compiled-OK
+    # on the chip (vmem_probe); brackets noted where an OOM bounds the class
+    (1280, 1, "pred", 33, True): 11,    # 720p sr16 fme plain
+    (1920, 1, "pred", 33, True): 8,     # 1080p sr16 plain
+    (1920, 1, "qpred", 33, True): 6,    # 1080p sr16 inkernel VBS
+    (1920, 1, "argmin", 33, True): 16,  # 1080p sr16 argmin/fetch
+    (1920, 2, "pred", 33, True): 7,     # 4K sr16 plain
+    (1920, 2, "qpred", 33, True): 6,    # 4K sr16 inkernel VBS
+    (1920, 2, "argmin", 33, True): 18,  # 4K sr16 argmin/fetch
+    (1920, 2, "qpred", 17, True): 8,    # 9 OOM 16.52M; 4K inkernel VBS
+    (640, 3, "qpred", 33, True): 11,    # 1080p sr16 inkernel selection
+    (768, 5, "pred", 33, False): 9,     # 4K sr16 plain selection
 }
 
 

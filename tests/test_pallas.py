@@ -414,7 +414,10 @@ def test_band_model_pinned_points():
     # production sweep run); argmin classes now ride the measured table past
     # the legacy 16-row cap (720p 24, 1080p/4K-tile 20)
     assert _col_tiles(1280, 45, 16, True, True, 17) == (1, 13)   # 720p vbs+fme inkernel
-    assert _col_tiles(3840, 135, 16, True, True, 17) == (3, 10)  # 4K vbs+fme inkernel
+    # round-4: the (1920, 2, qpred, 17) probe (8 OK / 9 OOM 16.52M) lets the
+    # WIDER ncol=2 tile reach the 8-row bar, displacing round-3's (3, 10)
+    # pick — wider-at->=8-rows is the measured round-3 preference
+    assert _col_tiles(3840, 135, 16, True, True, 17) == (2, 8)   # 4K vbs+fme inkernel
     assert _col_tiles(3840, 135, 16, True, False, 17, fme=False) == (2, 9)  # 4K plain
     assert _col_tiles(3840, 135, 16, False, False, 17) == (2, 20)  # 4K argmin-only
     assert _col_tiles(1280, 45, 16, False, False, 17) == (1, 24)  # 720p argmin-only
@@ -424,6 +427,14 @@ def test_band_model_pinned_points():
     assert _col_tiles(1280, 45, 16, True, False, 33, fme=False) == (1, 10)  # 720p plain sr16
     assert _col_tiles(1280, 45, 16, True, True, 33) == (2, 12)   # 720p vbs+fme sr16 inkernel
     assert _col_tiles(352, 18, 16, True, True, 17) == (1, 16)    # CIF: untiled
+    # round-4 closure (VERDICT r3 item 6): every sr=16 class measured
+    assert _col_tiles(1280, 45, 16, True, False, 33) == (1, 11)  # 720p sr16 fme plain
+    assert _col_tiles(1920, 68, 16, True, False, 33, fme=False) == (1, 8)   # 1080p sr16 plain
+    assert _col_tiles(1920, 68, 16, True, True, 33) == (3, 11)   # 1080p sr16 inkernel
+    assert _col_tiles(1920, 68, 16, False, False, 33) == (1, 16)  # 1080p sr16 argmin
+    assert _col_tiles(3840, 135, 16, True, False, 33, fme=False) == (5, 9)  # 4K sr16 plain
+    assert _col_tiles(3840, 135, 16, True, True, 33) == (2, 6)   # 4K sr16 inkernel
+    assert _col_tiles(3840, 135, 16, False, False, 33) == (2, 18)  # 4K sr16 argmin
     # the supported matrix never collapses below 4 rows
     for w, nbr in ((352, 18), (1280, 45), (1920, 68), (3840, 135)):
         for nd in (17, 33):
