@@ -113,9 +113,14 @@ class CodecConfig:
     # window origins ride the DMA 8/128-aligned with log-select barrel
     # shifts for the remainders) — measured DMA-issue-bound at ~1.1 us/block:
     # raw parity with the XLA gather at both rowscan shapes but a 16.7 ->
-    # 38.4 ms/step in-situ REGRESSION at 720p VBS+FME, so "auto" = "xla"
-    # (docs/TPU_DESIGN.md "fast-ME window fetch").  Bit-identical paths
-    # (tests/test_fastme.py).
+    # 38.4 ms/step in-situ REGRESSION at 720p VBS+FME, and square-window /
+    # k=1 only.  "slice" is a vmapped clamped dynamic_slice on zero-padded
+    # planes (~2.1 us/block, plane-area-INDEPENDENT — with pad >= the window
+    # extent, clamping is exact zero-fill).  "auto" picks by plane area
+    # (fastme.resolve_fetch_mode): one-hot below ~0.5 Mpx (CIF), slice from
+    # 720p up (measured 108.8 vs 97.0 fps at 720p, 50.9 vs 31.4 at 1080p,
+    # 9.9 vs 3.7 at 4K — the one-hot contracts the whole plane per block).
+    # Bit-identical paths (tests/test_fastme.py).
     fast_me_fetch: str = "auto"
     # rowscan segment multiplier: the raster MVP chain is cut into
     # ``seg_mult * n_block_rows`` equal segments solved simultaneously by the
@@ -203,8 +208,8 @@ class CodecConfig:
             raise ValueError("fast_me_chain must be 'auto', 'scan', 'fixpoint' or 'rowscan'")
         if self.winner_fetch not in ("auto", "fetch", "inkernel"):
             raise ValueError("winner_fetch must be 'auto', 'fetch' or 'inkernel'")
-        if self.fast_me_fetch not in ("auto", "pallas", "xla"):
-            raise ValueError("fast_me_fetch must be 'auto', 'pallas' or 'xla'")
+        if self.fast_me_fetch not in ("auto", "pallas", "xla", "slice"):
+            raise ValueError("fast_me_fetch must be 'auto', 'pallas', 'xla' or 'slice'")
         if self.fast_me_seg_mult != "auto" and (
             not isinstance(self.fast_me_seg_mult, int)
             or isinstance(self.fast_me_seg_mult, bool)

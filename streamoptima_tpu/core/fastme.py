@@ -161,15 +161,47 @@ def window_gather(planes, by0, bx0, nwin: int, xp, chunk_bytes: int = 32 << 20,
     return wins.reshape(nchunk * nc, P, nwin, nwin_c)[:nb]
 
 
-def window_prep(planes, nwin: int, use_pallas: bool):
-    """Per-frame window-read preparation: the Pallas fetch kernel wants the
-    planes padded/cast ONCE (me_pallas.window_prep) and reused across every
-    sweep step and the confirm fetch; the XLA one-hot gather reads the raw
-    planes.  Returns an opaque handle for window_read."""
-    if use_pallas:
+def resolve_fetch_mode(req: str, h: int, w: int) -> str:
+    """Fast-ME window-fetch mode.  "auto" picks by plane area: the one-hot
+    MXU gather's per-block cost is O(P*H*W) (it contracts the whole plane),
+    so it wins on tiny planes (CIF: one-hot ~0.07 us/block, a 0.19 ms pass)
+    but loses to a vmapped clamped-dynamic_slice gather (~2.1 us/block,
+    area-independent) from 720p up — measured GOP-scan A/B (ab_gop,
+    fast-ME sr16 VBS+FME): 720p 108.8 slice vs 97.0 xla fps, 1080p 50.9 vs
+    31.4, 4K 9.9 vs 3.7 (the one-hot contracts the whole plane per block —
+    54x a 720p step's FLOPs at 4K).  "pallas" is the per-block DMA kernel
+    (k=1 only); explicit "xla"/"slice" force a path."""
+    if req in ("pallas", "xla", "slice"):
+        return req
+    return "slice" if h * w > 500_000 else "xla"
+
+
+def window_prep(planes, nwin: int, mode, wide=None):
+    """Per-frame window-read preparation, by mode:
+
+    * "pallas": me_pallas.window_prep (planes padded/cast once for the DMA
+      kernel; square windows only).
+    * "slice": planes zero-padded by the LARGEST read extents and stored
+      uint8 — window_read then uses clamped ``lax.dynamic_slice``, which is
+      EXACT zero-fill: with pad >= the window extent on each axis, any
+      clamped start lands entirely inside the zero pad exactly when the true
+      window is entirely out of plane, and un-clamped reads see the same
+      zeros the one-hot gather produces positionally.
+    * "xla" (or legacy bools): the raw planes for the one-hot MXU gather.
+
+    ``wide`` = (rows, cols) of the lookahead wide window when larger than
+    the square ``nwin`` (the slice pad must cover the largest read)."""
+    if mode is True or mode == "pallas":
         from . import me_pallas as MP
 
         return ("pallas", MP.window_prep(planes, nwin))
+    if mode == "slice":
+        import jax.numpy as jnp
+
+        pr = max(nwin, wide[0] if wide else 0)
+        pc = max(nwin, wide[1] if wide else 0)
+        padded = jnp.pad(planes.astype(jnp.uint8), ((0, 0), (pr, pr), (pc, pc)))
+        return ("slice", (padded, pr, pc))
     return ("xla", planes)
 
 
@@ -187,6 +219,18 @@ def window_read(prep, by0, bx0, nwin: int, xp, interpret: bool = False,
         from . import me_pallas as MP
 
         return MP.window_fetch(data, by0, bx0, nwin, interpret=interpret)
+    if kind == "slice":
+        import jax
+        from jax import lax
+
+        padded, pr, pc = data
+        nc = nwin if nwin_c is None else nwin_c
+        P = padded.shape[0]
+
+        def one(y, x):
+            return lax.dynamic_slice(padded, (0, y + pr, x + pc), (P, nwin, nc))
+
+        return jax.vmap(one)(by0, bx0).astype(xp.int32)
     return window_gather(data, by0, bx0, nwin, xp, nwin_c=nwin_c)
 
 

@@ -446,14 +446,17 @@ class JaxCodec:
         S, L = nbr * k, nbc // k
         kl = self._fast_me_lookahead(L, S)
         planes = FM.plane_stack(refs, fme, jnp, wrap_row_pass=not initial_refs)
-        # auto = the XLA one-hot gather: the Pallas per-block DMA fetch is
-        # issue-bound at ~1.1 us/block (raw parity with XLA at both rowscan
-        # shapes) and REGRESSED the full step in situ (16.7 -> 38.4 ms at
-        # 720p VBS+FME, benchmarks/fastme_probe.py) — see TPU_DESIGN.md
-        # "fast-ME window fetch"
-        use_fetch = {"pallas": True, "xla": False}.get(cfg.fast_me_fetch, False)
+        # fetch mode by plane area (fastme.resolve_fetch_mode): one-hot MXU
+        # gather on small planes, clamped-dynamic-slice gather on large ones
+        # (the one-hot contracts the WHOLE plane per block — 54x a 720p step
+        # at 4K); "pallas" (per-block DMA, k=1 only) stays opt-in — it was
+        # issue-bound at ~1.1 us/block and regressed the step in situ
+        # (TPU_DESIGN.md "fast-ME window fetch")
+        fmode = FM.resolve_fetch_mode(cfg.fast_me_fetch, self.h, self.w)
         interp = jax.default_backend() != "tpu"
-        wprep = FM.window_prep(planes, n + 2, use_fetch)
+        wr, wc = FM.wide_window_spec(n, kl, fme)
+        wprep = FM.window_prep(planes, n + 2, fmode,
+                               wide=(wr, wc) if kl > 1 else None)
         dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
         cur_b = self._blockify(cur32)
         curT = cur_b.reshape(S, L, n, n).swapaxes(0, 1)  # (L, S, n, n)
@@ -468,7 +471,6 @@ class JaxCodec:
             # the row hand-off m_last stays the true last column's MV
             Lp = -(-L // kl)
             padc = Lp * kl - L
-            wr, wc = FM.wide_window_spec(n, kl, fme)
             ysv = ysT[0]  # y is constant along each segment's columns
             curK = jnp.concatenate(
                 [curT, jnp.zeros((padc,) + curT.shape[1:], curT.dtype)]
@@ -943,6 +945,19 @@ class JaxCodec:
                 initial = False
             if drain_on:
                 drain(len(per_frame) - lag)
+        if not light and not drain_on:
+            # package=False keeps outputs as device arrays (the caller may
+            # never need them on host) — but START host copies for all of
+            # them now: a later transmit's np.asarray then joins an
+            # in-flight pipelined transfer instead of paying a COLD blocking
+            # round trip per array (the tunnel measured 47 s for 8 cold
+            # 1.8 MB pulls vs 0.5 s pipelined — TPU_DESIGN.md link facts)
+            for o in per_frame:
+                for v in o.values():
+                    try:
+                        v.copy_to_host_async()
+                    except AttributeError:
+                        pass
         return per_frame, ftypes
 
     def encode(self, package: bool = True):

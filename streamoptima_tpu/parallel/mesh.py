@@ -429,14 +429,7 @@ class ShardedCodec:
         n = self.bs
         nbr_t, nbc = self.nbr_t, self.nbc
         planes = FM.plane_stack(band, fme, jnp, wrap_row_pass=True)
-        # auto = the XLA one-hot gather: the Pallas per-block DMA fetch is
-        # issue-bound at ~1.1 us/block (raw parity with XLA at both rowscan
-        # shapes) and REGRESSED the full step in situ (16.7 -> 38.4 ms at
-        # 720p VBS+FME, benchmarks/fastme_probe.py) — see TPU_DESIGN.md
-        # "fast-ME window fetch"
-        use_fetch = {"pallas": True, "xla": False}.get(cfg.fast_me_fetch, False)
         interp = jax.default_backend() != "tpu"
-        wprep = FM.window_prep(planes, n + 2, use_fetch)
         dims = (2 * self.h - 1, 2 * self.w - 1) if fme else (self.h, self.w)
         # segment generalization (cfg.fast_me_seg_mult, same fixpoint argument
         # as the single-chip solve): the tile's local chain is cut into
@@ -445,6 +438,13 @@ class ShardedCodec:
         k = self._fast_me_seg_mult()
         S, L = nbr_t * k, nbc // k
         kl = self._fast_me_lookahead(L, S)
+        # fetch mode by plane area (fastme.resolve_fetch_mode, single-chip
+        # rule): one-hot MXU gather on small planes, clamped-dynamic-slice
+        # gather on large ones; "pallas" (per-block DMA, k=1 only) opt-in
+        fmode = FM.resolve_fetch_mode(cfg.fast_me_fetch, self.h, self.w)
+        wr, wc = FM.wide_window_spec(n, kl, fme)
+        wprep = FM.window_prep(planes, n + 2, fmode,
+                               wide=(wr, wc) if kl > 1 else None)
         cur_b = cur32.reshape(nbr_t, n, nbc, n).swapaxes(1, 2).reshape(-1, n, n)
         curT = cur_b.reshape(S, L, n, n).swapaxes(0, 1)  # (L, S, n, n)
         xsT = self._bx.astype(jnp.int32).reshape(S, L).swapaxes(0, 1)  # (L, S)
@@ -458,7 +458,6 @@ class ShardedCodec:
             # cross-tile ppermute still carries the true last column's MV
             Lp = -(-L // kl)
             padc = Lp * kl - L
-            wr, wc = FM.wide_window_spec(n, kl, fme)
             ysv = ysT[0]
             curK = jnp.concatenate(
                 [curT, jnp.zeros((padc,) + curT.shape[1:], curT.dtype)]

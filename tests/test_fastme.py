@@ -204,23 +204,31 @@ def test_window_fetch_matches_window_gather():
         np.testing.assert_array_equal(ref, got)
 
 
-def test_rowscan_pallas_fetch_bitwise_vs_xla():
-    """Engine-level: a fast-ME VBS+FME encode with fast_me_fetch='pallas'
-    (interpret mode on CPU) is bitwise-identical to fast_me_fetch='xla' —
-    MVs, bitstream, and reconstruction."""
+def test_rowscan_fetch_modes_bitwise():
+    """Engine-level: fast-ME VBS+FME encodes under every window-fetch mode
+    — 'pallas' (interpret mode on CPU, k=1), 'slice' (clamped dynamic_slice
+    on zero-padded planes, incl. lookahead wide windows), and 'slice' with
+    explicit lookahead — are bitwise-identical to 'xla' (the one-hot
+    gather): MVs, bitstream, and reconstruction."""
+    import dataclasses
+
     from streamoptima_tpu.config import CodecConfig
     from streamoptima_tpu.jax_engine import JaxCodec
     from streamoptima_tpu.utils import synthetic_clip
 
     h, w, frames = 48, 64, 3
     clip = synthetic_clip(h, w, frames)
-    outs = {}
-    for fetch in ("xla", "pallas"):
-        cfg = CodecConfig(height=h, width=w, frames=frames, block_size=16, qp=4,
-                          intra_dur=frames, search_range=4, vbs_enable=True,
-                          fme_enable=True, fast_me=True, fast_me_fetch=fetch)
-        outs[fetch] = JaxCodec(cfg, clip).encode(package=True)
-    a, b = outs["xla"], outs["pallas"]
-    np.testing.assert_array_equal(a["reconstructed frames"], b["reconstructed frames"])
-    np.testing.assert_equal(a["MVS per Frame"], b["MVS per Frame"])
-    np.testing.assert_equal(a["approx residual"], b["approx residual"])
+    base = CodecConfig(height=h, width=w, frames=frames, block_size=16, qp=4,
+                       intra_dur=frames, search_range=4, vbs_enable=True,
+                       fme_enable=True, fast_me=True, fast_me_fetch="xla")
+    ref = JaxCodec(base, clip).encode(package=True)
+    for extra in (dict(fast_me_fetch="pallas"),
+                  dict(fast_me_fetch="slice"),
+                  dict(fast_me_fetch="slice", fast_me_lookahead=3),
+                  dict(fast_me_fetch="slice", fast_me_lookahead=1),
+                  dict(fast_me_fetch="xla", fast_me_lookahead=2)):
+        b = JaxCodec(dataclasses.replace(base, **extra), clip).encode(package=True)
+        np.testing.assert_array_equal(ref["reconstructed frames"], b["reconstructed frames"],
+                                      err_msg=str(extra))
+        np.testing.assert_equal(ref["MVS per Frame"], b["MVS per Frame"])
+        np.testing.assert_equal(ref["approx residual"], b["approx residual"])

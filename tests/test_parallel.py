@@ -57,6 +57,10 @@ CASES = [
     # engines — the solve must not depend on the segmentation
     dict(fast_me=True, vbs_enable=True, fme_enable=True, lam=0.015,
          fast_me_seg_mult=2),
+    # clamped-dynamic-slice window fetch + explicit lookahead (the large-
+    # plane production path, forced at this small size) on both engines
+    dict(fast_me=True, vbs_enable=True, fme_enable=True, lam=0.015,
+         fast_me_fetch="slice", fast_me_lookahead=2),
 ]
 
 
