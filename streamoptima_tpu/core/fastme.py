@@ -161,19 +161,21 @@ def window_gather(planes, by0, bx0, nwin: int, xp, chunk_bytes: int = 32 << 20,
     return wins.reshape(nchunk * nc, P, nwin, nwin_c)[:nb]
 
 
-def resolve_fetch_mode(req: str, h: int, w: int) -> str:
-    """Fast-ME window-fetch mode.  "auto" picks by plane area: the one-hot
-    MXU gather's per-block cost is O(P*H*W) (it contracts the whole plane),
-    so it wins on tiny planes (CIF: one-hot ~0.07 us/block, a 0.19 ms pass)
-    but loses to a vmapped clamped-dynamic_slice gather (~2.1 us/block,
-    area-independent) from 720p up — measured GOP-scan A/B (ab_gop,
-    fast-ME sr16 VBS+FME): 720p 108.8 slice vs 97.0 xla fps, 1080p 50.9 vs
-    31.4, 4K 9.9 vs 3.7 (the one-hot contracts the whole plane per block —
-    54x a 720p step's FLOPs at 4K).  "pallas" is the per-block DMA kernel
-    (k=1 only); explicit "xla"/"slice" force a path."""
+def resolve_fetch_mode(req: str, h: int, w: int, nplanes: int = 4) -> str:
+    """Fast-ME window-fetch mode.  "auto" picks by total plane bytes: the
+    one-hot MXU gather's per-block cost is O(P*H*W) (it contracts every
+    plane in full), so it wins on small stacks (CIF FME: ~0.07 us/block, a
+    0.19 ms pass; 720p whole-pel P=1: 207 fps recorded) but loses to a
+    vmapped clamped-dynamic_slice gather (~2.1 us/block, area-independent)
+    as P*H*W grows — measured GOP-scan A/B (ab_gop, fast-ME sr16 VBS+FME,
+    P=4): 720p 108.8 slice vs 97.0 xla fps, 1080p 50.9 vs 31.4, 4K 9.9 vs
+    3.7.  The 2.5 Mpx cut puts 720p FME (3.7 Mpx-planes) on slice and 720p/1080p
+    whole-pel single-ref (0.9 / 2.1 — modeled cheaper one-hot) / CIF on the
+    one-hot.  "pallas" is the per-block DMA
+    kernel (k=1 only); explicit "xla"/"slice" force a path."""
     if req in ("pallas", "xla", "slice"):
         return req
-    return "slice" if h * w > 500_000 else "xla"
+    return "slice" if nplanes * h * w > 2_500_000 else "xla"
 
 
 def window_prep(planes, nwin: int, mode, wide=None):

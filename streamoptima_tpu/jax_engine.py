@@ -452,7 +452,8 @@ class JaxCodec:
         # at 4K); "pallas" (per-block DMA, k=1 only) stays opt-in — it was
         # issue-bound at ~1.1 us/block and regressed the step in situ
         # (TPU_DESIGN.md "fast-ME window fetch")
-        fmode = FM.resolve_fetch_mode(cfg.fast_me_fetch, self.h, self.w)
+        fmode = FM.resolve_fetch_mode(cfg.fast_me_fetch, self.h, self.w,
+                                      int(planes.shape[0]))
         interp = jax.default_backend() != "tpu"
         wr, wc = FM.wide_window_spec(n, kl, fme)
         wprep = FM.window_prep(planes, n + 2, fmode,

@@ -441,7 +441,8 @@ class ShardedCodec:
         # fetch mode by plane area (fastme.resolve_fetch_mode, single-chip
         # rule): one-hot MXU gather on small planes, clamped-dynamic-slice
         # gather on large ones; "pallas" (per-block DMA, k=1 only) opt-in
-        fmode = FM.resolve_fetch_mode(cfg.fast_me_fetch, self.h, self.w)
+        fmode = FM.resolve_fetch_mode(cfg.fast_me_fetch, self.h, self.w,
+                                      int(planes.shape[0]))
         wr, wc = FM.wide_window_spec(n, kl, fme)
         wprep = FM.window_prep(planes, n + 2, fmode,
                                wide=(wr, wc) if kl > 1 else None)
