@@ -19,6 +19,8 @@ vbs = "vbs" in sys.argv
 fme = "fme" in sys.argv
 fast_me = "fast_me" in sys.argv
 fm_fetch = next((a.split("=")[1] for a in sys.argv if a.startswith("fm_fetch=")), "auto")
+fm_look = next((a.split("=")[1] for a in sys.argv if a.startswith("fm_look=")), "auto")
+fm_look = fm_look if fm_look == "auto" else int(fm_look)
 wf = next((a.split("=")[1] for a in sys.argv if a.startswith("winner_fetch=")), "auto")
 ncol = int(next((a.split("=")[1] for a in sys.argv if a.startswith("ncol=")), "0"))
 agg = next((a.split("=")[1] for a in sys.argv if a.startswith("agg=")), "auto")
@@ -53,7 +55,7 @@ if ncol:
 cfg = CodecConfig(height=h, width=w, frames=frames, block_size=16, qp=4,
                   intra_dur=8, search_range=sr, vbs_enable=vbs, fme_enable=fme,
                   winner_fetch=wf, me_search="pallas", fast_me=fast_me,
-                  fast_me_fetch=fm_fetch)
+                  fast_me_fetch=fm_fetch, fast_me_lookahead=fm_look)
 clip = synthetic_clip(h, w, frames)
 mesh = make_mesh(cfg, devices=jax.devices()[:1])
 codec = ShardedCodec(cfg, mesh, clip)
@@ -65,6 +67,6 @@ for _ in range(3):
     times.append(time.perf_counter() - t0)
 best = frames / min(times)
 mean = frames / (sum(times) / len(times))
-print(f"AB {w}x{h} vbs={vbs} fme={fme} fast_me={fast_me} fm_fetch={fm_fetch} "
+print(f"AB {w}x{h} vbs={vbs} fme={fme} fast_me={fast_me} fm_fetch={fm_fetch} fm_look={fm_look} "
       f"wf={wf} ncol={ncol or 'auto'} sr={sr} agg={agg}: "
       f"best {best:.2f} fps mean {mean:.2f}", flush=True)
