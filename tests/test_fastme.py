@@ -118,6 +118,55 @@ def test_eval_chain_matches_sequential_eval9(fme, k):
 
 
 @pytest.mark.parametrize("fme", [False, True])
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_confirm_windows_from_stack_matches_gather(fme, k):
+    """confirm_windows_from_stack must equal window_gather at
+    _region_base(g_fin) bit-for-bit: simulate the final sweep pass (chunk
+    seeds = g_fin at each chunk's first column, per-block drift <= its
+    column index) and compare the sliced confirm regions against a direct
+    gather — including out-of-plane zero-fill and the padded tail chunk."""
+    rng = np.random.default_rng(11)
+    h, w, bs, nref = 64, 96, 16, 2
+    nbr, nbc = h // bs, w // bs
+    S, L = nbr, nbc
+    refs = rng.integers(0, 256, (nref, h, w)).astype(np.uint8)
+    planes = FM.plane_stack(jnp.asarray(refs), fme, jnp)
+    ys = jnp.arange(nbr, dtype=jnp.int32) * bs
+    xs = jnp.arange(nbc, dtype=jnp.int32) * bs
+    # build a g_fin whose chunk-relative drift respects the lookahead cone
+    # (|pos(g[c*k+i]) - pos(g[c*k])| <= i on each axis), drifting randomly,
+    # with some seeds at wild positions (zero-fill territory)
+    Lp = -(-L // k)
+    g = np.zeros((S, L, 3), np.int64)
+    for s in range(S):
+        pos = rng.integers(-4, 5, 2)
+        if s == 1:
+            pos = np.array([250, -300])  # out-of-plane chunk
+        for j in range(L):
+            g[s, j, :2] = pos
+            g[s, j, 2] = rng.integers(0, nref)
+            pos = pos + rng.integers(-1, 2, 2)  # winner = MVP + delta
+    g_fin = jnp.asarray(g.reshape(S * L, 3).astype(np.int32))
+    n = bs
+    wr, wc = FM.wide_window_spec(n, k, fme)
+    # simulate the final pass's wide-window stack at the chunk seeds
+    gk = np.concatenate([g, np.repeat(g[:, -1:], Lp * k - L, axis=1)], axis=1) \
+        if Lp * k != L else g
+    wides = []
+    for c in range(Lp):
+        seeds = jnp.asarray(gk[:, c * k].astype(np.int32))
+        by0, bx0 = FM._wide_base(seeds, ys, xs[min(c * k, L - 1)], k, fme, jnp)
+        wides.append(FM.window_gather(planes, by0, bx0, wr, jnp, nwin_c=wc))
+    wideT = jnp.stack(wides, axis=0)
+    got = FM.confirm_windows_from_stack(wideT, g_fin, n, k, L, S, fme, jnp)
+    byc = jnp.repeat(ys, L)
+    bxc = jnp.tile(xs, S)
+    by0, bx0 = FM._region_base(g_fin, byc, bxc, n, fme, jnp)
+    want = FM.window_gather(planes, by0, bx0, n + 2, jnp)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("fme", [False, True])
 def test_confirm_matches_quads_and_gather_predictions(fme):
     cur, refs, bx, by, g, (nbr, nbc) = _setup(fme, seed=1)
     h, w = cur.shape
