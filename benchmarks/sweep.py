@@ -184,8 +184,12 @@ def main():
     # compact) exactly as JaxCodec.decode dispatches it; the plain entry is
     # the XLA gather step.  Each decode chains on the previous output so XLA
     # cannot pipeline identical dispatches (round-1 ADVICE item 4).
+    # passes=3: the chained 32-decode loop is ~76 ms of wall at 720p — one
+    # tunnel stall in a 2-pass run poisons both numbers (observed 421 vs 33
+    # vs 91 fps across three runs of an UNCHANGED program, round 4); a third
+    # pass makes the best-of robust to a single stall
     def decode_bench(name, vbs, fme, pallas, h=720, w=1280, check_against_xla=False,
-                     passes=2):
+                     passes=3):
         if _skip(name):
             return
         # me_search='pallas' keeps the pallas variants honest off-TPU too
