@@ -125,7 +125,10 @@ def main():
     out = dcodec._y_dev[:1]
     jax.block_until_ready(dec(out))
     dts = []
-    for _ in range(2):
+    # 3 passes: the tunneled chip inflates the first timed pass by ~20 ms of
+    # warmup even after the compile call (observed round 4); best-of-3 makes
+    # the recorded number robust to one stall
+    for _ in range(3):
         t0 = time.perf_counter()
         out = dcodec._y_dev[:1]
         for _ in range(FRAMES):
