@@ -88,7 +88,66 @@ def run(h, w, frames, qps, extra, label, results):
     }
 
 
+def equal_bits_rows(results):
+    """Bits-matched operating points (round-5 VERDICT item 4): the K6-fix
+    makes the native fast-ME engine spend MORE bits at equal QP, so
+    BASELINE.md's "matched bitrate" claim needs the PSNR delta stated at
+    EQUAL rate.  No knob reaches intermediate rates — lam was measured
+    INSENSITIVE over 0.015..10 (recorded below): the bits surplus is
+    inf-forced honest splits at quirk-K7-invalid edge blocks (rd.py: an
+    all-invalid block splits, reference full-search semantics at
+    Encoder.py:684 — which the reference's own fast-ME path never applies
+    because K6 feeds its RD cost mae=0), and an inf beats any finite
+    lam*bits term.  The standard tool is therefore RD-curve interpolation
+    (the BD-PSNR construction): native PSNR at the compat point's rate,
+    piecewise log-linear on the recorded native (bits, psnr) curve."""
+    curves = results["cif_fastme_vbs_fme"]["rows"]
+    nat = sorted(((r["native_bits_pf"], r["native_psnr_db"]) for r in curves))
+    out_rows = []
+    for r in curves:
+        cb, cp = r["compat_bits_pf"], r["compat_psnr_db"]
+        # bracket compat's rate on the native curve (log-rate domain)
+        lo = max((p for p in nat if p[0] <= cb), default=None)
+        hi = min((p for p in nat if p[0] >= cb), default=None)
+        if lo is None or hi is None:
+            continue
+        if hi[0] == lo[0]:
+            psnr = lo[1]
+        else:
+            t = (np.log(cb) - np.log(lo[0])) / (np.log(hi[0]) - np.log(lo[0]))
+            psnr = lo[1] + t * (hi[1] - lo[1])
+        out_rows.append({
+            "qp": r["qp"],
+            "compat_bits_pf": cb, "compat_psnr_db": cp,
+            "native_psnr_at_equal_bits_db": round(float(psnr), 4),
+            "dpsnr_at_equal_bits_db": round(float(psnr) - cp, 4),
+            "native_bracket_bits": [lo[0], hi[0]],
+        })
+        print(f"[equal_bits] qp={r['qp']}: native {psnr:.3f} dB interpolated at "
+              f"compat's {cb:.0f} b/f vs compat {cp:.3f} dB "
+              f"(dPSNR {psnr - cp:+.3f} dB at equal bits)", flush=True)
+    results["equal_bits_fastme"] = {
+        "method": "piecewise log-rate interpolation of the recorded native "
+                  "(bits, PSNR) curve at each compat point's rate (BD-PSNR "
+                  "construction); lam tuning measured ineffective "
+                  "(0.015..10 moved neither splits nor bits — the bits "
+                  "surplus is inf-forced honest splits at K7-invalid edge "
+                  "blocks, structural, not priced by lam)",
+        "rows": out_rows,
+    }
+
+
 def main():
+    import json as _json
+
+    out = REPO / "benchmarks" / "rd_parity.json"
+    if "equal_bits" in sys.argv:
+        # derive the bits-matched rows from the recorded curves and merge
+        results = _json.loads(out.read_text())
+        equal_bits_rows(results)
+        out.write_text(json.dumps(results, indent=1))
+        print(f"wrote {out}")
+        return
     results = {}
     qps = (1, 4, 7, 10)
     # CIF at the reference's shipped feature set (fast-ME + VBS + FME)
@@ -106,6 +165,9 @@ def main():
     # plain full search (the N1 int32-DCT deviation in isolation)
     run(288, 352, 6, qps, dict(search_range=8, intra_dur=6), "cif_plain", results)
     out = REPO / "benchmarks" / "rd_parity.json"
+    old = json.loads(out.read_text()) if out.exists() else {}
+    if "equal_bits_fastme" in old:  # keep the bits-matched rows on re-runs
+        results["equal_bits_fastme"] = old["equal_bits_fastme"]
     out.write_text(json.dumps(results, indent=1))
     print(f"wrote {out}")
 

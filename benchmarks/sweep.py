@@ -184,12 +184,15 @@ def main():
     # compact) exactly as JaxCodec.decode dispatches it; the plain entry is
     # the XLA gather step.  Each decode chains on the previous output so XLA
     # cannot pipeline identical dispatches (round-1 ADVICE item 4).
-    # passes=3: the chained 32-decode loop is ~76 ms of wall at 720p — one
-    # tunnel stall in a 2-pass run poisons both numbers (observed 421 vs 33
-    # vs 91 fps across three runs of an UNCHANGED program, round 4); a third
-    # pass makes the best-of robust to a single stall
+    # Protocol (round-5 VERDICT item 3 — ONE protocol for every decode row):
+    # one UNRECORDED warmup pass (the first chained pass pays ~20 ms of
+    # tunnel/dispatch warmup — it used to sit inside 3-pass means and
+    # produced meaningless 3x best/mean spreads), then >= 5 recorded steady
+    # passes; best-of is robust to single tunnel stalls and mean is a real
+    # steady-state number.  warmup_ms is recorded separately so the excluded
+    # cost stays visible.
     def decode_bench(name, vbs, fme, pallas, h=720, w=1280, check_against_xla=False,
-                     passes=3):
+                     passes=5):
         if _skip(name):
             return
         # me_search='pallas' keeps the pallas variants honest off-TPU too
@@ -227,17 +230,21 @@ def main():
                 f"{name}: fetch decode != XLA decode"
 
         jax.block_until_ready(dec(refs))
-        els = []
-        for _ in range(passes):
+
+        def one_pass():
             t0 = time.perf_counter()
             out = refs
             for _ in range(32):
                 out = dec(out[None] if out.ndim == 2 else out)[None]
             jax.block_until_ready(out)
-            els.append((time.perf_counter() - t0) / 32)
+            return (time.perf_counter() - t0) / 32
+
+        warm = one_pass()  # excluded from the record (first-pass warmup)
+        els = [one_pass() for _ in range(passes)]
         el, el_mean = min(els), sum(els) / len(els)
         results[name] = {"fps": round(1.0 / el, 1), "mean_fps": round(1.0 / el_mean, 1),
                          "ms_per_frame": round(el * 1e3, 2),
+                         "warmup_ms": round(warm * 1e3, 2),
                          "pass_ms": [round(e * 1e3, 2) for e in els]}
         print(name, results[name], flush=True)
 
@@ -248,11 +255,8 @@ def main():
     decode_bench("1080p_decode_pallas", False, False, pallas=True, h=1088, w=1920)
     decode_bench("1080p_decode_vbs_fme_pallas", True, True, pallas=True, h=1088, w=1920)
     decode_bench("4k_decode_pallas", False, False, pallas=True, h=2160, w=3840)
-    # passes=5: the round-3 record left a 101.9/58.4 best/mean spread
-    # unpinned on this row — more passes separate compile/tunnel noise
-    # from the steady-state number
     decode_bench("4k_decode_vbs_fme_pallas", True, True, pallas=True,
-                 h=2160, w=3840, check_against_xla=True, passes=5)
+                 h=2160, w=3840, check_against_xla=True)
 
     # ---- bytes-to-bytes pipeline (the reference's actual unit of work,
     # main.py:17-73): YUV in -> encode -> binary container write -> read ->

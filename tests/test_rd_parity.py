@@ -64,6 +64,15 @@ def test_rd_parity_plain(qp):
     assert abs(dbits) <= 0.01, f"plain qp={qp}: dbits {100 * dbits:+.3f}%"
 
 
+# Per-QP bits envelope, ~1.3x the measured deltas of THIS config (64x64
+# sr4: round-5 measurement +8.1 / +13.9 / +53.9 / +56.6% at qp 1/4/7/10 —
+# the tiny frame makes edge blocks ~7/16 of the grid, so the K6-fix's
+# inf-forced honest splits weigh far more here than on the recorded CIF
+# artifact, whose max is +18.3%).  A uniform 0.75 bound could hide a 4x
+# regression at low QP (round-5 VERDICT item 4).
+_FASTME_DBITS_MAX = {1: 0.11, 4: 0.18, 7: 0.70, 10: 0.74}
+
+
 @pytest.mark.parametrize("qp", [1, 4, 7, 10])
 def test_rd_parity_fast_me_vbs_fme(qp):
     clip = synthetic_clip(64, 64, 4)
@@ -73,4 +82,5 @@ def test_rd_parity_fast_me_vbs_fme(qp):
     dpsnr, dbits = _rd_point(cfg, clip)
     # K6-fix consequence: native may split (spend) more, but never lose PSNR
     assert dpsnr >= -0.01, f"fastme qp={qp}: native lost PSNR ({dpsnr:+.4f} dB)"
-    assert dbits <= 0.75, f"fastme qp={qp}: dbits {100 * dbits:+.2f}% beyond recorded envelope"
+    assert dbits <= _FASTME_DBITS_MAX[qp], \
+        f"fastme qp={qp}: dbits {100 * dbits:+.2f}% beyond recorded envelope"
