@@ -131,4 +131,8 @@ if __name__ == "__main__":
         probe(288, 352, sr=16)
     if which in ("720p", "all"):
         probe(720, 1280, sr=16)
+    if which == "1080p":
+        probe(1088, 1920, sr=16)
+    if which == "4k":
+        probe(2160, 3840, sr=16)
     print("FASTME PROBE DONE", flush=True)

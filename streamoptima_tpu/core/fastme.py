@@ -47,6 +47,16 @@ from . import me as M
 
 _INF32 = np.int32(2**31 - 1)
 
+# A/B knobs (benchmarks/winfetch_probe.py, round-5 4K 2x2 matrix): sweep-step
+# fetch as an unrolled dynamic_slice loop vs the vmapped gather, and candidate
+# selects as one-hot contractions vs take+where unrolls.  Measured (4K sweep
+# pass, ms): base 22.4, unroll 38.5 (the unrolled slices serialize INSIDE the
+# scan even though they are ~free standalone — per-op issue replaces the
+# gather's overlapped latency), onehot 22.1 (neutral at 4K; kept — it cuts
+# ~100 fusions/column from the program, which is what binds at CIF/720p).
+_SLICE_UNROLL = False
+_ONEHOT_SELECT = True
+
 _seg_mult_warned: set = set()
 
 
@@ -71,6 +81,47 @@ def resolve_seg_mult(req, nbc: int) -> int:
         warnings.warn(
             f"fast_me_seg_mult={req} is not a divisor of nbc={nbc}; "
             f"running the nearest divisor k={k}",
+            stacklevel=3,
+        )
+    return k
+
+
+_lookahead_warned: set = set()
+
+
+def resolve_lookahead(req, fetch_mode: str, seg_len: int, n_segments: int,
+                      bs: int = 16, fme: bool = True) -> int:
+    """Resolved rowscan lookahead (chain columns per scan step) — the ONE
+    rule for both engines (JaxCodec and ShardedCodec ship the same measured
+    policy; duplicating it invited drift).
+
+    "auto" = k=4 on >= 32-segment batches, else 1 (benchmarks/lookahead_ab:
+    per-pass gather FLOPs are k-independent while sequential steps drop
+    k-fold — 720p inter step 14.6 -> 10.0 ms — but at CIF scale the per-step
+    cost is fixed-op-count-bound and every k > 1 measured slower).  The
+    Pallas per-block DMA fetch serves wide windows within its (32, 256)
+    fetch geometry (rows <= 24, cols <= 128 — every auto shape: FME k=4
+    reads 21x69); larger explicit requests clamp to the largest k that
+    fits.  Explicit requests clamp to [1, seg_len]; when the effective k
+    differs from an explicit request a one-time warning fires (a benchmark
+    asking for a specific k must not silently measure a different one —
+    the resolve_seg_mult discipline)."""
+    k = (4 if n_segments >= 32 else 1) if req == "auto" else int(req)
+    k = max(1, min(k, seg_len))
+    if fetch_mode == "pallas":
+        while k > 1:
+            wr, wc = wide_window_spec(bs, k, fme)
+            if wr <= 24 and wc <= 128:
+                break
+            k -= 1
+    if req != "auto" and k != req and (req, fetch_mode, seg_len) not in _lookahead_warned:
+        _lookahead_warned.add((req, fetch_mode, seg_len))
+        import warnings
+
+        warnings.warn(
+            f"fast_me_lookahead={req} is not servable "
+            f"(fetch={fetch_mode!r}, segment length {seg_len}); "
+            f"running the effective k={k}",
             stacklevel=3,
         )
     return k
@@ -192,11 +243,14 @@ def window_prep(planes, nwin: int, mode, wide=None):
     * "xla" (or legacy bools): the raw planes for the one-hot MXU gather.
 
     ``wide`` = (rows, cols) of the lookahead wide window when larger than
-    the square ``nwin`` (the slice pad must cover the largest read)."""
+    the square ``nwin`` (the pad must cover the largest read on both
+    paths)."""
     if mode is True or mode == "pallas":
         from . import me_pallas as MP
 
-        return ("pallas", MP.window_prep(planes, nwin))
+        pr = max(nwin, wide[0] if wide else 0)
+        pc = max(nwin, wide[1] if wide else 0)
+        return ("pallas", MP.window_prep(planes, pr, nwin_c=pc))
     if mode == "slice":
         import jax.numpy as jnp
 
@@ -210,17 +264,17 @@ def window_prep(planes, nwin: int, mode, wide=None):
 def window_read(prep, by0, bx0, nwin: int, xp, interpret: bool = False,
                 nwin_c: int | None = None):
     """windows[b, p, i, j] = planes[p, by0[b]+i, bx0[b]+j], 0 out of plane —
-    through the handle from window_prep.  Bit-identical either way: one
-    banded DMA per block (me_pallas.window_fetch) or the one-hot MXU gather
-    (window_gather).  Rectangular windows (``nwin_c`` — the lookahead chain
-    step's wide windows) are XLA-gather only."""
+    through the handle from window_prep.  Bit-identical every way: one
+    banded DMA per block (me_pallas.window_fetch), a clamped dynamic_slice
+    on zero-padded planes, or the one-hot MXU gather (window_gather).
+    Rectangular windows (``nwin_c`` — the lookahead chain step's wide
+    windows) are served by all three."""
     kind, data = prep
     if kind == "pallas":
-        assert nwin_c is None or nwin_c == nwin, \
-            "the Pallas window fetch serves square windows only (lookahead=1)"
         from . import me_pallas as MP
 
-        return MP.window_fetch(data, by0, bx0, nwin, interpret=interpret)
+        return MP.window_fetch(data, by0, bx0, nwin, interpret=interpret,
+                               nwin_c=nwin_c)
     if kind == "slice":
         import jax
         from jax import lax
@@ -232,6 +286,14 @@ def window_read(prep, by0, bx0, nwin: int, xp, interpret: bool = False,
         def one(y, x):
             return lax.dynamic_slice(padded, (0, y + pr, x + pc), (P, nwin, nc))
 
+        if _SLICE_UNROLL and by0.shape[0] <= 160:
+            # A/B LOSER kept probeable: an unrolled loop of true
+            # dynamic-slice ops is ~free standalone but SERIALIZES inside
+            # the sweep scan (4K pass 22.4 -> 38.5 ms) — the vmapped gather's
+            # latency overlaps with eval compute, the unroll's issue chain
+            # does not (benchmarks/winfetch_probe.py round-5 matrix).
+            return xp.stack([one(by0[i], bx0[i]) for i in range(by0.shape[0])]
+                            ).astype(xp.int32)
         return jax.vmap(one)(by0, bx0).astype(xp.int32)
     return window_gather(data, by0, bx0, nwin, xp, nwin_c=nwin_c)
 
@@ -429,39 +491,77 @@ def _sad_grid_fme(w4, cur, i: int, n: int, k: int, xp):
 def _select_axis_wpel(grid, c, i: int, axis_from_end: int, xp):
     """Pick the 3 candidate entries (d in {0,1,2} -> index c + d + i) from a
     (2i+3)-long position axis, given the traced cumulative offset c (S,).
-    axis_from_end: 2 = rows (second-to-last), 1 = cols (last)."""
-    outs = []
+    axis_from_end: 2 = rows (second-to-last), 1 = cols (last).
+
+    One-hot CONTRACTION, not a where-chain: the original 3*(2i+3) take+where
+    unroll put ~100 separate fusions per resolved column into the scan body,
+    and the sweep step is fusion-count-bound (~0.5 us per fusion on chip —
+    benchmarks/winfetch_probe.py round 5).  The contraction is exact: the
+    one-hot is integer 0/1, exactly one entry per (s, d) matches (|c| <= i
+    by construction — drift only accrues on accepted candidates), so the
+    integer product-sum IS the selected SAD."""
     na = 2 * i + 3
-    for d in range(3):
-        acc = None
-        for a0 in range(na):
-            take = xp.take(grid, a0, axis=grid.ndim - axis_from_end)
-            m = c + d + i == a0
-            mb = m.reshape((-1,) + (1,) * (take.ndim - 1))
-            acc = take if acc is None else xp.where(mb, take, acc)
-        outs.append(acc)
-    return xp.stack(outs, axis=grid.ndim - axis_from_end)
+    if not _ONEHOT_SELECT:  # take+where unroll (the A/B loser, kept probeable)
+        outs = []
+        for d in range(3):
+            acc = None
+            for a0 in range(na):
+                take = xp.take(grid, a0, axis=grid.ndim - axis_from_end)
+                m = c + d + i == a0
+                mb = m.reshape((-1,) + (1,) * (take.ndim - 1))
+                acc = take if acc is None else xp.where(mb, take, acc)
+            outs.append(acc)
+        return xp.stack(outs, axis=grid.ndim - axis_from_end)
+    oh = ((c[:, None, None] + xp.arange(3)[None, :, None] + i)
+          == xp.arange(na)[None, None, :]).astype(grid.dtype)  # (S, 3, na)
+    if axis_from_end == 2:  # grid (S, nref, na, B) -> (S, nref, 3, B)
+        return (grid[:, :, None, :, :] * oh[:, None, :, :, None]).sum(3)
+    # last axis: grid (S, nref, 3, na) -> (S, nref, 3, 3)
+    return (grid[:, :, :, None, :] * oh[:, None, None, :, :]).sum(-1)
+
+
+def _fme_onehot(c, par, i: int, k: int, o_lo: int, no: int, xp):
+    """(S, 3, 2, no) one-hot of the FME candidate location: for d in
+    {0,1,2}, upsample offset e = c + d - 1 lives in plane parity q and
+    plane offset o (_fme_off with the seed parity ``par``), both computed
+    ARITHMETICALLY on the traced (c, par) vectors:
+    t = par + e -> q = t % 2, o = (t - q)/2 + (k - par + 1)//2."""
+    t = par[:, None] + c[:, None] + xp.arange(3)[None, :] - 1  # (S, 3)
+    q = t % 2
+    o = (t - q) // 2 + (k - par[:, None] + 1) // 2 - o_lo
+    return ((xp.arange(2)[None, None, :, None] == q[:, :, None, None])
+            & (xp.arange(no)[None, None, None, :] == o[:, :, None, None]))
 
 
 def _select_axis_fme(grid, c, par, i: int, k: int, o_lo: int, pair_axis: int, xp):
     """FME per-axis candidate selection: for d in {0,1,2}, candidate upsample
     offset e = c + d - 1 lives in plane parity q and plane offset o
     (_fme_off with the seed parity ``par``); select the (q, o - o_lo) entry
-    of the (2, no) axis pair starting at ``pair_axis``.  c, par (S,) traced;
-    the unroll runs over the 2x(2i+1) static (p, c0) combinations."""
-    outs = []
-    for d in range(3):
-        acc = None
-        for p in (0, 1):
-            for c0 in range(-i, i + 1):
-                q, o = _fme_off(p, c0 + d - 1, k)
-                take = xp.take(xp.take(grid, o - o_lo, axis=pair_axis + 1), q,
-                               axis=pair_axis)
-                m = (par == p) & (c == c0)
-                mb = m.reshape((-1,) + (1,) * (take.ndim - 1))
-                acc = take if acc is None else xp.where(mb, take, acc)
-        outs.append(acc)
-    return xp.stack(outs, axis=pair_axis)
+    of the (2, no) axis pair starting at ``pair_axis``.  c, par (S,) traced.
+
+    One-hot contraction over the (2, no) pair (see _select_axis_wpel: the
+    old 2*(2i+1)*3 take+where unroll dominated the scan body's fusion
+    count).  Exact: integer 0/1 weights, exactly one match per (s, d)."""
+    if not _ONEHOT_SELECT:  # take+where unroll (the A/B loser, kept probeable)
+        outs = []
+        for d in range(3):
+            acc = None
+            for p in (0, 1):
+                for c0 in range(-i, i + 1):
+                    q, o = _fme_off(p, c0 + d - 1, k)
+                    take = xp.take(xp.take(grid, o - o_lo, axis=pair_axis + 1), q,
+                                   axis=pair_axis)
+                    m = (par == p) & (c == c0)
+                    mb = m.reshape((-1,) + (1,) * (take.ndim - 1))
+                    acc = take if acc is None else xp.where(mb, take, acc)
+            outs.append(acc)
+        return xp.stack(outs, axis=pair_axis)
+    no = grid.shape[pair_axis + 1]
+    oh = _fme_onehot(c, par, i, k, o_lo, no, xp).astype(grid.dtype)  # (S,3,2,no)
+    if pair_axis == 2:   # grid (S, nref, 2, no, 2, no) -> (S, nref, 3, 2, no)
+        return (grid[:, :, None] * oh[:, None, :, :, :, None, None]).sum((3, 4))
+    # pair_axis == 3: grid (S, nref, 3, 2, no) -> (S, nref, 3, 3) [dyi, dxi]
+    return (grid[:, :, :, None] * oh[:, None, None, :, :, :]).sum((-2, -1))
 
 
 def eval_chain(wide, curs, g0, xs, ys, n: int, k: int, dims, fme: bool, nvalid,

@@ -1217,7 +1217,14 @@ def pred_fetch_compact(mv, sub_mv, refs, table, pad: int, bs: int, sub_bs: int,
 
 
 # ----------------------------------------------------- fast-ME window fetch
-def window_prep(planes, nwin: int):
+#: DMA pipeline depth of window_fetch.  The round-3 kernel double-buffered
+#: (2 slots) and measured ~1.1 us/block — per-block compute is ~0.1 us, so
+#: nearly all of it was un-hidden HBM round-trip latency.  8 slots keep 8
+#: copies in flight; the floor drops to max(issue rate, bandwidth).
+_FETCH_SLOTS = 8
+
+
+def window_prep(planes, nwin: int, nwin_c: int | None = None):
     """Pad + cast the fast-ME candidate planes ONCE per frame for
     window_fetch: (P, H, W) integer-valued planes -> (P, Hp, Wp) int16 with
 
@@ -1231,49 +1238,70 @@ def window_prep(planes, nwin: int):
       with the <=127 remainder barrel-shifted inside the kernel (the same
       split as pred_fetch_compact).
 
+    ``nwin_c`` widens the column span for the lookahead chain step's
+    RECTANGULAR wide windows (round-5: the per-block DMA serves them too —
+    the (32, 256) fetch geometry already covers every production wide shape:
+    FME k=4 reads 21x69, whole-pel 24x72).  Row extent <= 24 keeps
+    rows+remainder inside the 32-row DMA; column extent <= 128 keeps the
+    window inside the left lane pad and the post-barrel 129-lane slice.
+
     The prep is MV-independent: build it once per (frame, reference-stack)
-    and reuse it across every chain-sweep step and the confirm fetch.
-    Returns (planes_pad, H, W).
+    and reuse it across every chain-sweep step and the confirm fetch; fetch
+    calls may use ANY row extent <= the prep's ``nwin`` (the top pad), so one
+    wide-window prep also serves square confirm reads.
+    Returns (planes_pad, H, W, pad_r).
     """
     P, H, W = planes.shape
-    assert nwin <= 24, f"window_fetch supports nwin <= 24, got {nwin}"
+    wc = nwin if nwin_c is None else nwin_c
+    assert nwin <= 24, f"window_fetch supports row extents <= 24, got {nwin}"
+    assert wc <= 128, f"window_fetch supports column extents <= 128, got {wc}"
     hp = ((H + nwin) // 8) * 8 + 32
     wp = ((W + 128) // 128) * 128 + 256
     planes_pad = jnp.pad(
         planes.astype(jnp.int16),
         ((0, 0), (nwin, hp - H - nwin), (128, wp - W - 128)),
     )
-    return planes_pad, H, W
+    return planes_pad, H, W, nwin
 
 
-def window_fetch(prep, by0, bx0, nwin: int, interpret: bool = False):
+def window_fetch(prep, by0, bx0, nwin: int, interpret: bool = False,
+                 nwin_c: int | None = None):
     """windows[b, p, i, j] = planes[p, by0[b]+i, bx0[b]+j], 0 out of plane —
     the fast-ME window gather (core/fastme.window_gather contract) as one
-    small banded DMA per block instead of a full-plane one-hot contraction.
+    small banded DMA per block instead of a full-plane one-hot contraction
+    or a clamped dynamic_slice gather (~2.1 us/block of slice-gather latency
+    at XLA level — the recorded 4K fast-ME floor, ROUND4.md cost model).
 
-    The XLA one-hot form materializes a (nb, P, H, nwin) f32 column-select
-    intermediate per call — measured 3.59 ms for the 720p FME confirm fetch
-    (nb=3600) and ~40 us per 45-block sweep step, and every alternative XLA
-    formulation is worse (benchmarks/wingather_ab.py: bf16 intermediates
-    5.22 ms, fill-index gather 6.86 ms).  Here each block costs one
-    (P, 32, 256) int16 DMA from the padded plane stack (window_prep) plus a
-    3-select sublane barrel (row remainder vs the 8-aligned DMA start) and
-    a 7-select lane barrel (column remainder vs the 128-aligned lane
-    start) — the log-select trick from pred_fetch_compact, constant in the
-    MV magnitude (fast-ME MVP chains are unbounded).
+    Each block costs one (P, 32, 256) int16 DMA from the padded plane stack
+    (window_prep) plus a 3-select sublane barrel (row remainder vs the
+    8-aligned DMA start) and a 7-select lane barrel (column remainder vs the
+    128-aligned lane start) — the log-select trick from pred_fetch_compact,
+    constant in the MV magnitude (fast-ME MVP chains are unbounded).  The
+    round-5 edition pipelines _FETCH_SLOTS copies deep with STATICALLY
+    unrolled slot indices (the fori_loop body handles _FETCH_SLOTS blocks
+    per trip), so the per-block slot select is a direct buf[s] read instead
+    of a where-chain over all slots, and HBM latency overlaps across 8
+    outstanding copies instead of 1.
 
-    Returns (nb, P, nwin, nwin) int32.
+    ``nwin_c`` serves the lookahead chain step's rectangular wide windows
+    (rows=nwin <= 24, cols=nwin_c <= 128 — every production lookahead shape;
+    see window_prep).  Returns (nb, P, nwin, nwin_c) int32.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    planes_pad, H, W = prep
+    planes_pad, H, W, pad_r = prep
+    wc = nwin if nwin_c is None else nwin_c
+    assert nwin <= pad_r, f"fetch row extent {nwin} exceeds the prep's pad {pad_r}"
     P = planes_pad.shape[0]
     nb = by0.shape[0]
-    rows = jnp.clip(by0, -nwin, H) + nwin          # [0, H + nwin]
-    cols = jnp.clip(bx0, -nwin, W) + 128           # [128 - nwin, W + 128]
+    # padded plane row r holds plane row r - pad_r; clamping is exact because
+    # any origin outside (-nwin, H) reads entirely inside the zero pads
+    rows = jnp.clip(by0, -nwin, H) + pad_r         # [pad_r - nwin, H + pad_r]
+    cols = jnp.clip(bx0, -wc, W) + 128             # [128 - wc, W + 128]
     rout = -(-nwin // 8) * 8                       # <= 24 (asserted in prep)
-    nbpp = max(8, 256 // P)                        # out block <= ~1.6 MB VMEM
+    ns = _FETCH_SLOTS
+    nbpp = max(ns, (256 // P) // ns * ns)          # out block <= ~1.6 MB VMEM
     nprog = -(-nb // nbpp)
     npad = nprog * nbpp - nb
     if npad:
@@ -1293,39 +1321,46 @@ def window_fetch(prep, by0, bx0, nwin: int, interpret: bool = False):
                 buf.at[slot], sem.at[slot],
             )
 
-        # double-buffered per-block DMAs, the pred_fetch_compact discipline:
-        # no conditional starts/waits (a DMA inside a conditional wedges the
-        # Mosaic compile service, docs/TPU_DESIGN.md) — the last body
-        # iteration redundantly re-starts block nbpp-1 into the other slot
-        # and the unconditional epilogue drains it, so starts == waits
-        dma_for(0, 0).start()
+        # ns-deep pipelined per-block DMAs, the pred_fetch_compact
+        # discipline: no conditional starts/waits (a DMA inside a conditional
+        # wedges the Mosaic compile service, docs/TPU_DESIGN.md) — tail
+        # iterations redundantly re-start the last block and the
+        # unconditional epilogue drains every slot, so starts == waits.
+        for s in range(ns):  # static prologue: fill the pipeline
+            dma_for(jnp.minimum(s, nbpp - 1), s).start()
 
-        def body(i, carry):
-            slot = jax.lax.rem(i, 2)
-            dma_for(jnp.minimum(i + 1, nbpp - 1), jax.lax.rem(i + 1, 2)).start()
-            dma_for(i, slot).wait()
-            # static-index slot select: an integer-indexed read on the 4D
-            # scratch lowers to an unsupported (>2D) Mosaic gather
-            cur = jnp.where(slot == 0, buf[0], buf[1])  # (P, 32, 256)
-            remr = jax.lax.rem(rows_ref[base + i], 8)
-            hleft = 32
-            for k in (4, 2, 1):                    # sublane barrel: 32->25
-                nh = hleft - k
-                cur = jnp.where((remr & k) != 0, cur[:, k : k + nh, :], cur[:, :nh, :])
-                hleft = nh
-            remc = jax.lax.rem(cols_ref[base + i], 128)
-            wleft = 256
-            for k in (64, 32, 16, 8, 4, 2, 1):     # lane barrel: 256->129
-                nw = wleft - k
-                cur = jnp.where((remc & k) != 0, cur[:, :, k : k + nw], cur[:, :, :nw])
-                wleft = nw
-            # lax.slice, not cur[None, :, :rout, :128]: the mixed None+slice
-            # getitem lowers to an unsupported >2D gather in this Pallas
-            out_ref[pl.ds(i, 1)] = jax.lax.slice(cur, (0, 0, 0), (P, rout, 128))[None]
+        def body(it, carry):
+            i0 = it * ns
+            for s in range(ns):  # static unroll: slot indices stay static
+                i = i0 + s
+                dma_for(i, s).wait()
+                cur = buf[s]  # (P, 32, 256), static slot index
+                remr = jax.lax.rem(rows_ref[base + i], 8)
+                hleft = 32
+                for k in (4, 2, 1):                # sublane barrel: 32->25
+                    nh = hleft - k
+                    cur = jnp.where((remr & k) != 0, cur[:, k : k + nh, :], cur[:, :nh, :])
+                    hleft = nh
+                # rows are resolved: drop to rout before the (7x wider) lane
+                # barrel so its select traffic shrinks 25/rout-fold
+                cur = jax.lax.slice(cur, (0, 0, 0), (P, rout, 256))
+                remc = jax.lax.rem(cols_ref[base + i], 128)
+                wleft = 256
+                for k in (64, 32, 16, 8, 4, 2, 1):  # lane barrel: 256->129
+                    nw = wleft - k
+                    cur = jnp.where((remc & k) != 0, cur[:, :, k : k + nw], cur[:, :, :nw])
+                    wleft = nw
+                # refill this slot with block i + ns (clamped re-start of the
+                # last block on the tail — drained by the epilogue)
+                dma_for(jnp.minimum(i + ns, nbpp - 1), s).start()
+                # lax.slice, not cur[None, :, :rout, :128]: the mixed
+                # None+slice getitem lowers to an unsupported >2D gather
+                out_ref[pl.ds(i, 1)] = jax.lax.slice(cur, (0, 0, 0), (P, rout, 128))[None]
             return carry
 
-        jax.lax.fori_loop(0, nbpp, body, jnp.int32(0))
-        dma_for(nbpp - 1, jax.lax.rem(nbpp, 2)).wait()
+        jax.lax.fori_loop(0, nbpp // ns, body, jnp.int32(0))
+        for s in range(ns):  # drain the tail re-starts (starts == waits)
+            dma_for(jnp.minimum(nbpp - 1, nbpp - ns + s), s).wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -1338,8 +1373,8 @@ def window_fetch(prep, by0, bx0, nwin: int, interpret: bool = False):
         out_specs=pl.BlockSpec((nbpp, P, rout, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, P, 32, 256), jnp.int16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ns, P, 32, 256), jnp.int16),
+            pltpu.SemaphoreType.DMA((ns,)),
         ],
     )
     win = pl.pallas_call(
@@ -1348,4 +1383,4 @@ def window_fetch(prep, by0, bx0, nwin: int, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((nprog * nbpp, P, rout, 128), jnp.int16),
         interpret=interpret,
     )(rows, cols, planes_pad)
-    return win[:nb, :, :nwin, :nwin].astype(jnp.int32)
+    return win[:nb, :, :nwin, :wc].astype(jnp.int32)

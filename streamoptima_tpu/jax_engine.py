@@ -383,23 +383,15 @@ class JaxCodec:
 
         return resolve_seg_mult(self.cfg.fast_me_seg_mult, self.nbc)
 
-    def _fast_me_lookahead(self, seg_len: int, n_segments: int) -> int:
-        """Resolved rowscan lookahead (chain columns per scan step,
-        cfg.fast_me_lookahead).  "auto" = the measured rule
-        (benchmarks/lookahead_ab.py): k=4 on large frames — per-pass gather
-        FLOPs are k-independent while sequential steps drop k-fold (720p
-        inter step 14.6 -> 10.0 ms) — but k=1 on SMALL batches: at CIF
-        (S=18 segments) the per-step cost is fixed-op-count-bound, the
-        resolve's per-column select chains grow with k, and every k > 1
-        measured slower (0.78 -> 1.88 -> 3.62 ms at k=1/2/4).  The S >= 32
-        cut separates the two regimes (720p 45, 1080p 68, 4K 135 vs CIF 18).
-        The Pallas window fetch serves square windows only, so
-        fast_me_fetch="pallas" pins k=1."""
-        if self.cfg.fast_me_fetch == "pallas":
-            return 1
-        req = self.cfg.fast_me_lookahead
-        k = (4 if n_segments >= 32 else 1) if req == "auto" else int(req)
-        return max(1, min(k, seg_len))
+    def _fast_me_lookahead(self, seg_len: int, n_segments: int, fme: bool) -> int:
+        """Resolved rowscan lookahead (fastme.resolve_lookahead: the shared
+        measured rule — k=4 on >= 32-segment batches else 1, the Pallas
+        fetch capped to its window geometry, loud on silently overridden
+        explicit requests)."""
+        from streamoptima_tpu.core.fastme import resolve_lookahead
+
+        return resolve_lookahead(self.cfg.fast_me_lookahead, self.cfg.fast_me_fetch,
+                                 seg_len, n_segments, bs=self.bs, fme=fme)
 
     def _fast_search_rowscan(self, cur32, refs, fme, initial_refs: bool, g0=None):
         """Fast-ME chain solved row-segmented on the MXU (fast_me_chain
@@ -444,14 +436,15 @@ class JaxCodec:
         nbr, nbc = self.nbr, self.nbc
         k = self._fast_me_seg_mult()
         S, L = nbr * k, nbc // k
-        kl = self._fast_me_lookahead(L, S)
+        kl = self._fast_me_lookahead(L, S, fme)
         planes = FM.plane_stack(refs, fme, jnp, wrap_row_pass=not initial_refs)
         # fetch mode by plane area (fastme.resolve_fetch_mode): one-hot MXU
-        # gather on small planes, clamped-dynamic-slice gather on large ones
-        # (the one-hot contracts the WHOLE plane per block — 54x a 720p step
-        # at 4K); "pallas" (per-block DMA, k=1 only) stays opt-in — it was
-        # issue-bound at ~1.1 us/block and regressed the step in situ
-        # (TPU_DESIGN.md "fast-ME window fetch")
+        # gather on small planes (it contracts the WHOLE plane per block —
+        # 54x a 720p step at 4K), clamped-dynamic-slice gather on large
+        # ones; "pallas" (per-block DMA, now wide-window capable) stays
+        # opt-in — in situ it measured 26.0 vs slice's 22.4 ms per 4K sweep
+        # pass (round-5 matrix): the XLA<->Pallas per-step boundary costs
+        # more than the gather it removes
         fmode = FM.resolve_fetch_mode(cfg.fast_me_fetch, self.h, self.w,
                                       int(planes.shape[0]))
         interp = jax.default_backend() != "tpu"

@@ -300,7 +300,12 @@ class ShardedCodec:
             row_bits = lens.reshape(self.nbr_t, self.nbc).sum(axis=1)
         return {
             "mv": mv3, "split": split, "sub_mv": smv3,
-            "qtc_full": qtc_full, "qtc_quads": qtc_quads,
+            # int16 on device (|qtc| <= 4080), the JaxCodec._intra_step
+            # narrowing: halves the sharded drain's dominant D2H payload and
+            # keeps the two engines' device packages dtype-symmetric
+            # (_dequant_tile widens before rescale)
+            "qtc_full": qtc_full.astype(jnp.int16),
+            "qtc_quads": qtc_quads.astype(jnp.int16),
             "size": jax.lax.psum(lens.sum(), "tile"), "recon": recon,
             "mae_sum": jax.lax.psum(mae_pb.sum(), "tile"),
             "row_bits": row_bits,
@@ -393,14 +398,13 @@ class ShardedCodec:
 
         return resolve_seg_mult(self.cfg.fast_me_seg_mult, self.nbc)
 
-    def _fast_me_lookahead(self, seg_len: int, n_segments: int) -> int:
-        """Resolved rowscan lookahead (JaxCodec._fast_me_lookahead rule:
-        k=4 on >= 32-segment batches, else 1 — measured crossover)."""
-        if self.cfg.fast_me_fetch == "pallas":
-            return 1
-        req = self.cfg.fast_me_lookahead
-        k = (4 if n_segments >= 32 else 1) if req == "auto" else int(req)
-        return max(1, min(k, seg_len))
+    def _fast_me_lookahead(self, seg_len: int, n_segments: int, fme: bool) -> int:
+        """Resolved rowscan lookahead (fastme.resolve_lookahead — the shared
+        single-chip rule, loud on silently overridden explicit requests)."""
+        from streamoptima_tpu.core.fastme import resolve_lookahead
+
+        return resolve_lookahead(self.cfg.fast_me_lookahead, self.cfg.fast_me_fetch,
+                                 seg_len, n_segments, bs=self.bs, fme=fme)
 
     def _fast_tile_rowscan(self, cur32, band, nvalid, y0_px, fme, g0=None):
         """Fast-ME on the mesh, row-segmented (fast_me_chain "rowscan", the
@@ -437,10 +441,10 @@ class ShardedCodec:
         # stays one (3,)-vector ppermute of the tile's LAST MV per pass.
         k = self._fast_me_seg_mult()
         S, L = nbr_t * k, nbc // k
-        kl = self._fast_me_lookahead(L, S)
+        kl = self._fast_me_lookahead(L, S, fme)
         # fetch mode by plane area (fastme.resolve_fetch_mode, single-chip
         # rule): one-hot MXU gather on small planes, clamped-dynamic-slice
-        # gather on large ones; "pallas" (per-block DMA, k=1 only) opt-in
+        # gather on large ones; "pallas" per-block DMA opt-in
         fmode = FM.resolve_fetch_mode(cfg.fast_me_fetch, self.h, self.w,
                                       int(planes.shape[0]))
         wr, wc = FM.wide_window_spec(n, kl, fme)
@@ -728,7 +732,9 @@ class ShardedCodec:
         recon = blocks.reshape(self.nbr_t, self.nbc, self.bs, self.bs).swapaxes(1, 2).reshape(self.h_t, self.w)
         out = {
             "mv": mv, "split": split, "sub_mv": smv,
-            "qtc_full": qtc_full, "qtc_quads": qtc_quads,
+            # int16 on device (see _intra_tile_step / JaxCodec._inter_step)
+            "qtc_full": qtc_full.astype(jnp.int16),
+            "qtc_quads": qtc_quads.astype(jnp.int16),
             "size": jax.lax.psum(lens.sum(), "tile"), "recon": recon,
             "mae_sum": jax.lax.psum(mae_pb.sum(), "tile"),
             "row_bits": lens.reshape(self.nbr_t, self.nbc).sum(axis=1),

@@ -253,6 +253,35 @@ def test_window_fetch_matches_window_gather():
         np.testing.assert_array_equal(ref, got)
 
 
+def test_window_fetch_wide_matches_window_gather():
+    """Rectangular (lookahead) windows through the Pallas fetch: bit-identical
+    to the one-hot gather at every production wide shape (FME k=4 21x69,
+    whole-pel k=4 24x72, the 128-column limit) and for square reads served
+    by a WIDE prep (the kl=1 confirm sharing a wide prep's padding)."""
+    from streamoptima_tpu.core import me_pallas as MP
+
+    rng = np.random.default_rng(7)
+    for P, h, w, wr, wc, nb in (
+        (4, 64, 96, 21, 69, 23),    # FME k=4 wide shape
+        (1, 80, 120, 24, 72, 37),   # whole-pel k=4 wide shape
+        (2, 40, 160, 16, 128, 9),   # the column-extent limit
+    ):
+        planes = jnp.asarray(rng.integers(0, 256, (P, h, w)), jnp.bfloat16)
+        by0 = jnp.asarray(np.concatenate(
+            [rng.integers(-60, h + 30, nb - 4), [-(10**6), 10**6, -wr, h]]), jnp.int32)
+        bx0 = jnp.asarray(np.concatenate(
+            [rng.integers(-80, w + 30, nb - 4), [10**6, -(10**6), w, -wc]]), jnp.int32)
+        ref = np.asarray(FM.window_gather(planes, by0, bx0, wr, jnp, nwin_c=wc))
+        prep = MP.window_prep(planes, wr, nwin_c=wc)
+        got = np.asarray(MP.window_fetch(prep, by0, bx0, wr, interpret=True, nwin_c=wc))
+        np.testing.assert_array_equal(ref, got)
+        # square fetch through the same wide prep (row extent < the pad)
+        nsq = wr - 3
+        ref_sq = np.asarray(FM.window_gather(planes, by0, bx0, nsq, jnp))
+        got_sq = np.asarray(MP.window_fetch(prep, by0, bx0, nsq, interpret=True))
+        np.testing.assert_array_equal(ref_sq, got_sq)
+
+
 def test_rowscan_fetch_modes_bitwise():
     """Engine-level: fast-ME VBS+FME encodes under every window-fetch mode
     — 'pallas' (interpret mode on CPU, k=1), 'slice' (clamped dynamic_slice
@@ -272,6 +301,8 @@ def test_rowscan_fetch_modes_bitwise():
                        fme_enable=True, fast_me=True, fast_me_fetch="xla")
     ref = JaxCodec(base, clip).encode(package=True)
     for extra in (dict(fast_me_fetch="pallas"),
+                  dict(fast_me_fetch="pallas", fast_me_lookahead=3),
+                  dict(fast_me_fetch="pallas", fast_me_lookahead=4),
                   dict(fast_me_fetch="slice"),
                   dict(fast_me_fetch="slice", fast_me_lookahead=3),
                   dict(fast_me_fetch="slice", fast_me_lookahead=1),
