@@ -130,11 +130,52 @@ def probe(h, w, sr=16, vbs=True, fme=True, modes=("slice", "pallas")):
         chain_time(f"row_pass sweep [{mode}]",
                    lambda c, prep=preps[mode]: one_pass(c, prep), cur_a, cur_b, n=4)
 
+    # whole-pass kernel (me_pallas.rowscan_pass): AOT de-risk compile, the
+    # standalone pass, then the full production solve under the kernel
+    if "kernel" in modes or True:
+        from streamoptima_tpu.core import me_pallas as MP
+
+        pk_prep = MP.pass_prep(planes, wr, wc, fme)
+        curKk = (jnp.concatenate([codec._blockify(cur_a).reshape(S, L, n, n)
+                                  .swapaxes(0, 1),
+                                  jnp.zeros((padc, S, n, n), jnp.int32)])
+                 if padc else
+                 codec._blockify(cur_a).reshape(S, L, n, n).swapaxes(0, 1)
+                 ).reshape(Lp, kl, S, n, n).astype(jnp.int16)
+        if fme:
+            curKk = jnp.repeat(curKk, 4, axis=-1)
+        cmKi = cmK.astype(jnp.int32)
+        xs0 = xsK[:, 0, :].reshape(-1)
+        import time as _t
+
+        t0 = _t.time()
+        f = jax.jit(lambda s: MP.rowscan_pass(pk_prep, curKk, xs0, xsK, ys,
+                                              cmKi, s, n, kl, dims)[0])
+        f.lower(g0).compile()
+        print(f"kernel pass standalone compile OK ({_t.time() - t0:.1f}s)",
+              flush=True)
+        chain_time("row_pass sweep [kernel]",
+                   lambda s: MP.rowscan_pass(pk_prep, curKk, xs0, xsK, ys,
+                                             cmKi, s, n, kl, dims)[0][-1, -1],
+                   g0, g0 + 1, n=4)
+
     for mode in modes:
-        c2 = JaxCodec(dataclasses.replace(cfg, fast_me_fetch=mode), clip)
+        c2 = JaxCodec(dataclasses.replace(cfg, fast_me_fetch=mode,
+                                          fast_me_pass="xla"), clip)
         chain_time(f"rowscan full [{mode}]",
                    lambda c, c2=c2: c2._fast_search_rowscan(c, refs, fme, False)["mv"],
                    cur_a, cur_b, n=4)
+    c3 = JaxCodec(dataclasses.replace(cfg, fast_me_pass="kernel"), clip)
+    chain_time("rowscan full [kernel]",
+               lambda c: c3._fast_search_rowscan(c, refs, fme, False)["mv"],
+               cur_a, cur_b, n=4)
+    # on-chip bit parity: kernel solve vs the slice-fetch XLA solve
+    c4 = JaxCodec(dataclasses.replace(cfg, fast_me_fetch="slice",
+                                      fast_me_pass="xla"), clip)
+    mv_k = np.asarray(c3._fast_search_rowscan(cur_a, refs, fme, False)["mv"])
+    mv_x = np.asarray(c4._fast_search_rowscan(cur_a, refs, fme, False)["mv"])
+    print("kernel vs xla solve parity:",
+          "OK" if np.array_equal(mv_k, mv_x) else "MISMATCH", flush=True)
 
 
 if __name__ == "__main__":

@@ -148,6 +148,18 @@ class CodecConfig:
     # bound — see fast_me_seg_mult above).  "auto" = measured per-shape rule
     # (benchmarks/lookahead_ab.py); any k >= 1 is bit-identical.
     fast_me_lookahead: int | str = "auto"
+    # Whole-pass rowscan kernel (me_pallas.rowscan_pass): run each sweep pass
+    # as ONE Pallas kernel — per-segment DMA waves on lane-interleaved parity
+    # planes + the in-kernel eval_chain_flat twin — instead of an XLA scan of
+    # per-group gather+eval steps.  Removes the per-step scan overhead and
+    # the slice-gather's row-scatter cost (the measured 4K floor: 22 ms/pass
+    # of which ~12.6 ms gather + ~7.6 ms scan overhead; kernel pass measured
+    # 10.3 ms).  "kernel" forces it (interpret mode off-TPU — the bit-parity
+    # test path), "xla" keeps the scan, "auto" = currently OFF pending the
+    # S=135 on-chip parity investigation (fastme.resolve_pass_kernel).
+    # Bit-identical in interpret mode and on-chip at small S
+    # (tests/test_fastme.py).
+    fast_me_pass: str = "auto"
 
     #: bounded-HBM encode: frames this far behind the dispatch frontier have
     #: their outputs converted to host arrays (freeing their device buffers —
@@ -210,6 +222,8 @@ class CodecConfig:
             raise ValueError("winner_fetch must be 'auto', 'fetch' or 'inkernel'")
         if self.fast_me_fetch not in ("auto", "pallas", "xla", "slice"):
             raise ValueError("fast_me_fetch must be 'auto', 'pallas', 'xla' or 'slice'")
+        if self.fast_me_pass not in ("auto", "kernel", "xla"):
+            raise ValueError("fast_me_pass must be 'auto', 'kernel' or 'xla'")
         if self.fast_me_seg_mult != "auto" and (
             not isinstance(self.fast_me_seg_mult, int)
             or isinstance(self.fast_me_seg_mult, bool)

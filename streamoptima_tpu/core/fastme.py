@@ -127,6 +127,19 @@ def resolve_lookahead(req, fetch_mode: str, seg_len: int, n_segments: int,
     return k
 
 
+def resolve_pass_kernel(req: str, kl: int) -> bool:
+    """Whole-pass rowscan kernel policy (cfg.fast_me_pass) — ONE rule for
+    both engines.  "kernel" forces it (interpret mode off-TPU — the
+    bit-parity test path); "xla" keeps the scan; "auto" currently = off:
+    the kernel measures 10.3 vs 22.0 ms per 4K sweep pass and is bit-exact
+    in interpret mode AND on-chip at S <= 8, but the S = 135 production
+    shape still shows an unexplained on-chip MV divergence under
+    investigation (round-5) — auto flips on once scale parity is pinned."""
+    if req == "kernel":
+        return kl > 1
+    return False
+
+
 def plane_stack(refs, fme: bool, xp, wrap_row_pass: bool = True):
     """(nref, h, w) raw reference frames -> bf16 candidate planes.
 
@@ -441,8 +454,9 @@ def wide_window_spec(n: int, k: int, fme: bool):
 def _wide_base(g, y, x0, k: int, fme: bool, xp):
     """Wide-window origin for the 3x3 searches of k chain columns whose
     first column's MVP is ``g`` (block origins (y, x0), unscaled pixels).
-    FME: plane coordinates (floor((gy - k)/2)); k=1 reproduces _region_base."""
-    gx, gy = g[:, 0], g[:, 1]
+    FME: plane coordinates (floor((gy - k)/2)); k=1 reproduces _region_base.
+    Mosaic-safe (static column slices): also called inside rowscan_pass."""
+    gx, gy = _col(g, 0, xp), _col(g, 1, xp)
     if fme:
         return y + (gy - k) // 2, x0 + (gx - k) // 2
     return y + gy - k, x0 + gx - k
@@ -606,6 +620,248 @@ def eval_chain(wide, curs, g0, xs, ys, n: int, k: int, dims, fme: bool, nvalid,
         cx = cx + xp.where(ok, dxi - 1, 0)
         g = mv
     return xp.stack(mvs, axis=0)
+
+
+# ---------------- kernel-friendly (flat, lane-major) chain-eval twin -------
+#
+# me_pallas.rowscan_pass runs the WHOLE sweep pass inside one Pallas kernel
+# (per-segment DMA waves replacing the slice-gather, one invocation per pass
+# instead of one XLA scan step per column group).  eval_chain's stacked /
+# 6D-transpose formulation lowers badly under Mosaic (stacks MATERIALIZE in
+# VMEM instead of fusing, >2D transposes relayout), so the kernel uses this
+# twin: candidate grids built position-by-position into a TRAILING-LANE flat
+# axis, selects as arithmetic one-hot mask-sums over that axis, and pick9's
+# argmin as a min + first-match-iota reduction — all ops on <= 4D arrays with
+# the large axis last.  Bit-exactness vs eval_chain is pinned by
+# tests/test_fastme.py (same int32 sums in a different order — associativity
+# is exact, no overflow: SAD <= 16*16*255 << 2^31).
+
+
+def interleave_planes(planes, xp):
+    """(4*nref, H, W) FME parity planes -> (nref, H, 4W) lane-interleaved:
+    out[r, h, 4*w + p] = planes[4*r + p, h, w], p = 2*qy + qx (the
+    _win16_select plane convention).
+
+    Why: a (P, rows, cols) window DMA costs one HBM strip per (plane, row) —
+    128 strips for the 4-parity (32, 256) fetch, and strip count IS the
+    measured per-block cost (~1 us).  Interleaved, the same window is
+    (rows, 4*cols) with all four parities adjacent on lanes: 32 strips."""
+    P, H, W = planes.shape
+    return planes.reshape(P // 4, 4, H, W).transpose(0, 2, 3, 1).reshape(P // 4, H, 4 * W)
+
+
+def _idx0(a, i: int, xp):
+    """a[i] along axis 0 as a STATIC slice+squeeze — jnp's int getitem lowers
+    through dynamic_slice, which Mosaic has no rule for; every kernel-shared
+    function must index this way."""
+    if xp is np:
+        return a[i]
+    import jax
+
+    return jax.lax.index_in_dim(a, i, 0, keepdims=False)
+
+
+def _col(a, j: int, xp):
+    """a[:, j] as a STATIC slice+squeeze (see _idx0 — Mosaic-safe)."""
+    if xp is np:
+        return a[:, j]
+    import jax
+
+    return jax.lax.index_in_dim(a, j, 1, keepdims=False)
+
+
+def _biota(xp, shape, dim):
+    """broadcasted int32 iota along ``dim`` — Mosaic rejects 1D jnp.arange
+    inside kernels; lax.broadcasted_iota is the supported spelling."""
+    if xp is np:
+        idx = np.arange(shape[dim], dtype=np.int32)
+        return np.broadcast_to(idx.reshape([-1 if d == dim else 1 for d in range(len(shape))]), shape)
+    import jax
+
+    return jax.lax.broadcasted_iota(xp.int32, shape, dim)
+
+
+def _colk(a, j: int, xp):
+    """a[:, j:j+1] — the keepdims column slice ((S, 1), never a reshape of a
+    1-D vector: Mosaic cannot shape-cast (S,) into (S, 1, ...)."""
+    if xp is np:
+        return a[:, j : j + 1]
+    import jax
+
+    return jax.lax.slice_in_dim(a, j, j + 1, axis=1)
+
+
+def _flat_argmin9(sads9, g, xp):
+    """pick9 on lane-flat candidates: sads9 (S, nref*9) int32 with lane index
+    ref*9 + dxi*3 + dyi (exactly pick9's transpose(0,1,3,2) scan order —
+    ref-major, dx, dy, strict-first-improvement).  Returns pick9's
+    (mv, sad, dyi, dxi, ok) with the scalars kept (S, 1) — every array in
+    this module's _flat code is 2-D with S on the SUBLANE axis (the Mosaic
+    layout constraint: per-segment 1-D vectors cannot broadcast over
+    higher-rank tiles)."""
+    S, G = sads9.shape
+    best = xp.min(sads9, axis=-1, keepdims=True)            # (S, 1)
+    iota = _biota(xp, (S, G), 1)
+    kidx = xp.min(xp.where(sads9 == best, iota, G), axis=-1, keepdims=True)
+    ref_i = (kidx // 9).astype(xp.int32)
+    dxi = ((kidx % 9) // 3).astype(xp.int32)
+    dyi = (kidx % 3).astype(xp.int32)
+    ok = best != _INF32                                     # (S, 1)
+    mv = xp.where(
+        ok,
+        xp.concatenate([_colk(g, 0, xp) + dxi - 1, _colk(g, 1, xp) + dyi - 1,
+                        ref_i], axis=1),
+        g,
+    ).astype(xp.int32)
+    sad = xp.where(ok, best, _INF32).astype(xp.int32)
+    return mv, sad, dyi, dxi, ok
+
+
+def _flat_valid9(g, X, Y, n: int, dims, nref: int, nvalid, xp):
+    """_cand_valid in the flat lane order (S, nref*9), idx = ref*9+dxi*3+dyi.
+    X, Y: (S, 1) block origins in search coordinates.  Returns int32 0/1 —
+    Mosaic cannot concatenate i1 vregs (invalid vector register cast)."""
+    H, W = dims
+    gx, gy = _colk(g, 0, xp), _colk(g, 1, xp)
+    cols = []
+    for dxi in range(3):
+        px = X + gx + dxi - 1
+        okx = (px >= 0) & (px < W - n) & (px + 2 * n >= 0) & (px + 2 * n < W - n)
+        for dyi in range(3):
+            py = Y + gy + dyi - 1
+            oky = (py >= 0) & (py < H - n) & (py + 2 * n >= 0) & (py + 2 * n < H - n)
+            cols.append((okx & oky).astype(xp.int32))       # (S, 1)
+    ok9 = xp.concatenate(cols, axis=1)                      # (S, 9) [dxi, dyi]
+    outs = []
+    for r in range(nref):
+        outs.append(ok9 if nvalid is None else
+                    xp.where(r < nvalid, ok9, 0))
+    return xp.concatenate(outs, axis=1)                     # (S, nref*9)
+
+
+def _fme_flat_grid(wI_r, cur_i, i: int, n: int, k: int, o_lo: int, no: int, xp):
+    """FME candidate SADs over ONE ref's interleaved wide window, lane-flat:
+    (S, no*no*4) with idx = (oy*no + ox)*4 + (2*qy + qx), entry = SAD of
+    parity plane (qy, qx) at plane offsets (o_lo+oy, o_lo+ox) for column i.
+    wI_r (S, R, 4C) int32 interleaved (interleave_planes layout); cur_i
+    (S, n, 4n) int32 with pixels replicated over the 4 parity lanes.
+
+    The per-parity fold over interleaved lanes (sum of every 4th lane) runs
+    as ONE exact f32 matmul per position — f32 is exact below 2^24 and the
+    row-folded partials are <= 16*255; lane-splitting reshapes and strided
+    lane slices both lower poorly (or not at all) under Mosaic."""
+    # built from iotas, not an np constant: pallas_call rejects captured
+    # constant arrays inside kernels
+    fold = (_biota(xp, (4 * n, 4), 0) % 4 == _biota(xp, (4 * n, 4), 1)
+            ).astype(xp.float32)
+    cells = []
+    for oy in range(no):
+        r0 = o_lo + oy
+        for ox in range(no):
+            l0 = 4 * (n * i + o_lo + ox)
+            d = xp.abs(wI_r[:, r0 : r0 + n, l0 : l0 + 4 * n] - cur_i)
+            d2 = d.sum(axis=1)                              # (S, 4n) sublane fold
+            s4 = (d2.astype(xp.float32) @ fold).astype(xp.int32)  # (S, 4)
+            cells.append(s4)
+    return xp.concatenate(cells, axis=1)                    # (S, no*no*4)
+
+
+def _wpel_flat_grid(wide_r, cur, i: int, n: int, k: int, xp):
+    """Whole-pel candidate SADs for ONE ref, lane-flat: (S, na*na) with idx =
+    a*na + b = SAD at window start (k-i-1+a, n*i + k-i-1+b) — the
+    _sad_grid_wpel cell in builder order.  wide_r (S, R, C) int32."""
+    na = 2 * i + 3
+    o0 = k - i - 1
+    cells = []
+    for a in range(na):
+        for b in range(na):
+            sl = wide_r[:, o0 + a : o0 + a + n, n * i + o0 + b : n * i + o0 + b + n]
+            d = xp.abs(sl - cur).sum(axis=2)                # (S, n)
+            cells.append(d.sum(axis=1, keepdims=True))      # (S, 1)
+    return xp.concatenate(cells, axis=1)                    # (S, na*na)
+
+
+def eval_chain_flat(wide, curs, g0, xs, ys, n: int, k: int, dims, fme: bool,
+                    nvalid, colmask, xp):
+    """eval_chain's bit-exact flat twin (see module comment above).
+
+    wide: (S, nref, R, 4C) int32 INTERLEAVED under FME (interleave_planes
+    window layout), (S, nref, R, C) int32 whole-pel — both based at
+    _wide_base(g0).  curs: (k, S, n, 4n) int32 with pixels replicated over
+    parity lanes under FME (xp.repeat(cur, 4, -1)), plain (k, S, n, n)
+    whole-pel.  xs (k, S, 1) / ys (S, 1) block origins in UNSCALED pixels —
+    2-D keepdims layout (see _flat_argmin9).  Everything else as
+    eval_chain.  Returns mvs (k, S, 3)."""
+    S = wide.shape[0]
+    nref = wide.shape[1]
+    scale = 2 if fme else 1
+    if fme:
+        pay = _colk(g0, 1, xp) % 2                          # (S, 1)
+        pax = _colk(g0, 0, xp) % 2
+    g = g0
+    cy = xp.zeros((S, 1), xp.int32)
+    cx = xp.zeros((S, 1), xp.int32)
+    mvs = []
+    for i in range(k):
+        cur_i = _idx0(curs, i, xp)                          # (S, n, nc)
+        xs_i = _idx0(xs, i, xp)                             # (S, 1)
+        if fme:
+            offs = [_fme_off(p, e, k)[1] for p in (0, 1) for e in range(-(i + 1), i + 2)]
+            o_lo, o_hi = min(offs), max(offs)
+            no = o_hi - o_lo + 1
+            npos = no * no * 4
+
+            def cand_idx(dyi, dxi):
+                # (qy, oy) = _fme_off(pay, cy + dy - 1, k) arithmetically
+                ty = pay + cy + dyi - 1
+                qy = ty % 2
+                oy = (ty - qy) // 2 + (k - pay + 1) // 2 - o_lo
+                tx = pax + cx + dxi - 1
+                qx = tx % 2
+                ox = (tx - qx) // 2 + (k - pax + 1) // 2 - o_lo
+                return (oy * no + ox) * 4 + 2 * qy + qx     # (S, 1)
+        else:
+            na = 2 * i + 3
+            npos = na * na
+
+            def cand_idx(dyi, dxi, na=na):
+                return (cy + dyi - 1 + i + 1) * na + (cx + dxi - 1 + i + 1)
+
+        # per-candidate one-hot gather from each ref's flat grid: exactly one
+        # position matches per (s, candidate) by construction
+        idxs = [[cand_idx(dyi, dxi) for dyi in range(3)] for dxi in range(3)]
+        iota = _biota(xp, (S, npos), 1)
+        cols = []
+        for r in range(nref):
+            if fme:
+                grid_r = _fme_flat_grid(_ref_plane(wide, r, xp), cur_i, i, n,
+                                        k, o_lo, no, xp)
+            else:
+                grid_r = _wpel_flat_grid(_ref_plane(wide, r, xp), cur_i, i, n,
+                                         k, xp)
+            for dxi in range(3):                            # pick9 scan order
+                for dyi in range(3):
+                    oh = (idxs[dxi][dyi] == iota).astype(grid_r.dtype)
+                    cols.append((grid_r * oh).sum(axis=1, keepdims=True))
+        sads9 = xp.concatenate(cols, axis=1)                # (S, nref*9)
+        valid = _flat_valid9(g, xs_i * scale, ys * scale, n, dims, nref, nvalid, xp)
+        valid = xp.where(colmask[i], valid, 0)
+        mv, _, dyi, dxi, ok = _flat_argmin9(
+            xp.where(valid != 0, sads9, _INF32), g, xp)
+        mvs.append(mv)
+        cy = cy + xp.where(ok, dyi - 1, 0)
+        cx = cx + xp.where(ok, dxi - 1, 0)
+        g = mv
+    return xp.stack(mvs, axis=0)
+
+
+def _ref_plane(wide, r: int, xp):
+    """wide[:, r] as a static slice+squeeze (Mosaic-safe)."""
+    if xp is np:
+        return wide[:, r]
+    import jax
+
+    return jax.lax.index_in_dim(wide, r, 1, keepdims=False)
 
 
 def confirm_windows_from_stack(wideT, g_fin, n: int, k: int, L: int, S: int,

@@ -1384,3 +1384,220 @@ def window_fetch(prep, by0, bx0, nwin: int, interpret: bool = False,
         interpret=interpret,
     )(rows, cols, planes_pad)
     return win[:nb, :, :nwin, :wc].astype(jnp.int32)
+
+
+# ------------------------------------------------ whole-pass rowscan kernel
+#
+# Round-5: the fast-ME sweep pass as ONE pallas_call instead of an XLA scan
+# of Lp fetch+eval steps.  Measured at 4K (benchmarks/winfetch_probe.py):
+# the XLA pass is 22.0 ms of which ~12.6 ms is the vmapped-dynamic-slice
+# window gather (~2.1 us x 135 windows x 60 steps — the gather is
+# ROW-SCATTER bound: ~11k gathered window rows per step) and ~7.6 ms is
+# scan-step overhead; per-step Pallas fetch calls lose outright (26 ms) on
+# the XLA<->Pallas boundary.  In-kernel, the whole pass pays ONE boundary,
+# no scan overhead, and the fetch is a per-segment DMA wave whose cost is
+# HBM strips: with the FME parity planes LANE-INTERLEAVED
+# (fastme.interleave_planes — all 4 parities adjacent on lanes) a segment's
+# wide window is 32 strips instead of 128.
+#
+# The eval is fastme.eval_chain_flat — the bit-exact 2-D-max twin of
+# eval_chain (tests/test_fastme.py pins flat==chain==sequential eval9), so
+# kernel passes produce IDENTICAL MVs to the XLA scan passes.  Mosaic
+# lowering constraints that shaped this code (each cost a failed remote
+# compile): no jnp int getitem on traced values (lowers via dynamic_slice —
+# use lax.slice/index_in_dim), no mixed None+int indexing (gathers), no
+# broadcasting a per-segment (S,) vector over higher-rank tiles (keep every
+# per-segment scalar (S, 1) from birth), no dynamic reads of scratch slots
+# (barrel per segment in a STATIC unroll with SMEM scalar conditions).
+
+
+def pass_prep(planes, wr: int, wc: int, fme: bool):
+    """XLA-side once-per-frame prep for rowscan_pass: interleave (FME) and
+    pad the candidate planes for aligned (32, LF)-lane DMA windows.
+
+    FME: planes (4*nref, H, W) bf16 -> (nref, Hp, LWp) int16 interleaved
+    (lane 4c+p, p = 2*qy+qx); fetch window 512 lanes (remainders are
+    multiples of 4, barrel 64..4).  Whole-pel: (nref, H, W) -> padded
+    (nref, Hp, Wp) int16; fetch window 256 lanes (barrel 64..1).
+    Returns (planes_pad, H, W, wr, wc, fme)."""
+    from streamoptima_tpu.core import fastme as FM
+
+    P, H, W = planes.shape
+    assert wr <= 24, f"rowscan_pass row extent {wr} exceeds the 32-row DMA budget"
+    pi = planes.astype(jnp.int16)
+    if fme:
+        pi = FM.interleave_planes(pi, jnp)
+        lanes, left = 4 * W, 512
+        lf = 512
+        assert 127 + 4 * wc <= lf, f"wide cols {wc} exceed the 512-lane FME fetch"
+    else:
+        lanes, left = W, 128
+        lf = 256
+        assert 127 + wc <= lf, f"wide cols {wc} exceed the 256-lane fetch"
+    hp = ((H + wr) // 8) * 8 + 32
+    wp = -(-(lanes + left) // 128) * 128 + lf
+    pad = jnp.pad(pi, ((0, 0), (wr, hp - H - wr), (left, wp - lanes - left)))
+    return pad, H, W, wr, wc, fme
+
+
+def rowscan_pass(prep, curK, xs0, xsK, ys, cmK, seeds, n: int, kl: int, dims,
+                 nvalid=None, interpret: bool = False):
+    """One full sweep pass (all Lp column groups) in one kernel.
+
+    prep: pass_prep output.  curK (Lp, kl, S, n, nc) int16 current blocks —
+    nc = 4n with pixels replicated over parity lanes under FME (the
+    eval_chain_flat layout), n whole-pel.  xs0 (Lp*S,) int32 = xsK[:, 0, :]
+    flat (the scalar DMA-origin columns); xsK (Lp, kl, S) int32; ys (S,)
+    int32; cmK (Lp, kl) int32 column masks; seeds (S, 3) int32.
+
+    Grid = (Lp,); scratch carries the chain seeds across groups (TPU grid
+    steps run sequentially on one core): each step copies the seed vector
+    to SMEM (scalar domain), issues one DMA per segment for its wide
+    window, barrel-aligns each segment's fetch in a static unroll (scalar
+    conditions), resolves the kl columns with eval_chain_flat, and writes
+    (mvs, windows) to the per-group output blocks.  Returns mK
+    (Lp, kl, S, 3) int32 and the stacked windows wK (Lp, S, nref, wr, LW)
+    int16 (LW = 4*wc FME-interleaved, wc whole-pel) for
+    confirm_windows_from_stack."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from streamoptima_tpu.core import fastme as FM
+
+    planes_pad, H, W, wr, wc, fme = prep
+    nref = planes_pad.shape[0]
+    Lp, _, S = xsK.shape
+    nc = curK.shape[-1]
+    LF = 512 if fme else 256
+    LW = 4 * wc if fme else wc
+
+    def kernel(xs0_s, ys_s, cm_s, nv_s, planes_hbm, curK_ref, xsK_ref, ys_ref,
+               seeds_ref, mK_ref, wK_ref, seeds_v, buf, dsem, seeds_s, csem):
+        gidx = pl.program_id(0)
+
+        @pl.when(gidx == 0)
+        def _():
+            seeds_v[...] = seeds_ref[...]
+
+        # seed vector -> SMEM for the scalar-domain DMA origins
+        cp = pltpu.make_async_copy(seeds_v, seeds_s, csem)
+        cp.start()
+        cp.wait()
+
+        def origin(s):
+            gx = seeds_s[s, 0]
+            gy = seeds_s[s, 1]
+            yv = ys_s[s]
+            xv = xs0_s[gidx * S + s]
+            if fme:
+                # jnp // is floor_divide — matches fastme._wide_base exactly
+                by0 = yv + (gy - kl) // 2
+                bx0 = xv + (gx - kl) // 2
+            else:
+                by0 = yv + gy - kl
+                bx0 = xv + gx - kl
+            r = jnp.clip(by0, -wr, H) + wr
+            if fme:
+                lane = 4 * jnp.clip(bx0, -wc, W) + 512
+            else:
+                lane = jnp.clip(bx0, -wc, W) + 128
+            return r, lane
+
+        def dma_for(s):
+            r, lane = origin(s)
+            return pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(pl.multiple_of((r // 8) * 8, 8), 32),
+                              pl.ds(pl.multiple_of((lane // 128) * 128, 128), LF)],
+                buf.at[s], dsem.at[s],
+            )
+
+        def issue(s, c):
+            dma_for(s).start()
+            return c
+
+        jax.lax.fori_loop(0, S, issue, jnp.int32(0))
+
+        # per-segment drain + barrel alignment, STATICALLY unrolled: the
+        # conditions are SMEM scalars, the buffer index is static — both
+        # per-segment-vector broadcasts over 4-D tiles and dynamic scratch
+        # reads are unsupported under Mosaic (the window_fetch lessons)
+        for s in range(S):
+            dma_for(s).wait()
+            cur = buf[s]                                   # (nref, 32, LF)
+            r, lane = origin(s)
+            remr = jax.lax.rem(r, 8)
+            hleft = 32
+            for kk in (4, 2, 1):                           # sublane barrel
+                nh = hleft - kk
+                cur = jnp.where((remr & kk) != 0, cur[:, kk : kk + nh, :], cur[:, :nh, :])
+                hleft = nh
+            cur = jax.lax.slice(cur, (0, 0, 0), (nref, wr, LF))
+            remc = jax.lax.rem(lane, 128)
+            wleft = LF
+            # FME lane remainders are multiples of 4 (4c + 512 mod 128)
+            for kk in ((64, 32, 16, 8, 4) if fme else (64, 32, 16, 8, 4, 2, 1)):
+                nw = wleft - kk
+                cur = jnp.where((remc & kk) != 0, cur[:, :, kk : kk + nw], cur[:, :, :nw])
+                wleft = nw
+            wK_ref[0, s] = jax.lax.slice(cur, (0, 0, 0), (nref, wr, LW))
+
+        cmask = [cm_s[gidx * kl + i] != 0 for i in range(kl)]
+        curs = curK_ref[0].astype(jnp.int32)  # (kl, S, n, nc)
+        g_vec = seeds_v[...]
+        # the reference-FIFO population mask rides SMEM (it is traced in the
+        # mesh engine — a captured traced scalar is rejected by pallas_call);
+        # nv == nref is the single-chip no-op
+        mvs = FM.eval_chain_flat(wK_ref[0].astype(jnp.int32), curs, g_vec,
+                                 xsK_ref[0], ys_ref[...], n, kl, dims, fme,
+                                 nv_s[0], cmask, jnp)
+        mK_ref[0] = mvs
+        # static slice, not mvs[-1]: jnp int getitem lowers via dynamic_slice
+        seeds_v[...] = jax.lax.index_in_dim(mvs, kl - 1, 0, keepdims=False)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(Lp,),
+        in_specs=[
+            pl.BlockSpec((Lp * S,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Lp * kl,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, kl, S, n, nc), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kl, S, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kl, S, 3), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, nref, wr, LW), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, 3), jnp.int32),
+            pltpu.VMEM((S, nref, 32, LF), jnp.int16),
+            pltpu.SemaphoreType.DMA((S,)),
+            pltpu.SMEM((S, 3), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    mK, wK = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Lp, kl, S, 3), jnp.int32),
+            jax.ShapeDtypeStruct((Lp, S, nref, wr, LW), jnp.int16),
+        ],
+        # the statically-unrolled per-segment barrels put ~22 MB of
+        # short-lived temporaries on the Mosaic value stack at S=135 —
+        # raise the scoped-vmem cap (v5e VMEM is 128 MB; the resident
+        # blocks + scratch total ~12 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xs0.reshape(-1), ys, cmK.reshape(-1),
+      jnp.asarray([nref if nvalid is None else nvalid], jnp.int32).reshape(1),
+      planes_pad, curK, xsK.reshape(Lp, kl, S, 1), ys.reshape(S, 1), seeds)
+    return mK, wK

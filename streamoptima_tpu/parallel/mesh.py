@@ -456,6 +456,7 @@ class ShardedCodec:
         ysT = (self._by_local + y0_px).astype(jnp.int32).reshape(S, L).swapaxes(0, 1)
         perm_dn = [(i, i + 1) for i in range(self.ntile - 1)]
 
+        use_pk = FM.resolve_pass_kernel(cfg.fast_me_pass, kl)
         if kl > 1:
             # speculative lookahead (fastme.eval_chain — the single-chip
             # rule): kl chain columns per scan step from one wide window per
@@ -471,6 +472,23 @@ class ShardedCodec:
                 [xsT, jnp.broadcast_to(xsT[-1:], (padc, S))]
             ).reshape(Lp, kl, S) if padc else xsT.reshape(Lp, kl, S)
             cmK = jnp.asarray((np.arange(Lp * kl) < L).reshape(Lp, kl))
+
+        if kl > 1 and use_pk:
+            # whole-pass kernel (me_pallas.rowscan_pass, single-chip rule):
+            # one pallas_call per sweep pass, per-device under shard_map
+            pk_prep = _mp.pass_prep(planes, wr, wc, fme)
+            curKk = curK.astype(jnp.int16)
+            if fme:
+                curKk = jnp.repeat(curKk, 4, axis=-1)
+            xs0 = xsK[:, 0, :].reshape(-1)
+            cmKi = cmK.astype(jnp.int32)
+
+            def row_pass(seeds):
+                mK, wK = _mp.rowscan_pass(pk_prep, curKk, xs0, xsK, ysv, cmKi,
+                                          seeds, n, kl, dims, nvalid=nvalid,
+                                          interpret=interp)
+                return mK[-1, -1], (mK.reshape(Lp * kl, S, 3)[:L], wK)
+        elif kl > 1:
 
             def row_pass(seeds):
                 def step(g, inp):
@@ -516,7 +534,12 @@ class ShardedCodec:
             jnp.zeros((S, 3), jnp.int32) if g0 is None else g0.reshape(S, L, 3)[:, 0]
         )
         if kl > 1:
-            extra0 = jnp.zeros((-(-L // kl), S, planes.shape[0], wr, wc), jnp.int32)
+            if use_pk:  # kernel stack: (FME-interleaved) int16 windows
+                nrefp = planes.shape[0] // 4 if fme else planes.shape[0]
+                extra0 = jnp.zeros((-(-L // kl), S, nrefp, wr,
+                                    4 * wc if fme else wc), jnp.int16)
+            else:
+                extra0 = jnp.zeros((-(-L // kl), S, planes.shape[0], wr, wc), jnp.int32)
             init = (seeds0, (jnp.zeros((L, S, 3), jnp.int32), extra0),
                     jnp.asarray(True), jnp.asarray(0, jnp.int32))
             seeds_fin, (mT, wT), _, _ = jax.lax.while_loop(cond, body, init)
@@ -533,6 +556,16 @@ class ShardedCodec:
             n, fme, jnp,
         )
         if kl > 1:
+            if use_pk:
+                Lpk = wT.shape[0]
+                if fme:  # de-interleave the kernel stack to gather layout
+                    nrefp = wT.shape[2]
+                    wT = (wT.astype(jnp.int32)
+                          .reshape(Lpk, S, nrefp, wr, wc, 4)
+                          .transpose(0, 1, 2, 5, 3, 4)
+                          .reshape(Lpk, S, nrefp * 4, wr, wc))
+                else:
+                    wT = wT.astype(jnp.int32)
             win = FM.confirm_windows_from_stack(wT, g_fin, n, kl, L, S, fme, jnp)
         else:
             win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)

@@ -118,6 +118,115 @@ def test_eval_chain_matches_sequential_eval9(fme, k):
 
 
 @pytest.mark.parametrize("fme", [False, True])
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_eval_chain_flat_matches_eval_chain(fme, k):
+    """The kernel-friendly flat twin (lane-major grids, arithmetic one-hot
+    candidate gather, min+iota argmin, interleaved FME windows) must equal
+    eval_chain bit-for-bit over the same chunk walk — wild seeds, edge
+    seeds, multi-ref, padded tails included."""
+    cur, refs, bx, by, g, (nbr, nbc) = _setup(fme, seed=5)
+    bs = 16
+    n = bs
+    planes = FM.plane_stack(jnp.asarray(refs), fme, jnp)
+    nref = refs.shape[0]
+    dims = (2 * cur.shape[0] - 1, 2 * cur.shape[1] - 1) if fme else cur.shape
+    cur_b = jnp.asarray(cur).reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(-1, bs, bs)
+    S = nbr
+    seeds = g.reshape(nbr, nbc, 3)[:, 0]
+    curT = cur_b.reshape(nbr, nbc, n, n).swapaxes(0, 1)
+    xsT = jnp.asarray(bx).reshape(nbr, nbc).swapaxes(0, 1).astype(jnp.int32)
+    ys = jnp.asarray(by).reshape(nbr, nbc)[:, 0].astype(jnp.int32)
+    Lp = -(-nbc // k)
+    padc = Lp * k - nbc
+    curK = jnp.concatenate([curT, jnp.zeros((padc, S, n, n), curT.dtype)])
+    xsK = jnp.concatenate([xsT, jnp.broadcast_to(xsT[-1:], (padc, S))])
+    wr, wc = FM.wide_window_spec(n, k, fme)
+    gg_a = gg_b = seeds
+    for c in range(Lp):
+        cm = jnp.asarray((np.arange(c * k, (c + 1) * k) < nbc))
+        by0, bx0 = FM._wide_base(gg_a, ys, xsK[c * k], k, fme, jnp)
+        wide = FM.window_gather(planes, by0, bx0, wr, jnp, nwin_c=wc)
+        mvs_a = FM.eval_chain(wide, curK[c * k : (c + 1) * k], gg_a,
+                              xsK[c * k : (c + 1) * k], ys, n, k, dims, fme,
+                              None, cm, jnp)
+        curs_f = curK[c * k : (c + 1) * k]
+        if fme:
+            # interleaved layout: wI[s, r, row, 4c+p], p = 2*qy + qx
+            wI = (wide.reshape(S, nref, 4, wr, wc)
+                  .transpose(0, 1, 3, 4, 2).reshape(S, nref, wr, 4 * wc))
+            curs_f = jnp.repeat(curs_f, 4, axis=-1)
+        else:
+            wI = wide
+        mvs_b = FM.eval_chain_flat(wI, curs_f, gg_b,
+                                   xsK[c * k : (c + 1) * k][..., None],
+                                   ys[:, None], n, k, dims,
+                                   fme, None, cm, jnp)
+        np.testing.assert_array_equal(np.asarray(mvs_a), np.asarray(mvs_b),
+                                      err_msg=f"chunk {c}")
+        gg_a, gg_b = mvs_a[-1], mvs_b[-1]
+
+
+@pytest.mark.parametrize("fme", [False, True])
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_rowscan_pass_kernel_matches_eval_chain(fme, k):
+    """me_pallas.rowscan_pass (the whole-pass kernel: per-segment DMA wave,
+    interleaved FME layout, barrel alignment, in-kernel eval_chain_flat)
+    must reproduce the XLA eval_chain group walk bit-for-bit — MVs AND the
+    stacked wide windows (the confirm's input)."""
+    from streamoptima_tpu.core import me_pallas as MP
+
+    cur, refs, bx, by, g, (nbr, nbc) = _setup(fme, seed=9)
+    bs = 16
+    n = bs
+    planes = FM.plane_stack(jnp.asarray(refs), fme, jnp)
+    nref = refs.shape[0]
+    dims = (2 * cur.shape[0] - 1, 2 * cur.shape[1] - 1) if fme else cur.shape
+    cur_b = jnp.asarray(cur).reshape(nbr, bs, nbc, bs).swapaxes(1, 2).reshape(-1, bs, bs)
+    S = nbr
+    seeds = g.reshape(nbr, nbc, 3)[:, 0]
+    curT = cur_b.reshape(nbr, nbc, n, n).swapaxes(0, 1)
+    xsT = jnp.asarray(bx).reshape(nbr, nbc).swapaxes(0, 1).astype(jnp.int32)
+    ys = jnp.asarray(by).reshape(nbr, nbc)[:, 0].astype(jnp.int32)
+    Lp = -(-nbc // k)
+    padc = Lp * k - nbc
+    curK = jnp.concatenate([curT, jnp.zeros((padc, S, n, n), curT.dtype)])
+    xsK = jnp.concatenate([xsT, jnp.broadcast_to(xsT[-1:], (padc, S))])
+    wr, wc = FM.wide_window_spec(n, k, fme)
+    cmK = jnp.asarray((np.arange(Lp * k) < nbc).reshape(Lp, k).astype(np.int32))
+
+    # oracle: the XLA eval_chain walk, stacking the wide windows
+    gg = seeds
+    mv_ref, w_ref = [], []
+    for c in range(Lp):
+        by0, bx0 = FM._wide_base(gg, ys, xsK[c * k], k, fme, jnp)
+        wide = FM.window_gather(planes, by0, bx0, wr, jnp, nwin_c=wc)
+        mvs = FM.eval_chain(wide, curK[c * k : (c + 1) * k], gg,
+                            xsK[c * k : (c + 1) * k], ys, n, k, dims, fme,
+                            None, cmK[c] != 0, jnp)
+        mv_ref.append(np.asarray(mvs))
+        w_ref.append(np.asarray(wide))
+        gg = mvs[-1]
+
+    # kernel (interpret mode)
+    curKk = curK.reshape(Lp, k, S, n, n).astype(jnp.int16)
+    if fme:
+        curKk = jnp.repeat(curKk, 4, axis=-1)
+    prep = MP.pass_prep(planes, wr, wc, fme)
+    mK, wK = MP.rowscan_pass(prep, curKk, xsK[:, :].reshape(Lp, k, S)[:, 0, :].reshape(-1),
+                             xsK.reshape(Lp, k, S), ys, cmK, seeds, n, k, dims,
+                             interpret=True)
+    for c in range(Lp):
+        np.testing.assert_array_equal(np.asarray(mK[c]), mv_ref[c],
+                                      err_msg=f"mvs chunk {c}")
+        wkc = np.asarray(wK[c]).astype(np.int32)  # (S, nref, wr, LW)
+        if fme:
+            # de-interleave back to the window_gather (S, P, wr, wc) layout
+            wkc = (wkc.reshape(S, nref, wr, wc, 4).transpose(0, 1, 4, 2, 3)
+                   .reshape(S, nref * 4, wr, wc))
+        np.testing.assert_array_equal(wkc, w_ref[c], err_msg=f"windows chunk {c}")
+
+
+@pytest.mark.parametrize("fme", [False, True])
 @pytest.mark.parametrize("k", [2, 3, 4])
 def test_confirm_windows_from_stack_matches_gather(fme, k):
     """confirm_windows_from_stack must equal window_gather at
@@ -306,7 +415,11 @@ def test_rowscan_fetch_modes_bitwise():
                   dict(fast_me_fetch="slice"),
                   dict(fast_me_fetch="slice", fast_me_lookahead=3),
                   dict(fast_me_fetch="slice", fast_me_lookahead=1),
-                  dict(fast_me_fetch="xla", fast_me_lookahead=2)):
+                  dict(fast_me_fetch="xla", fast_me_lookahead=2),
+                  # whole-pass kernel (interpret mode): FME-interleaved DMA
+                  # waves + in-kernel eval_chain_flat, full engine loop
+                  dict(fast_me_pass="kernel", fast_me_lookahead=2),
+                  dict(fast_me_pass="kernel", fast_me_lookahead=4)):
         b = JaxCodec(dataclasses.replace(base, **extra), clip).encode(package=True)
         np.testing.assert_array_equal(ref["reconstructed frames"], b["reconstructed frames"],
                                       err_msg=str(extra))

@@ -61,6 +61,10 @@ CASES = [
     # plane production path, forced at this small size) on both engines
     dict(fast_me=True, vbs_enable=True, fme_enable=True, lam=0.015,
          fast_me_fetch="slice", fast_me_lookahead=2),
+    # whole-pass rowscan kernel (me_pallas.rowscan_pass, interpret mode on
+    # CPU): per-segment DMA waves under shard_map on both engines
+    dict(fast_me=True, vbs_enable=True, fme_enable=True, lam=0.015,
+         fast_me_pass="kernel", fast_me_lookahead=2),
 ]
 
 
