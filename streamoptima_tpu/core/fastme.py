@@ -129,15 +129,20 @@ def resolve_lookahead(req, fetch_mode: str, seg_len: int, n_segments: int,
 
 def resolve_pass_kernel(req: str, kl: int) -> bool:
     """Whole-pass rowscan kernel policy (cfg.fast_me_pass) — ONE rule for
-    both engines.  "kernel" forces it (interpret mode off-TPU — the
-    bit-parity test path); "xla" keeps the scan; "auto" currently = off:
-    the kernel measures 10.3 vs 22.0 ms per 4K sweep pass and is bit-exact
-    in interpret mode AND on-chip at S <= 8, but the S = 135 production
-    shape still shows an unexplained on-chip MV divergence under
-    investigation (round-5) — auto flips on once scale parity is pinned."""
+    both engines.  "auto" = on for TPU backends whenever the resolved
+    lookahead kl > 1 (the kernel's DMA geometry serves kl in [2, 7]; kl = 1
+    shapes are one-hot-optimal already); "kernel" forces it (interpret mode
+    off-TPU — the bit-parity test path); "xla" keeps the scan.  On-chip
+    parity pinned at S=8 AND the 4K S=135 production shape (the one
+    divergence found was the fold matmul's default bf16 MXU precision —
+    fixed with Precision.HIGHEST, benchmarks round-5)."""
+    if req == "xla" or kl <= 1:
+        return False
     if req == "kernel":
-        return kl > 1
-    return False
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def plane_stack(refs, fme: bool, xp, wrap_row_pass: bool = True):
@@ -761,7 +766,19 @@ def _fme_flat_grid(wI_r, cur_i, i: int, n: int, k: int, o_lo: int, no: int, xp):
             l0 = 4 * (n * i + o_lo + ox)
             d = xp.abs(wI_r[:, r0 : r0 + n, l0 : l0 + 4 * n] - cur_i)
             d2 = d.sum(axis=1)                              # (S, 4n) sublane fold
-            s4 = (d2.astype(xp.float32) @ fold).astype(xp.int32)  # (S, 4)
+            if xp is np:
+                s4 = (d2.astype(np.float32) @ fold).astype(np.int32)
+            else:
+                import jax
+
+                # HIGHEST precision: the default MXU path truncates the
+                # f32 operands to one bf16 pass — d2 needs 12 mantissa bits
+                # (<= 16*255) and near-tie SADs flipped argmins at S=135
+                # (on-chip parity debug, round-5); the 3-pass decomposition
+                # is exact for these ranges
+                s4 = jax.numpy.matmul(
+                    d2.astype(xp.float32), fold,
+                    precision=jax.lax.Precision.HIGHEST).astype(xp.int32)
             cells.append(s4)
     return xp.concatenate(cells, axis=1)                    # (S, no*no*4)
 
@@ -865,7 +882,7 @@ def _ref_plane(wide, r: int, xp):
 
 
 def confirm_windows_from_stack(wideT, g_fin, n: int, k: int, L: int, S: int,
-                               fme: bool, xp):
+                               fme: bool, xp, lane_mult: int = 1):
     """Confirm-pass regions from the FINAL sweep pass's stacked wide windows
     — bit-identical to ``window_gather(planes, *_region_base(g_fin), n+2)``
     without re-gathering (the all-blocks one-hot gather is ~3 ms at 720p).
@@ -883,9 +900,16 @@ def confirm_windows_from_stack(wideT, g_fin, n: int, k: int, L: int, S: int,
     and the wide window's (n+2k) / (n+k+1) extents fit the extreme offsets
     exactly.  wideT (Lp, S, P, wr, wc) int32 stacked by the scan; g_fin
     (S*L, 3) converged MVPs in chain order (segment-major).  Returns
-    (S*L, P, n+2, n+2) in the same chain order."""
+    (S*L, P, n+2, n+2) in the same chain order.
+
+    ``lane_mult`` = m serves LANE-INTERLEAVED stacks (the rowscan_pass
+    kernel's int16 (Lp, S, nref, wr, m*wc) output, m = 4 parities/lane):
+    column arithmetic scales by m, rows are untouched, and the caller
+    de-interleaves the (S*L, nref, nw, m*nw) result — 4.5x fewer bytes
+    through the relayout transpose than de-interleaving the full stack."""
     Lp = wideT.shape[0]
     P = wideT.shape[2]
+    m_ = lane_mult
     nw = n + 2
     g = g_fin.reshape(S, L, 3)
     padc = Lp * k - L
@@ -909,16 +933,17 @@ def confirm_windows_from_stack(wideT, g_fin, n: int, k: int, L: int, S: int,
         racc = None
         for a0 in range(na):
             m = (ay[:, :, i] == a0)[:, :, None, None, None]
-            sl = wideT[:, :, :, a0 : a0 + nw, n * i : n * i + na - 1 + nw]
+            sl = wideT[:, :, :, a0 : a0 + nw,
+                       m_ * (n * i) : m_ * (n * i + na - 1 + nw)]
             racc = sl if racc is None else xp.where(m, sl, racc)
         cacc = None
         for b0 in range(na):
             m = (bx[:, :, i] == b0)[:, :, None, None, None]
-            sl = racc[..., b0 : b0 + nw]
+            sl = racc[..., m_ * b0 : m_ * (b0 + nw)]
             cacc = sl if cacc is None else xp.where(m, sl, cacc)
-        cols.append(cacc)  # (Lp, S, P, nw, nw)
-    wins = xp.stack(cols, axis=1).reshape(Lp * k, S, P, nw, nw)[:L]
-    return wins.swapaxes(0, 1).reshape(S * L, P, nw, nw)
+        cols.append(cacc)  # (Lp, S, P, nw, m_*nw)
+    wins = xp.stack(cols, axis=1).reshape(Lp * k, S, P, nw, m_ * nw)[:L]
+    return wins.swapaxes(0, 1).reshape(S * L, P, nw, m_ * nw)
 
 
 def _ref_select(w, ref, xp):

@@ -556,17 +556,21 @@ class ShardedCodec:
             n, fme, jnp,
         )
         if kl > 1:
-            if use_pk:
-                Lpk = wT.shape[0]
-                if fme:  # de-interleave the kernel stack to gather layout
-                    nrefp = wT.shape[2]
-                    wT = (wT.astype(jnp.int32)
-                          .reshape(Lpk, S, nrefp, wr, wc, 4)
-                          .transpose(0, 1, 2, 5, 3, 4)
-                          .reshape(Lpk, S, nrefp * 4, wr, wc))
-                else:
+            if use_pk and fme:
+                # interleaved-stack select first, then de-interleave the
+                # small result (single-chip rule)
+                nw2 = n + 2
+                wi = FM.confirm_windows_from_stack(wT, g_fin, n, kl, L, S,
+                                                   fme, jnp, lane_mult=4)
+                nrefp = wi.shape[1]
+                win = (wi.astype(jnp.int32)
+                       .reshape(self.nb_t, nrefp, nw2, nw2, 4)
+                       .transpose(0, 1, 4, 2, 3)
+                       .reshape(self.nb_t, nrefp * 4, nw2, nw2))
+            else:
+                if use_pk:
                     wT = wT.astype(jnp.int32)
-            win = FM.confirm_windows_from_stack(wT, g_fin, n, kl, L, S, fme, jnp)
+                win = FM.confirm_windows_from_stack(wT, g_fin, n, kl, L, S, fme, jnp)
         else:
             win = FM.window_read(wprep, by0, bx0, n + 2, jnp, interpret=interp)
         cur_q = cur_b.reshape(-1, 2, self.sbs, 2, self.sbs).swapaxes(2, 3).reshape(
