@@ -61,34 +61,47 @@ def intra_search_mode0(cur, bs: int, sr: int, canvas_w: int, vbs: bool, xp):
     # pad so shifted windows exist for all dx and canvas columns
     pad_ref = xp.pad(c32, ((0, 0), (sr, canvas_w - w + sr)), constant_values=128)
 
-    # per-dx column-SAD prefix sums at sub-row-band granularity:
-    # prefix[dxi, rb, c] = sum_{c' < c} sum_{rows in band rb} |orig[r, c'+dx] - cur[r, c']|
-    prefs = []
+    # Per-dx column SADs at sub-row-band granularity.  Round-5: the original
+    # prefix-sum form (per-dx cumsum over w + take_along_axis gathers at the
+    # block columns) measured 61 ms of the 201 ms 4K intra step — but every
+    # read is BLOCK-ALIGNED with a length t(dx) that is STATIC per dx, so
+    # the per-block partial sums are plain reshape-group static-slice sums:
+    # no cumsum chains, no gathers, bit-identical int32 totals.
+    colsums = []
     for dxi in range(ndx):
         shifted = pad_ref[:, dxi : dxi + w]  # shifted[c] = orig[c + dx] (128 outside)
-        d = abs(shifted - c32)
-        colsum = d.reshape(nbr2, s, w).sum(axis=1)
-        zero = xp.zeros((nbr2, 1), dtype=colsum.dtype)
-        prefs.append(xp.concatenate([zero, xp.cumsum(colsum, axis=1)], axis=1))
-    prefix = xp.stack(prefs)  # (ndx, nbr2, w+1)
-
-    d128 = abs(c32 - 128)
-    col128 = d128.reshape(nbr2, s, w).sum(axis=1)
-    zero = xp.zeros((nbr2, 1), dtype=col128.dtype)
-    prefix128 = xp.concatenate([zero, xp.cumsum(col128, axis=1)], axis=1)  # (nbr2, w+1)
+        colsums.append(abs(shifted - c32).reshape(nbr2, s, w).sum(axis=1))
+    col128 = abs(c32 - 128).reshape(nbr2, s, w).sum(axis=1)  # (nbr2, w)
 
     dx = xp.arange(-sr, sr + 1)
 
-    def search(prefix_bands, prefix128_bands, x_sub, delta: int, n: int):
-        """prefix_bands: (ndx, R, w+1); prefix128_bands: (R, w+1);
-        x_sub: (C,) block col coords.  Returns mv, sad each (R, C)."""
-        t = xp.clip(-delta - dx, 0, n)  # (ndx,)
-        idx_hi = x_sub[None, :] + t[:, None]  # (ndx, C)
-        idx_lo = xp.broadcast_to(x_sub[None, :], idx_hi.shape)
-        a = _take_cols(prefix_bands, idx_hi, xp) - _take_cols(prefix_bands, idx_lo, xp)  # (ndx, R, C)
-        p128_hi = prefix128_bands[:, idx_hi]  # (R, ndx, C)
-        b = prefix128_bands[:, x_sub + n][None, :, :] - xp.transpose(p128_hi, (1, 0, 2))
-        sad = a + b  # (ndx, R, C)
+    def search(band_rows, rows128, x_sub, delta: int, n: int, dc: int):
+        """band_rows: per-dxi list of (R, w) column SADs; rows128 (R, w);
+        x_sub (C,) block col coords (= c*bs + dc*n for quads).  Returns
+        mv, sad each (R, C).
+
+        SAD(dx) = sum_{j < t} band_dx[x_sub + j] + sum_{t <= j < n}
+        rows128[x_sub + j], t = clip(-delta - dx, 0, n): both are segment
+        sums at n-aligned starts with static per-dx lengths."""
+        R = rows128.shape[0]
+        C = x_sub.shape[0]
+        ng = w // n
+
+        def grouped(rows_w):  # (R, w) -> (R, C, n) at the x_sub alignment
+            g = rows_w.reshape(R, ng, n)
+            if ng == C:
+                return g
+            # quad offset dc: every 2nd n-group starting at dc
+            return g.reshape(R, C, 2, n)[:, :, dc, :]
+
+        g128 = grouped(rows128)
+        sads = []
+        for dxi in range(ndx):
+            t = int(np.clip(-delta - (dxi - sr), 0, n))
+            a = grouped(band_rows[dxi])[:, :, :t].sum(axis=2)
+            b = g128[:, :, t:n].sum(axis=2)
+            sads.append(a + b)
+        sad = xp.stack(sads)  # (ndx, R, C)
         valid = (x_sub[None, :] + dx[:, None] >= 0) & (x_sub[None, :] + dx[:, None] + n <= canvas_w)
         sad_m = xp.where(valid[:, None, :], sad, _INF32)
         best = sad_m.min(axis=0)  # (R, C)
@@ -98,10 +111,11 @@ def intra_search_mode0(cur, bs: int, sr: int, canvas_w: int, vbs: bool, xp):
         return mv.astype(xp.int32), best.astype(xp.int32)
 
     x_full = xp.arange(nbc) * bs
-    pfull = prefix.reshape(ndx, nbr, 2, w + 1).sum(axis=2)
-    p128full = prefix128.reshape(nbr, 2, w + 1).sum(axis=1)
-    mv, sad = search(pfull, p128full, x_full, 0, bs)
+    full_rows = [b.reshape(nbr, 2, w).sum(axis=1) for b in colsums]
+    full128 = col128.reshape(nbr, 2, w).sum(axis=1)
+    mv, sad = search(full_rows, full128, x_full, 0, bs, 0)
 
+    d128 = abs(c32 - 128)
     # border col x==0: forced mv=-1, sad vs 128 (Encoder.py:1020-1024)
     b128 = d128.reshape(nbr, bs, nbc, bs).sum(axis=(1, 3))
     mv = _set_col(mv, 0, xp.full((nbr,), -1, dtype=xp.int32), xp)
@@ -113,21 +127,13 @@ def intra_search_mode0(cur, bs: int, sr: int, canvas_w: int, vbs: bool, xp):
         qsad = []
         for dr, dc in _QUAD_OFFS:
             x_sub = x_full + dc * s
-            pb = prefix[:, dr::2, :]  # (ndx, nbr, w+1) rows of this quad
-            p128b = prefix128[dr::2, :]
-            mv_q, sad_q = search(pb, p128b, x_sub, dc * s, s)
+            band_q = [b[dr::2, :] for b in colsums]  # (nbr, w) rows of this quad
+            mv_q, sad_q = search(band_q, col128[dr::2, :], x_sub, dc * s, s, dc)
             qmv.append(mv_q)
             qsad.append(sad_q)
         out["sub_mv"] = xp.stack(qmv, axis=-1)
         out["sub_sad"] = xp.stack(qsad, axis=-1)
     return out
-
-
-def _take_cols(arr, idx, xp):
-    """arr: (ndx, R, L); idx: (ndx, C) -> (ndx, R, C) gather along last axis."""
-    ndx, r, _ = arr.shape
-    ib = xp.broadcast_to(idx[:, None, :], (ndx, r, idx.shape[-1]))
-    return xp.take_along_axis(arr, ib, axis=2)
 
 
 def _set_col(arr, c, vals, xp):
