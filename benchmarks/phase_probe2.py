@@ -58,10 +58,13 @@ def chain_time(name, fn, a, b, n=6, reps=3):
         return None
 
     @functools.partial(jax.jit, static_argnums=0)
-    def run(iters):
+    def run(iters, av, bv):
+        # av/bv are ARGUMENTS, not captured constants: XLA constant-folds
+        # whole constant-fed loops at compile time (observed: the round-5
+        # segment-sum intra search "measured" 0.0 ms as a closure)
         def body(_, st):
             bit, acc = st
-            x = jax.tree.map(lambda u, v: jnp.where(bit != 0, u, v), a, b)
+            x = jax.tree.map(lambda u, v: jnp.where(bit != 0, u, v), av, bv)
             out = fn(x)
             mb = _mix_bit(out)
             return (bit ^ mb, acc + mb)
@@ -69,8 +72,8 @@ def chain_time(name, fn, a, b, n=6, reps=3):
         return lax.fori_loop(0, iters, body, (jnp.int32(1), jnp.int32(0)))
 
     try:
-        jax.block_until_ready(run(n))
-        jax.block_until_ready(run(2 * n))
+        jax.block_until_ready(run(n, a, b))
+        jax.block_until_ready(run(2 * n, a, b))
     except Exception as e:  # noqa: BLE001 — report and keep probing
         print(f"{name:<28}FAILED: {str(e)[:160]}", flush=True)
         return None
@@ -79,7 +82,7 @@ def chain_time(name, fn, a, b, n=6, reps=3):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(iters))
+            jax.block_until_ready(run(iters, a, b))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
