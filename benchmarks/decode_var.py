@@ -37,23 +37,19 @@ from streamoptima_tpu.utils import synthetic_clip
 
 h, w, frames = 720, 1280, 8
 cfg = CodecConfig(height=h, width=w, frames=frames, block_size=16, qp=4,
-                  intra_dur=8, search_range=8, me_search="pallas")
+                  intra_dur=8, search_range=8, lam=0.015, me_search="pallas")
 clip = synthetic_clip(h, w, frames)
 codec = JaxCodec(cfg, clip)
-pkg = codec.encode(package=True)
-mv = jnp.asarray(np.asarray(pkg["MVS per Frame"][1]).reshape(-1, 3))
-split = jnp.zeros((codec.nb,), bool)
-smv = jnp.zeros((codec.nb, 4, 3), jnp.int32)
-qtc_f = jnp.asarray(np.asarray(pkg["approx residual"][1]).reshape(codec.nb, 16, 16))
-qtc_q = jnp.zeros((codec.nb, 4, 8, 8), jnp.int32)
-rqp = codec.row_qps_by_type[1]
-tab = codec._fetch_table(np.asarray(mv), np.asarray(smv))
-refs = codec._y_dev[0]
+cur = codec._y_dev[1]
+refs = codec._y_dev[:1]
+enc = codec._inter_step_j(cur, refs, codec.row_qps, cur, nref=1, initial_refs=False)
+tab = codec._fetch_table(enc["mv"], enc["sub_mv"])
+assert tab is not None
 
 def dec(r):
-    return codec._decode_inter_pallas_step(
-        r[None] if r.ndim == 2 else r, mv, split, smv, qtc_f, qtc_q, rqp, tab,
-        nref=1, initial_refs=False)
+    return codec._dec_inter_pallas_j(
+        r, enc["mv"], enc["split"], enc["sub_mv"], enc["qtc_full"],
+        enc["qtc_quads"], codec.row_qps, tab, nref=1, initial_refs=False)
 
 jax.block_until_ready(dec(refs))
 
@@ -61,7 +57,7 @@ def one_pass():
     t0 = time.perf_counter()
     out = refs
     for _ in range(32):
-        out = dec(out[None] if out.ndim == 2 else out)[None]
+        out = dec(out)[None]
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / 32
 

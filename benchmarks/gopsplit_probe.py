@@ -88,6 +88,12 @@ def probe(h, w):
               f"({1e3 * (t_wall - acc):.1f} ms = dispatch + drain + scan overhead)",
               flush=True)
 
+    # the single-chip engine's own wall (per-frame async dispatches, no mesh
+    # collectives): is the residual overhead the mesh program's or the GOP
+    # batching's?
+    jcodec.encode(package=False)  # warm
+    best("JaxCodec encode wall", lambda: jcodec.encode(package=False))
+
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "4k"

@@ -55,10 +55,11 @@ def probe(h, w, sr=16, vbs=True):
     out = I.intra_search_mode0(cur_a, bs, sr, canvas_w, vbs, jnp)
     jax.block_until_ready(out)
 
-    chain_time("residuals",
-               lambda c: I.intra_residuals_mode0(c, out["mv"], out.get("sub_mv"),
-                                                 bs, jnp, sr=sr)[0],
-               cur_a, cur_b, n=8)
+    def resid_all(c):
+        f, q = I.intra_residuals_mode0(c, out["mv"], out.get("sub_mv"), bs, jnp, sr=sr)
+        return (f, q) if q is not None else f
+
+    chain_time("residuals", resid_all, cur_a, cur_b, n=8)
 
     res_full, res_quads = I.intra_residuals_mode0(cur_a, out["mv"], out.get("sub_mv"),
                                                   bs, jnp, sr=sr)
@@ -72,7 +73,7 @@ def probe(h, w, sr=16, vbs=True):
     chain_time("transform_rd",
                lambda r: codec._transform_and_select(r, res_quads,
                                                      out["sad"].reshape(-1),
-                                                     sub_sad, 0, rqp0)[1],
+                                                     sub_sad, 0, rqp0),
                res_full, -res_full, n=8)
 
     split, qtc_full, qtc_quads, lens, mae = codec._transform_and_select(

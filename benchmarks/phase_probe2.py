@@ -37,12 +37,19 @@ except Exception:
 
 
 def _mix_bit(out):
-    """Data-dependent bit from a phase output pytree (O(1) reads)."""
+    """Data-dependent bit from a phase output pytree.
+
+    FULL sums, not first elements: with O(1) reads XLA dead-code-eliminates
+    every output element that does not reach the read — an elementwise-
+    parallel phase (the segment-sum intra search, residual builds) then
+    "measures" near zero (round-5: the rewritten search costed 0.0 ms until
+    this fix).  The added reduction is ~one pass over the outputs — small
+    against any phase worth probing, and identical across A/B arms."""
     s = jnp.int32(0)
     for leaf in jax.tree.leaves(out):
         if leaf is None:
             continue
-        s = s + leaf.ravel()[0].astype(jnp.int32)
+        s = s + leaf.astype(jnp.int32).sum()  # int32 wrap is fine for a bit
     return s & 1
 
 

@@ -67,11 +67,19 @@ def intra_search_mode0(cur, bs: int, sr: int, canvas_w: int, vbs: bool, xp):
     # read is BLOCK-ALIGNED with a length t(dx) that is STATIC per dx, so
     # the per-block partial sums are plain reshape-group static-slice sums:
     # no cumsum chains, no gathers, bit-identical int32 totals.
+    # int16 band sums: |diff| <= 255 and an s-row band sum <= 8*255 = 2040,
+    # so the 33 whole-frame abs-diff passes (the search's only large-array
+    # traffic) run at half width; the grouped block sums below widen to
+    # int32 BEFORE accumulating over up to 16 columns (which can reach
+    # 65280 and must not wrap).
+    c16 = c32.astype(xp.int16)
+    pad16 = pad_ref.astype(xp.int16)
     colsums = []
     for dxi in range(ndx):
-        shifted = pad_ref[:, dxi : dxi + w]  # shifted[c] = orig[c + dx] (128 outside)
-        colsums.append(abs(shifted - c32).reshape(nbr2, s, w).sum(axis=1))
-    col128 = abs(c32 - 128).reshape(nbr2, s, w).sum(axis=1)  # (nbr2, w)
+        shifted = pad16[:, dxi : dxi + w]  # shifted[c] = orig[c + dx] (128 outside)
+        d16 = abs(shifted - c16)
+        colsums.append(d16.reshape(nbr2, s, w).sum(axis=1, dtype=xp.int16))
+    col128 = abs(c16 - xp.int16(128)).reshape(nbr2, s, w).sum(axis=1, dtype=xp.int16)
 
     dx = xp.arange(-sr, sr + 1)
 
@@ -98,8 +106,8 @@ def intra_search_mode0(cur, bs: int, sr: int, canvas_w: int, vbs: bool, xp):
         sads = []
         for dxi in range(ndx):
             t = int(np.clip(-delta - (dxi - sr), 0, n))
-            a = grouped(band_rows[dxi])[:, :, :t].sum(axis=2)
-            b = g128[:, :, t:n].sum(axis=2)
+            a = grouped(band_rows[dxi])[:, :, :t].sum(axis=2, dtype=xp.int32)
+            b = g128[:, :, t:n].sum(axis=2, dtype=xp.int32)
             sads.append(a + b)
         sad = xp.stack(sads)  # (ndx, R, C)
         valid = (x_sub[None, :] + dx[:, None] >= 0) & (x_sub[None, :] + dx[:, None] + n <= canvas_w)
@@ -111,8 +119,9 @@ def intra_search_mode0(cur, bs: int, sr: int, canvas_w: int, vbs: bool, xp):
         return mv.astype(xp.int32), best.astype(xp.int32)
 
     x_full = xp.arange(nbc) * bs
-    full_rows = [b.reshape(nbr, 2, w).sum(axis=1) for b in colsums]
-    full128 = col128.reshape(nbr, 2, w).sum(axis=1)
+    # two-band combine <= 4080: still int16
+    full_rows = [b.reshape(nbr, 2, w).sum(axis=1, dtype=xp.int16) for b in colsums]
+    full128 = col128.reshape(nbr, 2, w).sum(axis=1, dtype=xp.int16)
     mv, sad = search(full_rows, full128, x_full, 0, bs, 0)
 
     d128 = abs(c32 - 128)
