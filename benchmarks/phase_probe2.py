@@ -68,10 +68,23 @@ def chain_time(name, fn, a, b, n=6, reps=3):
     def run(iters, av, bv):
         # av/bv are ARGUMENTS, not captured constants: XLA constant-folds
         # whole constant-fed loops at compile time (observed: the round-5
-        # segment-sum intra search "measured" 0.0 ms as a closure)
+        # segment-sum intra search "measured" 0.0 ms as a closure).  The
+        # accumulator perturbs the INPUT, not just the select bit: for a
+        # select-sinkable fn (pure elementwise/reshape/reduce graphs) XLA
+        # rewrites fn(select(bit, a, b)) -> select(bit, fn(a), fn(b)) and
+        # hoists both arms out of the loop as loop-invariant — per-iter
+        # then "measures" ~0.  acc & 1 makes every iteration's input a
+        # fresh value no motion pass can hoist.
         def body(_, st):
             bit, acc = st
-            x = jax.tree.map(lambda u, v: jnp.where(bit != 0, u, v), av, bv)
+
+            def sel(u, v):
+                o = jnp.where(bit != 0, u, v)
+                if o.dtype == jnp.bool_:
+                    return o
+                return o + (acc & 1).astype(o.dtype)
+
+            x = jax.tree.map(sel, av, bv)
             out = fn(x)
             mb = _mix_bit(out)
             return (bit ^ mb, acc + mb)
